@@ -1,0 +1,888 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.algebra._
+import graft.model._
+import graft.store.RdfStore
+
+/** Materialized-term view as a typed case class (field names/order match
+  * [[graft.model.TermRow.schema]] so Dataset encoders and terms-table structs are
+  * interchangeable).
+  */
+final case class TV(kind: Option[Int], lex: Option[String], dt: Option[String],
+    lang: Option[String], num: Option[Double])
+
+object TV {
+  def of(t: Term): TV = t match {
+    case null => null
+    case BNode(l) => TV(Some(TermRow.KIND_BLANK), Some(l), None, None, None)
+    case Iri(v) => TV(Some(TermRow.KIND_IRI), Some(v), None, None, None)
+    case lit @ Lit(l, dt, lang) =>
+      TV(Some(TermRow.KIND_LITERAL), Some(l), Option(dt),
+        Option(lang).filter(_.nonEmpty), Term.numericValue(lit))
+  }
+
+  /** Struct Row (kind, lex, dt, lang, num) → Term; null-safe. */
+  def toTerm(r: Row): Term = {
+    if (r == null || r.isNullAt(0)) null
+    else r.getInt(0) match {
+      case TermRow.KIND_BLANK => BNode(r.getString(1))
+      case TermRow.KIND_IRI => Iri(r.getString(1))
+      case _ => Lit(r.getString(1), r.getString(2), r.getString(3))
+    }
+  }
+}
+
+/** Per-variable physical representation inside a compiled solution DataFrame. */
+sealed trait Rep
+case object IdRep extends Rep   // Long column of packed term ids
+case object TermRep extends Rep // struct column (kind, lex, dt, lang, num)
+
+/** A compiled solution mapping: one column per in-scope variable; NULL = unbound.
+  * `certain` = necessarily-bound vars (equi-join fast path); `nums` = vars that carry
+  * a `__n_<var>` numeric companion column (decoded object value from the store).
+  */
+final case class Sol(df: DataFrame, reps: Map[String, Rep], certain: Set[String],
+    nums: Set[String]) {
+  def vars: Set[String] = reps.keySet
+  def numCol(v: String): String = "__n_" + v
+}
+
+/** Compiles SPARQL algebra to DataFrame transformations over an [[RdfStore]].
+  *
+  * Architectural stance (SURVEY.md §7.0): stay in dictionary-id space as long as
+  * possible (the Spark analogue of the reference's `IDQueryPlan` family,
+  * kasei/kineo `Sources/Kineo/SPARQL/IDQueryPlan.swift:11-81`), materialize term
+  * structs only at expression/result edges (`MaterializedQueryPlan.swift:11-61`),
+  * and let Catalyst pick physical join strategies.
+  */
+final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Serializable {
+  import graft.engine.{EvalError => EvalError}
+  private val spark = store.spark
+  import spark.implicits._
+
+  private val scheme = store.scheme
+
+  // ---- id → view decoding ---------------------------------------------------
+
+  private val decodeInlineUdf = udf { (id: java.lang.Long) =>
+    if (id == null) None
+    else {
+      val t = TermId.tag(id)
+      if (scheme.isInlineTag(t)) Option(TV.of(scheme.decodeInline(id))) else None
+    }
+  }
+
+  /** Ensure variable `v` has a materialized view column; returns (sol, viewCol). */
+  def withView(sol: Sol, v: String): (Sol, Column) = sol.reps.get(v) match {
+    case Some(TermRep) => (sol, col(bt(v)))
+    case Some(IdRep) =>
+      val tcol = "__t_" + v
+      if (sol.df.columns.contains(tcol)) (sol, col(bt(tcol)))
+      else {
+        val t = store.terms.select(col("id").as("__tid"),
+          struct(col("kind"), col("lex"), col("dt"), col("lang"), col("num")).as("__tv"))
+        val joined = sol.df.join(t, col(bt(v)) === col("__tid"), "left")
+          .withColumn(tcol,
+            when(col("__tid").isNotNull, col("__tv")).otherwise(decodeInlineUdf(col(bt(v)))))
+          .drop("__tid", "__tv")
+        (sol.copy(df = joined), col(bt(tcol)))
+      }
+    case None => // variable not in scope: all-null view
+      (sol, lit(null).cast(TermRow.schema))
+  }
+
+  def withViews(sol: Sol, vs: Seq[String]): (Sol, Seq[Column]) =
+    vs.foldLeft((sol, Seq.empty[Column])) { case ((s, acc), v) =>
+      val (s2, c) = withView(s, v); (s2, acc :+ c)
+    }
+
+  /** Convert a variable to TermRep (for mixed-representation joins/unions). */
+  private def toTermRep(sol: Sol, v: String): Sol = sol.reps(v) match {
+    case TermRep => sol
+    case IdRep =>
+      val (s2, vc) = withView(sol, v)
+      val df = s2.df.withColumn(v, vc).drop("__t_" + v)
+      s2.copy(df = df, reps = s2.reps + (v -> TermRep), nums = s2.nums - v)
+  }
+
+  private def bt(c: String) = s"`$c`"
+
+  // ---- expression compilation ----------------------------------------------
+
+  /** Compile an expression to a term-struct Column (null = error/unbound). */
+  def exprColumn(sol0: Sol, e: Expr): (Sol, Column) = fastNum(sol0, e) match {
+    case Some(c) => // numeric fast path: build the view struct natively
+      (sol0, when(c.isNotNull, struct(
+        lit(TermRow.KIND_LITERAL).as("kind"),
+        c.cast(StringType).as("lex"),
+        lit(Term.xsdDouble).as("dt"),
+        lit(null).cast(StringType).as("lang"),
+        c.as("num"))).otherwise(lit(null).cast(TermRow.schema)))
+    case None =>
+      val fv = Expr.freeVars(e).toSeq.sorted
+      val (sol, views) = withViews(sol0, fv)
+      val theCtx = ctx
+      var u = udf { (vals: Seq[Row]) =>
+        val m = fv.zip(vals.map(TV.toTerm)).toMap
+        try Option(TV.of(ExprEval.eval(e, m.getOrElse(_, null), theCtx)))
+        catch { case _: EvalError => None }
+      }
+      if (Expr.nondeterministic(e)) u = u.asNondeterministic()
+      (sol, u(array(views: _*)))
+  }
+
+  /** Compile an expression to a Boolean EBV Column (null → row dropped by filter). */
+  def ebvColumn(sol0: Sol, e: Expr): (Sol, Column) = fastBool(sol0, e) match {
+    case Some(c) => (sol0, c)
+    case None =>
+      val fv = Expr.freeVars(e).toSeq.sorted
+      val (sol, views) = withViews(sol0, fv)
+      val theCtx = ctx
+      var u = udf { (vals: Seq[Row]) =>
+        val m = fv.zip(vals.map(TV.toTerm)).toMap
+        try Option(ExprEval.ebvOrErr(ExprEval.eval(e, m.getOrElse(_, null), theCtx)))
+        catch { case _: EvalError => None }
+      }
+      if (Expr.nondeterministic(e)) u = u.asNondeterministic()
+      (sol, u(array(views: _*)))
+  }
+
+  /** Pure-column numeric value of an expression, when derivable without a UDF:
+    * numeric constants, vars with a numeric companion, arithmetic over those.
+    * SQL NULL propagation coincides with SPARQL error propagation here.
+    */
+  private def fastNum(sol: Sol, e: Expr): Option[Column] = e match {
+    case EConst(t) => Term.numericValue(t).map(lit)
+    case EVar(n) if sol.nums.contains(n) => Some(col(bt(sol.numCol(n))))
+    case EVar(n) if sol.reps.get(n).contains(IdRep) => None
+    case ECall(op @ ("+" | "-" | "*" | "/"), Seq(a, b)) =>
+      for (ca <- fastNum(sol, a); cb <- fastNum(sol, b)) yield op match {
+        case "+" => ca + cb
+        case "-" => ca - cb
+        case "*" => ca * cb
+        case "/" => when(cb === 0.0, lit(null)).otherwise(ca / cb)
+      }
+    case ECall("neg", Seq(a)) => fastNum(sol, a).map(c => -c)
+    case ECall("abs", Seq(a)) => fastNum(sol, a).map(abs)
+    case _ => None
+  }
+
+  /** Pure-column boolean EBV, when derivable without a UDF. SQL 3-valued logic
+    * matches SPARQL's error handling for these shapes (see AND/OR truth tables in
+    * reference Expression.swift:484-507: false&&error=false, true||error=true,
+    * error otherwise → NULL drops the row, same as error).
+    */
+  private def fastBool(sol: Sol, e: Expr): Option[Column] = e match {
+    case ECall(op @ ("<" | "<=" | ">" | ">=" | "=" | "!="), Seq(a, b)) =>
+      for (ca <- fastNum(sol, a); cb <- fastNum(sol, b)) yield op match {
+        case "<" => ca < cb
+        case "<=" => ca <= cb
+        case ">" => ca > cb
+        case ">=" => ca >= cb
+        case "=" => ca === cb
+        case "!=" => ca =!= cb
+      }
+    case ECall("&&", Seq(a, b)) =>
+      for (ca <- fastBool(sol, a); cb <- fastBool(sol, b)) yield ca && cb
+    case ECall("||", Seq(a, b)) =>
+      for (ca <- fastBool(sol, a); cb <- fastBool(sol, b)) yield ca || cb
+    case ECall("!", Seq(a)) => fastBool(sol, a).map(c => !c)
+    case _ => None
+  }
+
+  // ---- quad patterns --------------------------------------------------------
+
+  /** Compile one quad pattern to a scan (reference `QuadPlan`/`IDQuadPlan`,
+    * MaterializedQueryPlan.swift:169-182 / IDQueryPlan.swift:11-81). Bound terms
+    * become pushed-down Long equality filters; repeated variables become
+    * column-equality filters.
+    */
+  def compilePattern(qp: QuadPattern): Sol = {
+    var df = store.quads
+    // graph handling
+    qp.g match {
+      case DefaultGraph =>
+        if (store.defaultGraphs.toSet != store.graphIds.toSet)
+          df = df.filter(col("g").isin(store.defaultGraphs: _*))
+      case _ => ()
+    }
+    // bound terms → id filters (a term with no id in this store → empty scan)
+    val boundPos = qp.nodes.collect { case (T(t), pos) => (pos, t) }
+    for ((pos, t) <- boundPos) {
+      store.idOf(t) match {
+        case Some(id) => df = df.filter(col(pos) === id)
+        case None => df = df.filter(lit(false))
+      }
+    }
+    // variables → renamed columns; repeated variable → equality filter
+    val varPos: Seq[(String, String)] = qp.nodes.collect { case (V(n), pos) => (n, pos) }
+    val firstPos = scala.collection.mutable.LinkedHashMap[String, String]()
+    for ((n, pos) <- varPos) {
+      if (firstPos.contains(n)) df = df.filter(col(firstPos(n)) === col(pos))
+      else firstPos(n) = pos
+    }
+    val outCols = firstPos.toSeq.map { case (n, pos) => col(pos).as(n) } ++
+      firstPos.toSeq.collect { case (n, "o") => col("onum").as("__n_" + n) }
+    val out = df.select(outCols: _*)
+    val nums = firstPos.collect { case (n, "o") => n }.toSet
+    Sol(out, firstPos.keys.map(_ -> (IdRep: Rep)).toMap, firstPos.keySet.toSet, nums)
+  }
+
+  /** BGP join-order heuristic: bound-position selectivity weights from the
+    * reference cost model (QueryPlanCost.swift:231-248 — unbound s×7.5, p×2.5,
+    * o×5, g×10), then greedy connected joins to avoid cartesian products.
+    * Join *implementation* is delegated to Catalyst/AQE.
+    */
+  def compileBGP(patterns: Seq[QuadPattern]): Sol = {
+    require(patterns.nonEmpty, "empty BGP")
+    def cost(qp: QuadPattern): Double = {
+      var c = 1.0
+      def unbound(n: Node) = n.isInstanceOf[V]
+      if (unbound(qp.s)) c *= 7.5
+      if (unbound(qp.p)) c *= 2.5
+      if (unbound(qp.o)) c *= 5.0
+      if (unbound(qp.g)) c *= 10.0
+      c
+    }
+    val remaining = scala.collection.mutable.ListBuffer(patterns.sortBy(cost): _*)
+    var sol = compilePattern(remaining.remove(0))
+    while (remaining.nonEmpty) {
+      val idx = remaining.indexWhere(p => p.vars.exists(sol.vars.contains))
+      val next = remaining.remove(if (idx >= 0) idx else 0)
+      sol = joinSols(sol, compilePattern(next), "inner")
+    }
+    sol
+  }
+
+  // ---- joins ----------------------------------------------------------------
+
+  /** SPARQL-compatible join. Shared vars that are necessarily bound on both sides
+    * join as plain equi-keys; possibly-unbound shared vars get the null-tolerant
+    * compatibility condition + coalesce (reference hashJoin's unbound side-table,
+    * MaterializedQueryPlan.swift:207-361).
+    */
+  def joinSols(l0: Sol, r0: Sol, kind: String,
+      extraFilter: Option[(Sol, Sol) => (Sol, Sol, Column)] = None): Sol = {
+    var l = l0; var r = r0
+    val shared = (l.vars intersect r.vars).toSeq.sorted
+    // align representations on shared vars
+    for (v <- shared if l.reps(v) != r.reps(v)) { l = toTermRep(l, v); r = toTermRep(r, v) }
+
+    // rename ALL right columns
+    val rdf0 = r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, "__r_" + c))
+
+    val (lx, rx, extra) = extraFilter match {
+      case Some(f) =>
+        val (l2, r2, cond) = f(l, r.copy(df = rdf0)); (l2, r2, Some(cond))
+      case None => (l, r.copy(df = rdf0), None)
+    }
+    l = lx; r = rx
+    val rdf = r.df
+
+    val certainShared = shared.filter(v => l.certain.contains(v) && r0.certain.contains(v))
+    val looseShared = shared.filterNot(certainShared.contains)
+
+    val conds: Seq[Column] =
+      certainShared.map(v => col(bt(v)) === col(bt("__r_" + v))) ++
+        looseShared.map(v =>
+          (col(bt(v)) <=> col(bt("__r_" + v))) || col(bt(v)).isNull || col(bt("__r_" + v)).isNull) ++
+        extra.toSeq
+    val joined =
+      if (conds.isEmpty) {
+        if (kind == "inner") l.df.crossJoin(rdf)
+        else l.df.join(rdf, lit(true), kind)
+      } else l.df.join(rdf, conds.reduce(_ && _), kind)
+
+    if (kind == "left_semi" || kind == "left_anti")
+      return Sol(joined, l.reps, l.certain, l.nums)
+
+    // merge shared columns, surface right-only vars
+    var out = joined
+    for (v <- looseShared) {
+      out = out.withColumn(v, coalesce(col(bt(v)), col(bt("__r_" + v))))
+      if (l.nums.contains(v) && r.nums.contains(v))
+        out = out.withColumn(l.numCol(v), coalesce(col(bt(l.numCol(v))), col(bt("__r_" + r.numCol(v)))))
+    }
+    val rOnly = (r.vars -- l.vars).toSeq
+    for (v <- rOnly) {
+      out = out.withColumn(v, col(bt("__r_" + v)))
+      if (r.nums.contains(v)) out = out.withColumn("__n_" + v, col(bt("__r___n_" + v)))
+    }
+    out = out.drop(rdf.columns.filter(_.startsWith("__r_")).toSeq: _*)
+
+    val reps = l.reps ++ rOnly.map(v => v -> r.reps(v))
+    val certain = kind match {
+      case "inner" => l.certain ++ r0.certain
+      case _ => l.certain // left_outer
+    }
+    val nums = l.nums ++ rOnly.filter(r.nums.contains)
+    val keep = reps.keySet.map(bt) ++ nums.map(v => bt("__n_" + v))
+    Sol(out.select((reps.keySet.toSeq.sorted.map(v => col(bt(v))) ++
+      nums.toSeq.sorted.map(v => col(bt("__n_" + v)))): _*), reps, certain, nums)
+  }
+
+  // ---- main compile ---------------------------------------------------------
+
+  def compile(a: Algebra): Sol = a match {
+    case BGP(ps) => compileBGP(ps)
+    case APath(s, p, o, g) => compilePath(s, p, o, g)
+    case AJoin(l, r) => joinSols(compile(l), compile(r), "inner")
+
+    case ALeftJoin(l, r, None) => joinSols(compile(l), compile(r), "left_outer")
+    case ALeftJoin(l, r, Some(e)) => compileLeftJoinFilter(compile(l), compile(r), e)
+
+    case AMinus(l, r) => compileMinus(compile(l), compile(r))
+
+    case AUnion(l, r) => unionSols(compile(l), compile(r))
+
+    case AFilter(e, c) => compileFilter(e, compile(c))
+
+    case AExtend(c, v, e) =>
+      e match {
+        case EExists(p, neg) => existsFlag(compile(c), compile(p), v, neg)
+        case _ =>
+          val sol = compile(c)
+          val (s2, ec) = exprColumn(sol, e)
+          Sol(s2.df.withColumn(v, ec), s2.reps + (v -> TermRep), s2.certain, s2.nums)
+      }
+
+    case AProject(c, vs) =>
+      val sol = compile(c)
+      val keep = vs.filter(sol.reps.contains)
+      val cols = keep.map(v => col(bt(v))) ++
+        keep.filter(sol.nums.contains).map(v => col(bt("__n_" + v)))
+      Sol(sol.df.select(cols: _*), sol.reps.filter(kv => keep.contains(kv._1)),
+        sol.certain intersect vs.toSet, sol.nums intersect keep.toSet)
+
+    case ADistinct(c) =>
+      val sol = dropCompanions(compile(c))
+      Sol(sol.df.dropDuplicates(), sol.reps, sol.certain, Set.empty)
+
+    case AReduced(c) => // REDUCED permits any dedup degree; full dedup is legal
+      val sol = dropCompanions(compile(c))
+      Sol(sol.df.dropDuplicates(), sol.reps, sol.certain, Set.empty)
+
+    case ASlice(c, off, lim) =>
+      val sol = compile(c)
+      var df = sol.df
+      if (off > 0) df = df.offset(off.toInt)
+      if (lim >= 0) df = df.limit(lim.toInt)
+      sol.copy(df = df)
+
+    case AOrderBy(c, keys) =>
+      val sol0 = compile(c)
+      var sol = sol0
+      val sortCols = keys.flatMap { k =>
+        val (s2, comps) = sortComponents(sol, k.e)
+        sol = s2
+        comps.map(cc => if (k.asc) cc.asc_nulls_first else cc.desc_nulls_last)
+      }
+      sol.copy(df = sol.df.orderBy(sortCols: _*))
+
+    case AGroup(c, keys, aggs) => compileGroup(compile(c), keys, aggs)
+
+    case AWindow(c, fns) => compileWindow(compile(c), fns)
+
+    case ATable(vs, rows) =>
+      val schema = StructType(vs.map(v => StructField(v, TermRow.schema, nullable = true)))
+      val data = rows.map(r => Row.fromSeq(r.map(_.map(TermRow.toRow).orNull)))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq, 1), schema)
+      Sol(df, vs.map(_ -> (TermRep: Rep)).toMap,
+        Algebra.certain(ATable(vs, rows)), Set.empty)
+  }
+
+  private def dropCompanions(sol: Sol): Sol =
+    Sol(sol.df.drop(sol.nums.toSeq.map("__n_" + _): _*), sol.reps, sol.certain, Set.empty)
+
+  // ---- filter (incl. EXISTS rewrite) ---------------------------------------
+
+  private def compileFilter(e: Expr, sol: Sol): Sol = e match {
+    case EExists(p, neg) =>
+      joinSols(sol, compile(p), if (neg) "left_anti" else "left_semi")
+    case ECall("&&", Seq(a, b)) if Expr.hasExists(e) =>
+      compileFilter(b, compileFilter(a, sol))
+    case ECall("!", Seq(EExists(p, neg))) =>
+      joinSols(sol, compile(p), if (neg) "left_semi" else "left_anti")
+    case _ =>
+      val (s2, c) = ebvColumn(sol, e)
+      s2.copy(df = s2.df.filter(c === true))
+  }
+
+  /** OPTIONAL with filter: Filter(expr, Join(L,R)) ∪ Diff(L,R,expr) — the
+    * decomposition required for correct SPARQL scoping when the filter references
+    * LHS vars (reference QueryPlanner.swift:480-552; SURVEY.md §7.4 risk 3).
+    */
+  private def compileLeftJoinFilter(l: Sol, r: Sol, e: Expr): Sol = {
+    val joined = joinSols(l, r, "inner")
+    val matched = compileFilter(e, joined)
+    // Diff: keep L rows with NO compatible R row passing expr
+    val anti = joinSols(l, r, "left_anti", extraFilter = Some { (ls, rs) =>
+      // build expr condition over the combined (renamed-right) frame
+      condOverJoined(ls, rs, e)
+    })
+    unionSols(matched, anti)
+  }
+
+  /** Build an EBV condition usable inside a join condition, where right-side
+    * columns are prefixed __r_. Falls back to a UDF over both sides' views.
+    */
+  private def condOverJoined(l: Sol, r: Sol, e: Expr): (Sol, Sol, Column) = {
+    val fv = Expr.freeVars(e).toSeq.sorted
+    var ls = l; var rs = r
+    val views: Seq[Column] = fv.map { v =>
+      if (ls.reps.contains(v)) {
+        val (s2, c) = withView(ls, v); ls = s2; c
+      } else {
+        // right side: columns already renamed with __r_ prefix
+        val bare = v
+        if (rs.reps.contains(bare)) {
+          rs.reps(bare) match {
+            case TermRep => col(bt("__r_" + bare))
+            case IdRep =>
+              val tcol = "__r___t_" + bare
+              if (!rs.df.columns.contains(tcol)) {
+                val t = store.terms.select(col("id").as("__tid2"),
+                  struct(col("kind"), col("lex"), col("dt"), col("lang"), col("num")).as("__tv2"))
+                val joined = rs.df.join(t, col(bt("__r_" + bare)) === col("__tid2"), "left")
+                  .withColumn(tcol,
+                    when(col("__tid2").isNotNull, col("__tv2"))
+                      .otherwise(decodeInlineUdf(col(bt("__r_" + bare)))))
+                  .drop("__tid2", "__tv2")
+                rs = rs.copy(df = joined)
+              }
+              col(bt(tcol))
+          }
+        } else lit(null).cast(TermRow.schema)
+      }
+    }
+    val theCtx = ctx
+    val eLocal = e
+    val fvLocal = fv
+    val u = udf { (vals: Seq[Row]) =>
+      val m = fvLocal.zip(vals.map(TV.toTerm)).toMap
+      try Option(ExprEval.ebvOrErr(ExprEval.eval(eLocal, m.getOrElse(_, null), theCtx)))
+      catch { case _: EvalError => None }
+    }
+    (ls, rs, u(array(views: _*)) === true)
+  }
+
+  /** MINUS (reference MinusPlan, MaterializedQueryPlan.swift:539-572): remove an
+    * LHS row if some RHS row is compatible AND shares at least one bound var.
+    */
+  private def compileMinus(l: Sol, r: Sol): Sol = {
+    val shared = (l.vars intersect r.vars).toSeq.sorted
+    if (shared.isEmpty) return l
+    val allCertain = shared.forall(v => l.certain.contains(v) && r.certain.contains(v))
+    if (allCertain) joinSols(l, r, "left_anti")
+    else {
+      var ll = l; var rr = r
+      for (v <- shared if ll.reps(v) != rr.reps(v)) { ll = toTermRep(ll, v); rr = toTermRep(rr, v) }
+      val rdf = rr.df.columns.foldLeft(rr.df)((d, c) => d.withColumnRenamed(c, "__r_" + c))
+      val compat = shared.map(v =>
+        (col(bt(v)) <=> col(bt("__r_" + v))) || col(bt(v)).isNull || col(bt("__r_" + v)).isNull)
+        .reduce(_ && _)
+      val overlap = shared.map(v => col(bt(v)).isNotNull && col(bt("__r_" + v)).isNotNull)
+        .reduce(_ || _)
+      Sol(ll.df.join(rdf, compat && overlap, "left_anti"), ll.reps, ll.certain, ll.nums)
+    }
+  }
+
+  /** BIND(EXISTS{...} AS ?v): left join against the distinct pattern keys with a
+    * constant-true marker → boolean variable (reference ExistsPlan,
+    * MaterializedQueryPlan.swift:1617-1660, recast as a set-based join).
+    */
+  private def existsFlag(l: Sol, p: Sol, outVar: String, negated: Boolean): Sol = {
+    val shared = (l.vars intersect p.vars).toSeq.sorted
+    val flag = "__ex_" + outVar
+    val pKeys0 = Sol(dropCompanions(p).df, p.reps, p.certain, Set.empty)
+    val keyCols = shared.map(v => col(bt(v)))
+    val marked =
+      if (shared.isEmpty) {
+        val nonEmpty = !p.df.isEmpty
+        val base = l.df.withColumn(flag, lit(nonEmpty))
+        return boolVarFromFlag(Sol(base, l.reps, l.certain, l.nums), flag, outVar, negated)
+      } else {
+        var pp = pKeys0; var ll = l
+        for (v <- shared if ll.reps(v) != pp.reps(v)) { ll = toTermRep(ll, v); pp = toTermRep(pp, v) }
+        val dist = pp.df.select(shared.map(v => col(bt(v))): _*).dropDuplicates()
+          .withColumn(flag, lit(true))
+        val renamed = shared.foldLeft(dist)((d, v) => d.withColumnRenamed(v, "__r_" + v))
+        val cond = shared.map(v => col(bt(v)) === col(bt("__r_" + v))).reduce(_ && _)
+        val joined = ll.df.join(renamed, cond, "left_outer")
+          .withColumn(flag, coalesce(col(bt(flag)), lit(false)))
+          .drop(shared.map("__r_" + _): _*)
+        Sol(joined, ll.reps, ll.certain, ll.nums)
+      }
+    boolVarFromFlag(marked, flag, outVar, negated)
+  }
+
+  private def boolVarFromFlag(sol: Sol, flag: String, outVar: String, negated: Boolean): Sol = {
+    val b = if (negated) !col(bt(flag)) else col(bt(flag))
+    val df = sol.df.withColumn(outVar, struct(
+      lit(TermRow.KIND_LITERAL).as("kind"),
+      when(b, "true").otherwise("false").as("lex"),
+      lit(Term.xsdBoolean).as("dt"),
+      lit(null).cast(StringType).as("lang"),
+      lit(null).cast(DoubleType).as("num"))).drop(flag)
+    Sol(df, sol.reps + (outVar -> TermRep), sol.certain + outVar, sol.nums)
+  }
+
+  // ---- union ---------------------------------------------------------------
+
+  def unionSols(l0: Sol, r0: Sol): Sol = {
+    var l = l0; var r = r0
+    val both = l.vars intersect r.vars
+    for (v <- both if l.reps(v) != r.reps(v)) { l = toTermRep(l, v); r = toTermRep(r, v) }
+    val allVars = (l.vars ++ r.vars).toSeq.sorted
+    val sharedNums = allVars.filter(v =>
+      (l.nums.contains(v) || !l.vars.contains(v)) && (r.nums.contains(v) || !r.vars.contains(v)) &&
+      (l.nums.contains(v) || r.nums.contains(v)))
+    def pad(s: Sol): DataFrame = {
+      val cols = allVars.map { v =>
+        if (s.reps.contains(v)) col(bt(v))
+        else if (l.reps.getOrElse(v, r.reps(v)) == TermRep) lit(null).cast(TermRow.schema).as(v)
+        else lit(null).cast(LongType).as(v)
+      } ++ sharedNums.map { v =>
+        if (s.nums.contains(v)) col(bt("__n_" + v)) else lit(null).cast(DoubleType).as("__n_" + v)
+      }
+      s.df.select(cols: _*)
+    }
+    val reps = allVars.map(v => v -> l.reps.getOrElse(v, r.reps(v))).toMap
+    Sol(pad(l).unionByName(pad(r)), reps, l.certain intersect r.certain,
+      sharedNums.toSet)
+  }
+
+  // ---- order by -------------------------------------------------------------
+
+  /** SPARQL total-order sort key components for an expression:
+    * (kindRank, num, lex, dt, lang) — unbound < blank < IRI < literal via
+    * kindRank + nulls-first; numeric literals by value before other literals.
+    */
+  private def sortComponents(sol0: Sol, e: Expr): (Sol, Seq[Column]) = {
+    val (sol, v) = exprColumn(sol0, e) match {
+      case (s, c) => (s, c)
+    }
+    val rank = when(v.isNull, lit(null).cast(IntegerType)).otherwise(v.getField("kind"))
+    (sol, Seq(rank, v.getField("num"), v.getField("lex"), v.getField("dt"),
+      v.getField("lang")))
+  }
+
+  // ---- grouping / aggregation ----------------------------------------------
+
+  private def compileGroup(sol0: Sol, keys: Seq[String], aggs: Seq[AggSpec]): Sol = {
+    var sol = sol0
+    // pre-compute aggregate input columns
+    val inputs: Seq[(AggSpec, Option[Column])] = aggs.map { a =>
+      a.e match {
+        case None => (a, None)
+        case Some(EVar(n)) if sol.reps.get(n).contains(IdRep) =>
+          val (s2, vc) = withView(sol, n); sol = s2
+          (a, Some(vc))
+        case Some(expr) =>
+          val (s2, c) = exprColumn(sol, expr); sol = s2
+          (a, Some(c))
+      }
+    }
+    val inCols = inputs.zipWithIndex.map { case ((a, c), i) =>
+      c.map(_.as(s"__agg_in_$i"))
+    }
+    val keyCols = keys.filter(sol.reps.contains).map(v => col(bt(v)))
+    val pre = sol.df.select((keyCols ++ inCols.flatten): _*)
+
+    val sortStruct: Int => Column = i => {
+      val v = col(s"__agg_in_$i")
+      struct(v.getField("kind"), v.getField("num"), v.getField("lex"),
+        v.getField("dt"), v.getField("lang"))
+    }
+    val aggCols: Seq[Column] = inputs.zipWithIndex.map { case ((a, cOpt), i) =>
+      val in = col(s"__agg_in_$i")
+      val c: Column = a.fn match {
+        case "count" if cOpt.isEmpty => count(lit(1))
+        case "count" if a.distinct => count_distinct(in)
+        case "count" => count(in)
+        case "sum" =>
+          if (a.distinct) coalesce(aggregate(collect_set(in.getField("num")),
+            lit(0.0), (acc, x) => acc + x), lit(0.0))
+          else coalesce(sum(in.getField("num")), lit(0.0))
+        case "avg" =>
+          if (a.distinct) {
+            val s = collect_set(in.getField("num"))
+            coalesce(aggregate(s, lit(0.0), (acc, x) => acc + x) / size(s), lit(0.0))
+          } else coalesce(avg(in.getField("num")), lit(0.0))
+        case "min" => min_by(in, when(in.isNotNull, sortStruct(i)))
+        case "max" => max_by(in, when(in.isNotNull, sortStruct(i)))
+        case "sample" => min_by(in, when(in.isNotNull, sortStruct(i))) // deterministic SAMPLE
+        case "group_concat" =>
+          val lst = if (a.distinct) collect_set(in.getField("lex")) else collect_list(in.getField("lex"))
+          concat_ws(a.sep, array_sort(lst))
+        case other => throw new IllegalArgumentException(s"aggregate: $other")
+      }
+      c.as("__agg_out_" + i)
+    }
+
+    val grouped =
+      if (keyCols.isEmpty) pre.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      else pre.groupBy(keys.filter(sol.reps.contains).map(v => col(bt(v))): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+
+    // wrap raw aggregate outputs into term views
+    var out = grouped
+    val numView: (Column, String) => Column = (c, dt) => when(c.isNotNull, struct(
+      lit(TermRow.KIND_LITERAL).as("kind"), c.cast(StringType).as("lex"),
+      lit(dt).as("dt"), lit(null).cast(StringType).as("lang"),
+      c.cast(DoubleType).as("num"))).otherwise(lit(null).cast(TermRow.schema))
+    val strView: Column => Column = c => when(c.isNotNull, struct(
+      lit(TermRow.KIND_LITERAL).as("kind"), c.as("lex"),
+      lit(Term.xsdString).as("dt"), lit(null).cast(StringType).as("lang"),
+      lit(null).cast(DoubleType).as("num"))).otherwise(lit(null).cast(TermRow.schema))
+    inputs.zipWithIndex.foreach { case ((a, _), i) =>
+      val raw = col(s"__agg_out_$i")
+      val v = a.fn match {
+        case "count" => numView(raw, Term.xsdInteger)
+        case "sum" | "avg" => numView(raw, Term.xsdDouble)
+        case "min" | "max" | "sample" => raw
+        case "group_concat" => strView(raw)
+      }
+      out = out.withColumn(a.out, v).drop(s"__agg_out_$i")
+    }
+    val keptKeys = keys.filter(sol.reps.contains)
+    Sol(out,
+      keptKeys.map(v => v -> sol.reps(v)).toMap ++ aggs.map(_.out -> (TermRep: Rep)),
+      (sol.certain intersect keptKeys.toSet) ++
+        aggs.filter(a => a.fn == "count" || a.fn == "sum" || a.fn == "avg" ||
+          a.fn == "group_concat").map(_.out),
+      Set.empty)
+  }
+
+  // ---- windows --------------------------------------------------------------
+
+  private def compileWindow(sol0: Sol, fns: Seq[WinSpec]): Sol = {
+    import org.apache.spark.sql.expressions.Window
+    var sol = sol0
+    for (spec <- fns) {
+      // build partition/order columns
+      val partCols = spec.partBy.filter(sol.reps.contains).map(v => col(bt(v)))
+      var ordCols: Seq[Column] = Seq.empty
+      for (k <- spec.ordBy) {
+        val (s2, comps) = sortComponents(sol, k.e)
+        sol = s2
+        ordCols = ordCols ++ comps.map(cc => if (k.asc) cc.asc_nulls_first else cc.desc_nulls_last)
+      }
+      val wBase = if (partCols.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(partCols: _*)
+      val w = if (ordCols.isEmpty) wBase else wBase.orderBy(ordCols: _*)
+
+      val inOpt: Option[Column] = spec.e.map { expr =>
+        val (s2, c) = exprColumn(sol, expr); sol = s2; c
+      }
+      val numView: Column => Column = c => when(c.isNotNull, struct(
+        lit(TermRow.KIND_LITERAL).as("kind"), c.cast(StringType).as("lex"),
+        lit(Term.xsdDouble).as("dt"), lit(null).cast(StringType).as("lang"),
+        c.cast(DoubleType).as("num"))).otherwise(lit(null).cast(TermRow.schema))
+      val intView: Column => Column = c => when(c.isNotNull, struct(
+        lit(TermRow.KIND_LITERAL).as("kind"), c.cast(StringType).as("lex"),
+        lit(Term.xsdInteger).as("dt"), lit(null).cast(StringType).as("lang"),
+        c.cast(DoubleType).as("num"))).otherwise(lit(null).cast(TermRow.schema))
+
+      val frame = spec.frame
+      def framed = frame match {
+        case Some((lo, hi)) => w.rowsBetween(lo, hi)
+        case None => w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      }
+      val outCol: Column = spec.fn match {
+        case "rank" => intView(rank().over(w))
+        case "dense_rank" => intView(dense_rank().over(w))
+        case "row_number" => intView(row_number().over(w))
+        case "ntile" =>
+          // peer-group NTILE (reference MaterializedQueryPlan.swift:892-926):
+          // tiles are assigned over *distinct* sort keys (all peers share a tile),
+          // earlier tiles larger by at most one — floor((d-1)·n/D)+1
+          val d = dense_rank().over(w).cast(LongType)
+          val wAll = if (partCols.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(partCols: _*)
+          val dMax = max(d).over(wAll)
+          val n = lit(spec.arg.toLong)
+          val bucket = (floor((d - 1) * n / dMax) + 1).cast(LongType)
+          intView(bucket)
+        case "count" =>
+          intView(inOpt.map(c => count(c).over(framed)).getOrElse(count(lit(1)).over(framed)))
+        case "sum" => numView(sum(inOpt.get.getField("num")).over(framed))
+        case "avg" => numView(avg(inOpt.get.getField("num")).over(framed))
+        case "min" => min_by(inOpt.get, when(inOpt.get.isNotNull, struct(
+          inOpt.get.getField("kind"), inOpt.get.getField("num"), inOpt.get.getField("lex"),
+          inOpt.get.getField("dt"), inOpt.get.getField("lang")))).over(framed)
+        case "max" => max_by(inOpt.get, when(inOpt.get.isNotNull, struct(
+          inOpt.get.getField("kind"), inOpt.get.getField("num"), inOpt.get.getField("lex"),
+          inOpt.get.getField("dt"), inOpt.get.getField("lang")))).over(framed)
+        case "sample" => first(inOpt.get, ignoreNulls = true).over(framed)
+        case "group_concat" =>
+          val lst = collect_list(inOpt.get.getField("lex")).over(framed)
+          when(lst.isNotNull, struct(
+            lit(TermRow.KIND_LITERAL).as("kind"), concat_ws(spec.sep, lst).as("lex"),
+            lit(Term.xsdString).as("dt"), lit(null).cast(StringType).as("lang"),
+            lit(null).cast(DoubleType).as("num")))
+        case other => throw new IllegalArgumentException(s"window fn: $other")
+      }
+      sol = Sol(sol.df.withColumn(spec.out, outCol), sol.reps + (spec.out -> TermRep),
+        sol.certain, sol.nums)
+    }
+    sol
+  }
+
+  // ---- property paths -------------------------------------------------------
+
+  /** Compile a property-path pattern. Link/inverse/sequence/alternative expand
+    * statically (reference rewriter QueryRewriting.swift:278-293); negated sets are
+    * filtered scans; +, *, ? run an iterative distinct fixpoint with localCheckpoint
+    * (the DataFrame analogue of the W3C ALP visited-set algorithm the reference
+    * uses, MaterializedQueryPlan.swift:1707-1723).
+    */
+  def compilePath(s: Node, path: PathE, o: Node, g: Node): Sol = path match {
+    case PLink(iri) => compilePattern(QuadPattern(s, N.iri(iri), o, g))
+    case PInv(p) => compilePath(o, p, s, g)
+    case PSeq(a, b) =>
+      val mid = V("__pathmid_" + freshId())
+      joinSols(compilePath(s, a, mid, g), compilePath(mid, b, o, g), "inner") match {
+        case sol => Sol(sol.df.drop(mid.name), sol.reps - mid.name,
+          sol.certain - mid.name, sol.nums - mid.name)
+      }
+    case PAlt(a, b) => unionSols(compilePath(s, a, o, g), compilePath(s, b, o, g))
+    case PNeg(fwd, rev) =>
+      def npsScan(subj: Node, obj: Node, iris: Seq[String]): Sol = {
+        val ids = iris.flatMap(i => store.idOf(Iri(i)))
+        val base = compilePattern(QuadPattern(subj, V("__p_" + freshId()), obj, g))
+        val pVar = base.reps.keys.find(_.startsWith("__p_")).get
+        val f = if (ids.isEmpty) base.df else base.df.filter(!col(bt(pVar)).isin(ids: _*))
+        Sol(f.drop(pVar), base.reps - pVar, base.certain - pVar, base.nums - pVar)
+      }
+      val fwdSol: Option[Sol] =
+        if (fwd.nonEmpty || rev.isEmpty) Some(npsScan(s, o, fwd)) else None
+      val revSol: Option[Sol] = if (rev.nonEmpty) Some(npsScan(o, s, rev)) else None
+      (fwdSol, revSol) match {
+        case (Some(a), Some(b)) => unionSols(a, b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case _ => throw new IllegalArgumentException("empty NPS")
+      }
+    case PPlus(p) => closure(s, p, o, g, includeZero = false)
+    case PStar(p) => closure(s, p, o, g, includeZero = true)
+    case PZeroOne(p) =>
+      val one = compilePath(s, p, o, g)
+      unionSols(zeroLength(s, o, g), one) match { case u =>
+        Sol(u.df.dropDuplicates(), u.reps, u.certain, Set.empty)
+      }
+  }
+
+  private var pathCounter = 0
+  private def freshId(): Int = { pathCounter += 1; pathCounter }
+
+  /** Edge pairs (a,b) for an inner path, as a 2-column DataFrame of ids. */
+  private def pathEdges(p: PathE, g: Node): DataFrame = {
+    val a = V("__pa"); val b = V("__pb")
+    val sol = compilePath(a, p, b, g)
+    sol.df.select(col("__pa").as("a"), col("__pb").as("b")).dropDuplicates()
+  }
+
+  /** All graph terms (for zero-length path over unbound endpoints — reference
+    * semantics: zero-step binds every graph term, MemoryQuadStore.swift:79-88). */
+  private def graphTerms(g: Node): DataFrame = {
+    var q = store.quads
+    g match {
+      case T(t) => q = q.filter(col("g") === store.idOf(t).getOrElse(-1L))
+      case _ => ()
+    }
+    q.select(col("s").as("t")).union(q.select(col("o").as("t"))).dropDuplicates()
+  }
+
+  private def zeroLength(s: Node, o: Node, g: Node): Sol = (s, o) match {
+    case (V(sn), V(on)) =>
+      val t = graphTerms(g)
+      Sol(t.select(col("t").as(sn), col("t").as(on)),
+        Map(sn -> IdRep, on -> IdRep), Set(sn, on), Set.empty)
+    case (V(sn), T(t)) =>
+      val id = store.idOf(t)
+      val df = spark.range(1).select(lit(id.getOrElse(-1L)).as(sn))
+      Sol(if (id.isDefined) df else df.filter(lit(false)), Map(sn -> IdRep), Set(sn), Set.empty)
+    case (T(t), V(on)) =>
+      val id = store.idOf(t)
+      val df = spark.range(1).select(lit(id.getOrElse(-1L)).as(on))
+      Sol(if (id.isDefined) df else df.filter(lit(false)), Map(on -> IdRep), Set(on), Set.empty)
+    case (T(t1), T(t2)) =>
+      val same = t1 == t2 && store.idOf(t1).isDefined
+      val df = spark.range(1).select(lit(1).as("__one"))
+      Sol(if (same) df.select() else df.select().filter(lit(false)), Map.empty, Set.empty, Set.empty)
+  }
+
+  /** Iterative fixpoint for p+ / p*. Seeds from a bound subject/object when
+    * available so the frontier stays small; var-var closure is inherently
+    * quadratic (same in the reference, MaterializedQueryPlan.swift:2036-2068).
+    */
+  private def closure(s: Node, p: PathE, o: Node, g: Node, includeZero: Boolean): Sol = {
+    val edges = pathEdges(p, g).persist()
+    edges.count()
+
+    def fix(seed: DataFrame): DataFrame = {
+      // seed: (a, b) one-step pairs from the seeds
+      var acc = seed.dropDuplicates().localCheckpoint()
+      var frontier = acc
+      var done = false
+      while (!done) {
+        val next = frontier.join(edges.withColumnRenamed("a", "b0").withColumnRenamed("b", "c"),
+            frontier("b") === col("b0"))
+          .select(frontier("a"), col("c").as("b")).dropDuplicates()
+          .join(acc.withColumnRenamed("a", "xa").withColumnRenamed("b", "xb"),
+            col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+          .localCheckpoint()
+        if (next.isEmpty) done = true
+        else {
+          acc = acc.union(next).localCheckpoint()
+          frontier = next
+        }
+      }
+      acc
+    }
+
+    val pairs: DataFrame = (s, o) match {
+      case (T(t), _) =>
+        val sid = store.idOf(t).getOrElse(Long.MinValue)
+        fix(edges.filter(col("a") === sid))
+      case (_, T(t)) =>
+        // run the closure backwards from the bound object
+        val oid = store.idOf(t).getOrElse(Long.MinValue)
+        val rev = edges.select(col("b").as("a"), col("a").as("b"))
+        fix(rev.filter(col("a") === oid)).select(col("b").as("a"), col("a").as("b"))
+      case _ => fix(edges)
+    }
+
+    val withZero: DataFrame =
+      if (!includeZero) pairs
+      else (s, o) match {
+        case (T(t), _) =>
+          val sid = store.idOf(t)
+          sid.map(id => pairs.union(spark.range(1).select(lit(id).as("a"), lit(id).as("b"))))
+            .getOrElse(pairs).dropDuplicates()
+        case (_, T(t)) =>
+          val oid = store.idOf(t)
+          oid.map(id => pairs.union(spark.range(1).select(lit(id).as("a"), lit(id).as("b"))))
+            .getOrElse(pairs).dropDuplicates()
+        case _ =>
+          pairs.union(graphTerms(g).select(col("t").as("a"), col("t").as("b"))).dropDuplicates()
+      }
+
+    // bind endpoints
+    var df = withZero
+    var reps = Map.empty[String, Rep]
+    s match {
+      case T(t) => df = df.filter(col("a") === store.idOf(t).getOrElse(Long.MinValue)).drop("a")
+      case V(n) => df = df.withColumnRenamed("a", n); reps += n -> IdRep
+      case DefaultGraph => ()
+    }
+    o match {
+      case T(t) => df = df.filter(col("b") === store.idOf(t).getOrElse(Long.MinValue)).drop("b")
+      case V(n) => df = df.withColumnRenamed("b", n); reps += n -> IdRep
+      case DefaultGraph => ()
+    }
+    Sol(df, reps, reps.keySet, Set.empty)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.algebra._
+import graft.model._
+
+/** Result-edge helpers: materialize solution variables to term structs, or cast them
+  * to native relational values (the shape the DuckDB oracle produces). Query forms
+  * ASK / CONSTRUCT / DESCRIBE (reference form dispatch
+  * kasei/kineo `Sources/Kineo/SPARQL/QueryPlanner.swift:1169-1202`).
+  */
+object Results {
+
+  /** Materialize every variable as a term-view struct column. */
+  def materialize(c: Compiler, sol0: Sol): DataFrame = {
+    var sol = sol0
+    val vs = sol.vars.toSeq.sorted
+    val cols = vs.map { v =>
+      val (s2, vc) = c.withView(sol, v)
+      sol = s2
+      (v, vc)
+    }
+    sol.df.select(cols.map { case (v, vc) => vc.as(v) }: _*)
+  }
+
+  /** Cast variables to native Spark types. Supported casts: long, double, string,
+    * timestamp, date, boolean, int. Uses the numeric companion / view lex.
+    */
+  def native(c: Compiler, sol0: Sol, casts: Seq[(String, String)]): DataFrame = {
+    var sol = sol0
+    val cols: Seq[Column] = casts.map { case (v, ty) =>
+      if (ty == "double" && sol.nums.contains(v)) col("__n_" + v).as(v)
+      else {
+        val (s2, vc) = c.withView(sol, v)
+        sol = s2
+        val out = ty match {
+          case "long" => vc.getField("lex").cast(LongType)
+          case "int" => vc.getField("lex").cast(IntegerType)
+          case "double" => vc.getField("num").cast(DoubleType)
+          case "string" => vc.getField("lex")
+          case "boolean" => vc.getField("lex") === "true"
+          case "timestamp" => to_timestamp(regexp_replace(vc.getField("lex"), "Z$", ""))
+          case "date" => vc.getField("lex").cast(DateType)
+          case other => throw new IllegalArgumentException(s"cast: $other")
+        }
+        out.as(v)
+      }
+    }
+    sol.df.select(cols: _*)
+  }
+
+  /** ASK → single-row DataFrame with one boolean column. */
+  def ask(sol: Sol, name: String = "ask"): DataFrame = {
+    val spark = sol.df.sparkSession
+    val nonEmpty = !sol.df.isEmpty
+    spark.range(1).select(lit(nonEmpty).as(name))
+  }
+
+  /** CONSTRUCT: instantiate templates over bindings, drop non-ground triples,
+    * dedup (reference QueryPlanner.swift:1181-1199). Output: lexical s/p/o strings.
+    */
+  def construct(c: Compiler, sol0: Sol, templates: Seq[(Node, Node, Node)]): DataFrame = {
+    var sol = sol0
+    def colOf(n: Node): Column = n match {
+      case T(t) => lit(t.lex)
+      case V(v) =>
+        val (s2, vc) = c.withView(sol, v)
+        sol = s2
+        vc.getField("lex")
+      case DefaultGraph => lit(null).cast(StringType)
+    }
+    val parts = templates.map { case (s, p, o) =>
+      val (cs, cp, co) = (colOf(s), colOf(p), colOf(o))
+      (cs, cp, co)
+    }
+    val dfs = parts.map { case (cs, cp, co) =>
+      sol.df.select(cs.as("subject"), cp.as("predicate"), co.as("object"))
+        .filter(col("subject").isNotNull && col("predicate").isNotNull &&
+          col("object").isNotNull)
+    }
+    dfs.reduce(_ unionByName _).dropDuplicates()
+  }
+
+  /** DESCRIBE: all quads whose subject is one of the described terms
+    * (reference SimpleQueryEvaluation.swift:1305-1319). */
+  def describe(c: Compiler, sol: Sol, v: String): DataFrame = {
+    val ids = sol.df.select(v).dropDuplicates()
+    val q = c.store.quads.join(ids, c.store.quads("s") === ids(v), "left_semi")
+    val dsol = Sol(
+      q.select(col("s").as("ds"), col("p").as("dp"), col("o").as("dobj")),
+      Map("ds" -> IdRep, "dp" -> IdRep, "dobj" -> IdRep),
+      Set("ds", "dp", "dobj"), Set.empty)
+    materialize(c, dsol).select(
+      col("ds").getField("lex").as("subject"),
+      col("dp").getField("lex").as("predicate"),
+      col("dobj").getField("lex").as("object"))
+  }
+}

@@ -1,0 +1,244 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.algebra._
+import graft.model._
+import graft.store._
+import graft.engine._
+
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = SparkBase.spark
+  val sf = "/root/testdata/sf0.001"
+  lazy val store: RdfStore = RelToRdf.cached(spark, sf)
+  lazy val comp = new Compiler(store, ExprEval.Ctx(nowEpochUs = 1700000000000000L))
+
+  def p(table: String, c: String) = N.iri(s"urn:p:$table:$c")
+  def fk(t: String) = N.iri(s"urn:fk:$t")
+
+  // tiny hand-built store for unbound-semantics tests
+  lazy val tiny: RdfStore = {
+    val ex = "http://example.org/"
+    def iri(s: String) = Iri(ex + s)
+    val g = iri("g")
+    val quads: Seq[(Term, Term, Term, Term)] = Seq(
+      (iri("s1"), iri("name"), Term.str("alice"), g),
+      (iri("s1"), iri("age"), Term.int(30), g),
+      (iri("s2"), iri("name"), Term.str("bob"), g),
+      (iri("s3"), iri("name"), Term.str("carol-of-aragon"), g),
+      (iri("s3"), iri("age"), Term.int(25), g),
+      (iri("s3"), iri("knows"), iri("s1"), g),
+      (iri("s1"), iri("knows"), iri("s2"), g))
+    val schema = StructType(Seq("s", "p", "o", "g").map(n =>
+      StructField(n, TermRow.schema, nullable = true)))
+    val rows = quads.map { case (s, pp, o, gg) =>
+      Row(TermRow.toRow(s), TermRow.toRow(pp), TermRow.toRow(o), TermRow.toRow(gg))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    StoreEncoder.encode(df, IriScheme.default)
+  }
+  lazy val tcomp = new Compiler(tiny, ExprEval.Ctx(nowEpochUs = 0L))
+
+  test("single pattern scan binds vars and counts rows") {
+    val sol = comp.compile(BGP(Seq(QuadPattern(V("s"), p("customer", "c_name"), V("name")))))
+    assert(sol.df.count() == 150)
+    assert(sol.vars == Set("s", "name"))
+  }
+
+  test("BGP star join + fk join") {
+    // customer name + nation name via fk
+    val a = BGP(Seq(
+      QuadPattern(V("c"), p("customer", "c_name"), V("cname")),
+      QuadPattern(V("c"), fk("nation"), V("n")),
+      QuadPattern(V("n"), p("nation", "n_name"), V("nname"))))
+    val sol = comp.compile(a)
+    assert(sol.df.count() == 150)
+    val out = Results.native(comp, sol, Seq("cname" -> "string", "nname" -> "string"))
+    val raw = spark.read.parquet(s"$sf/customer.parquet")
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_name"), col("n_name"))
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
+      raw.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq)
+  }
+
+  test("numeric filter (fast path) matches raw") {
+    val a = AFilter(ECall("<", Seq(EVar("qty"), EConst(Term.int(10)))),
+      BGP(Seq(QuadPattern(V("l"), p("lineitem", "l_quantity"), V("qty")))))
+    val n = comp.compile(a).df.count()
+    val exp = spark.read.parquet(s"$sf/lineitem.parquet").filter(col("l_quantity") < 10).count()
+    assert(n == exp)
+  }
+
+  test("string filter via UDF path (STRSTARTS)") {
+    val a = AFilter(ECall("strstarts", Seq(EVar("nm"), EConst(Term.str("Customer#1")))),
+      BGP(Seq(QuadPattern(V("c"), p("customer", "c_name"), V("nm")))))
+    val n = comp.compile(a).df.count()
+    val exp = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_name").startsWith("Customer#1")).count()
+    assert(n == exp)
+  }
+
+  test("extend computes revenue like raw") {
+    val a = AExtend(
+      BGP(Seq(
+        QuadPattern(V("l"), p("lineitem", "l_extendedprice"), V("price")),
+        QuadPattern(V("l"), p("lineitem", "l_discount"), V("disc")))),
+      "rev", ECall("*", Seq(EVar("price"),
+        ECall("-", Seq(EConst(Term.int(1)), EVar("disc"))))))
+    val sol = comp.compile(a)
+    val got = Results.native(comp, sol, Seq("rev" -> "double"))
+      .agg(sum("rev")).first().getDouble(0)
+    val exp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).first().getDouble(0)
+    assert(math.abs(got - exp) < 1e-4)
+  }
+
+  test("group by + sum/count/avg matches raw") {
+    val a = AGroup(
+      BGP(Seq(
+        QuadPattern(V("l"), p("lineitem", "l_returnflag"), V("rf")),
+        QuadPattern(V("l"), p("lineitem", "l_quantity"), V("qty")))),
+      Seq("rf"),
+      Seq(AggSpec("sum_qty", "sum", Some(EVar("qty"))),
+        AggSpec("n", "count", None),
+        AggSpec("avg_qty", "avg", Some(EVar("qty")))))
+    val sol = comp.compile(a)
+    val got = Results.native(comp, sol,
+      Seq("rf" -> "string", "sum_qty" -> "double", "n" -> "long", "avg_qty" -> "double"))
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        r.getLong(2), math.round(r.getDouble(3) * 100))).sortBy(_._1)
+    val exp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity"), count(lit(1)), avg("l_quantity")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2),
+        math.round(r.getDouble(3) * 100))).sortBy(_._1)
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("order by + limit (term total order on numbers)") {
+    val a = ASlice(AOrderBy(
+      BGP(Seq(QuadPattern(V("o"), p("orders", "o_totalprice"), V("tp")))),
+      Seq(SortKey(EVar("tp"), asc = false))), 0, 5)
+    val got = Results.native(comp, comp.compile(a), Seq("tp" -> "double"))
+      .collect().map(_.getDouble(0)).toSeq
+    val exp2 = spark.read.parquet(s"$sf/orders.parquet").select("o_totalprice")
+      .orderBy(col("o_totalprice").desc).limit(5).collect().map(_.getDouble(0)).toSeq
+    assert(got == exp2)
+  }
+
+  test("optional: missing side leaves var unbound (tiny store)") {
+    val ex = "http://example.org/"
+    val a = ALeftJoin(
+      BGP(Seq(QuadPattern(V("x"), N.iri(ex + "name"), V("n")))),
+      BGP(Seq(QuadPattern(V("x"), N.iri(ex + "age"), V("a")))), None)
+    val sol = tcomp.compile(a)
+    val rows = Results.materialize(tcomp, sol).collect()
+    assert(rows.length == 3)
+    val byName = rows.map(r => (r.getStruct(1).getString(1),
+      Option(r.getStruct(0)).map(_.getString(1)))).toMap
+    assert(byName("alice") == Some("30"))
+    assert(byName("bob") == None)
+    assert(byName("carol-of-aragon") == Some("25"))
+  }
+
+  test("optional with filter uses Filter∪Diff decomposition (tiny store)") {
+    val ex = "http://example.org/"
+    // OPTIONAL { ?x age ?a FILTER(?a > 26) } — bob has no age → kept unbound;
+    // carol has age 25 failing filter → kept with a unbound
+    val a = ALeftJoin(
+      BGP(Seq(QuadPattern(V("x"), N.iri(ex + "name"), V("n")))),
+      BGP(Seq(QuadPattern(V("x"), N.iri(ex + "age"), V("a")))),
+      Some(ECall(">", Seq(EVar("a"), EConst(Term.int(26))))))
+    val sol = tcomp.compile(a)
+    val rows = Results.materialize(tcomp, sol).collect()
+    assert(rows.length == 3)
+    val byName = rows.map(r => (r.getStruct(1).getString(1),
+      Option(r.getStruct(0)).map(_.getString(1)))).toMap
+    assert(byName("alice") == Some("30"))
+    assert(byName("bob") == None)
+    assert(byName("carol-of-aragon") == None)
+  }
+
+  test("minus removes compatible rows (tiny store)") {
+    val ex = "http://example.org/"
+    val a = AMinus(
+      BGP(Seq(QuadPattern(V("x"), N.iri(ex + "name"), V("n")))),
+      BGP(Seq(QuadPattern(V("x"), N.iri(ex + "age"), V("ignored")))))
+    val sol = tcomp.compile(a)
+    val names = Results.materialize(tcomp, sol).collect()
+      .map(_.getStruct(0).getString(1)).toSet
+    assert(names == Set("bob"))
+  }
+
+  test("filter EXISTS / NOT EXISTS (tiny store)") {
+    val ex = "http://example.org/"
+    val base = BGP(Seq(QuadPattern(V("x"), N.iri(ex + "name"), V("n"))))
+    val pat = BGP(Seq(QuadPattern(V("x"), N.iri(ex + "knows"), V("y"))))
+    val yes = tcomp.compile(AFilter(EExists(pat, negated = false), base))
+    val no = tcomp.compile(AFilter(EExists(pat, negated = true), base))
+    val yn = Results.materialize(tcomp, yes).collect().map(_.getStruct(0).getString(1)).toSet
+    val nn = Results.materialize(tcomp, no).collect().map(_.getStruct(0).getString(1)).toSet
+    assert(yn == Set("alice", "carol-of-aragon"))
+    assert(nn == Set("bob"))
+  }
+
+  test("union pads missing vars, distinct dedups") {
+    val ex = "http://example.org/"
+    val a = ADistinct(AUnion(
+      BGP(Seq(QuadPattern(V("x"), N.iri(ex + "name"), V("n")))),
+      BGP(Seq(QuadPattern(V("x"), N.iri(ex + "age"), V("a"))))))
+    val sol = tcomp.compile(a)
+    assert(sol.df.count() == 5)
+    assert(sol.vars == Set("x", "n", "a"))
+  }
+
+  test("property path: seq and plus (tiny store)") {
+    val ex = "http://example.org/"
+    // knows+ from s3: s3→s1→s2
+    val a = APath(N.iri(ex + "s3"), PPlus(PLink(ex + "knows")), V("end"))
+    val sol = tcomp.compile(a)
+    val ends = Results.materialize(tcomp, sol).collect().map(_.getStruct(0).getString(1)).toSet
+    assert(ends == Set(ex + "s1", ex + "s2"))
+    // seq: knows/name
+    val b = APath(N.iri(ex + "s3"), PSeq(PLink(ex + "knows"), PLink(ex + "name")), V("nm"))
+    val nms = Results.materialize(tcomp, tcomp.compile(b)).collect()
+      .map(_.getStruct(0).getString(1)).toSet
+    assert(nms == Set("alice"))
+  }
+
+  test("values table joins with patterns") {
+    val a = AJoin(
+      ATable(Seq("rf"), Seq(Seq(Some(Term.str("A"))), Seq(Some(Term.str("R"))))),
+      BGP(Seq(
+        QuadPattern(V("l"), p("lineitem", "l_returnflag"), V("rf")),
+        QuadPattern(V("l"), p("lineitem", "l_quantity"), V("qty")))))
+    val n = comp.compile(a).df.count()
+    val exp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_returnflag").isin("A", "R")).count()
+    assert(n == exp)
+  }
+
+  test("ask + window rank") {
+    val askDf = Results.ask(comp.compile(
+      BGP(Seq(QuadPattern(V("c"), p("customer", "c_name"), V("n"))))))
+    assert(askDf.first().getBoolean(0))
+    // rank customers by acctbal desc within mktsegment
+    val w = AWindow(
+      BGP(Seq(
+        QuadPattern(V("c"), p("customer", "c_mktsegment"), V("seg")),
+        QuadPattern(V("c"), p("customer", "c_acctbal"), V("bal")))),
+      Seq(WinSpec("rk", "rank", None, Seq("seg"), Seq(SortKey(EVar("bal"), asc = false)))))
+    val got = Results.native(comp, comp.compile(w),
+      Seq("seg" -> "string", "bal" -> "double", "rk" -> "long")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val expW = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+    val exp = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_mktsegment"), col("c_acctbal"), rank().over(expW).cast(LongType))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.sorted.toSeq == exp.sorted.toSeq)
+  }
+}

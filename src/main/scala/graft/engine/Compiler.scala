@@ -112,8 +112,16 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
 
   // ---- expression compilation ----------------------------------------------
 
-  /** Compile an expression to a term-struct Column (null = error/unbound). */
-  def exprColumn(sol0: Sol, e: Expr): (Sol, Column) = fastNum(sol0, e) match {
+  /** Compile an expression to a term-struct Column (null = error/unbound). Bare
+    * variables pass their view through unchanged (the numeric fast path would lose
+    * non-numeric terms: the companion column is null for dates/strings).
+    */
+  def exprColumn(sol0: Sol, e: Expr): (Sol, Column) = e match {
+    case EVar(n) => withView(sol0, n)
+    case _ => exprColumnComputed(sol0, e)
+  }
+
+  private def exprColumnComputed(sol0: Sol, e: Expr): (Sol, Column) = fastNum(sol0, e) match {
     case Some(c) => // numeric fast path: build the view struct natively
       (sol0, when(c.isNotNull, struct(
         lit(TermRow.KIND_LITERAL).as("kind"),

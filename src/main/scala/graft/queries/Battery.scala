@@ -1,0 +1,651 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.algebra._
+import graft.model._
+import graft.store.{RdfStore, RelToRdf}
+import graft.engine._
+
+/** The driver-facing query battery: one entry per operator of SURVEY.md §2, each
+  * expressed as SPARQL algebra over the RDF-mapped testdata (FIXTURES.md §6) with an
+  * ANSI-SQL oracle over the same parquet tables.
+  *
+  * Output columns are cast to the native relational types the oracle produces, and
+  * double aggregates are rounded to 4 decimals on BOTH sides to make the comparison
+  * robust to floating-point summation order.
+  */
+object Battery {
+  import java.util.concurrent.ConcurrentHashMap
+  private val comps = new ConcurrentHashMap[String, Compiler]()
+
+  def compiler(spark: SparkSession, dir: String): Compiler =
+    comps.computeIfAbsent(dir, d =>
+      new Compiler(RelToRdf.cached(spark, d), ExprEval.Ctx(nowEpochUs = 1766188800000000L)))
+
+  def p(table: String, c: String): T = N.iri(s"urn:p:$table:$c")
+  def fk(t: String): T = N.iri(s"urn:fk:$t")
+  def qp(s: Node, pr: Node, o: Node): QuadPattern = QuadPattern(s, pr, o)
+
+  /** Compile + cast to native output in one call. */
+  def run(spark: SparkSession, dir: String, a: Algebra, casts: (String, String)*): DataFrame = {
+    val c = compiler(spark, dir)
+    Results.native(c, c.compile(a), casts)
+  }
+
+  private def round4(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 4)))
+
+  // ---------------------------------------------------------------------------
+  // each entry: name -> ((spark, sfDir) => DataFrame, oracleSql option)
+  // ---------------------------------------------------------------------------
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- scans / BGP / joins ----
+    ("q_scan",
+      (s: SparkSession, d: String) => run(s, d,
+        BGP(Seq(qp(V("c"), p("customer", "c_name"), V("c_name")))),
+        "c_name" -> "string"),
+      Some("SELECT c_name FROM customer")),
+
+    ("q_bgp_star",
+      (s: SparkSession, d: String) => run(s, d,
+        BGP(Seq(
+          qp(V("c"), p("customer", "c_name"), V("c_name")),
+          qp(V("c"), p("customer", "c_acctbal"), V("c_acctbal")),
+          qp(V("c"), p("customer", "c_mktsegment"), V("c_mktsegment")))),
+        "c_name" -> "string", "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+      Some("SELECT c_name, c_acctbal, c_mktsegment FROM customer")),
+
+    ("q_fk_join",
+      (s: SparkSession, d: String) => run(s, d,
+        BGP(Seq(
+          qp(V("l"), fk("orders"), V("o")),
+          qp(V("l"), p("lineitem", "l_quantity"), V("qty")),
+          qp(V("o"), p("orders", "o_orderstatus"), V("status")))),
+        "status" -> "string", "qty" -> "double"),
+      Some("SELECT o.o_orderstatus AS status, l.l_quantity AS qty " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey")),
+
+    ("q_cross_join", // join with no shared vars = cartesian (NestedLoopJoinPlan)
+      (s: SparkSession, d: String) => run(s, d,
+        AJoin(
+          BGP(Seq(qp(V("n"), p("nation", "n_name"), V("n_name")))),
+          BGP(Seq(qp(V("r"), p("region", "r_name"), V("r_name"))))),
+        "n_name" -> "string", "r_name" -> "string"),
+      Some("SELECT n_name, r_name FROM nation CROSS JOIN region")),
+
+    // ---- filter / extend ----
+    ("q_filter_num",
+      (s: SparkSession, d: String) => run(s, d,
+        AFilter(ECall("&&", Seq(
+          ECall("<", Seq(EVar("qty"), EConst(Term.int(25)))),
+          ECall(">", Seq(EVar("disc"), EConst(Term.dbl(0.05)))))),
+          BGP(Seq(
+            qp(V("l"), p("lineitem", "l_quantity"), V("qty")),
+            qp(V("l"), p("lineitem", "l_discount"), V("disc")),
+            qp(V("l"), p("lineitem", "l_extendedprice"), V("price"))))),
+        "qty" -> "double", "disc" -> "double", "price" -> "double"),
+      Some("SELECT l_quantity AS qty, l_discount AS disc, l_extendedprice AS price " +
+        "FROM lineitem WHERE l_quantity < 25 AND l_discount > 0.05")),
+
+    ("q_filter_str",
+      (s: SparkSession, d: String) => run(s, d,
+        AFilter(ECall("regex", Seq(EVar("nm"), EConst(Term.str("[13579]2$")))),
+          BGP(Seq(qp(V("c"), p("customer", "c_name"), V("nm"))))),
+        "nm" -> "string"),
+      Some("SELECT c_name AS nm FROM customer WHERE regexp_matches(c_name, '[13579]2$')")),
+
+    ("q_extend",
+      (s: SparkSession, d: String) => round4(run(s, d,
+        AExtend(
+          BGP(Seq(
+            qp(V("l"), p("lineitem", "l_extendedprice"), V("price")),
+            qp(V("l"), p("lineitem", "l_discount"), V("disc")))),
+          "rev", ECall("*", Seq(EVar("price"),
+            ECall("-", Seq(EConst(Term.int(1)), EVar("disc")))))),
+        "price" -> "double", "rev" -> "double"), "rev"),
+      Some("SELECT l_extendedprice AS price, " +
+        "round(l_extendedprice * (1 - l_discount), 4) AS rev FROM lineitem")),
+
+    // ---- optional / minus / exists ----
+    ("q_optional",
+      (s: SparkSession, d: String) => run(s, d,
+        ALeftJoin(
+          BGP(Seq(qp(V("c"), p("customer", "c_name"), V("c_name")))),
+          BGP(Seq(
+            qp(V("o"), fk("customer"), V("c")),
+            qp(V("o"), p("orders", "o_totalprice"), V("tp")))), None),
+        "c_name" -> "string", "tp" -> "double"),
+      Some("SELECT c_name, o_totalprice AS tp FROM customer " +
+        "LEFT JOIN orders ON o_custkey = c_custkey")),
+
+    ("q_optional_filter",
+      (s: SparkSession, d: String) => run(s, d,
+        ALeftJoin(
+          BGP(Seq(qp(V("c"), p("customer", "c_name"), V("c_name")))),
+          BGP(Seq(
+            qp(V("o"), fk("customer"), V("c")),
+            qp(V("o"), p("orders", "o_totalprice"), V("tp")))),
+          Some(ECall(">", Seq(EVar("tp"), EConst(Term.dbl(200000.0)))))),
+        "c_name" -> "string", "tp" -> "double"),
+      Some("SELECT c_name, o_totalprice AS tp FROM customer " +
+        "LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 200000")),
+
+    ("q_minus", // customers with no order above 250k
+      (s: SparkSession, d: String) => run(s, d,
+        AMinus(
+          BGP(Seq(qp(V("c"), p("customer", "c_name"), V("c_name")))),
+          AFilter(ECall(">", Seq(EVar("tp"), EConst(Term.dbl(250000.0)))),
+            BGP(Seq(
+              qp(V("o"), fk("customer"), V("c")),
+              qp(V("o"), p("orders", "o_totalprice"), V("tp")))))),
+        "c_name" -> "string"),
+      Some("SELECT c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)")),
+
+    ("q_exists",
+      (s: SparkSession, d: String) => run(s, d,
+        AFilter(EExists(BGP(Seq(
+          qp(V("o"), fk("customer"), V("c")),
+          qp(V("o"), p("orders", "o_totalprice"), V("tp")),
+          qp(V("o"), p("orders", "o_orderstatus"), V("st")))), negated = false),
+          BGP(Seq(qp(V("c"), p("customer", "c_name"), V("c_name"))))),
+        "c_name" -> "string"),
+      Some("SELECT c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)")),
+
+    ("q_bind_exists",
+      (s: SparkSession, d: String) => run(s, d,
+        AExtend(
+          BGP(Seq(qp(V("c"), p("customer", "c_name"), V("c_name")))),
+          "has_orders",
+          EExists(BGP(Seq(qp(V("o"), fk("customer"), V("c")))), negated = false)),
+        "c_name" -> "string", "has_orders" -> "boolean"),
+      Some("SELECT c_name, EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "AS has_orders FROM customer")),
+
+    // ---- union / distinct / reduced ----
+    ("q_union",
+      (s: SparkSession, d: String) => run(s, d,
+        AUnion(
+          BGP(Seq(qp(V("n"), p("nation", "n_name"), V("name")))),
+          BGP(Seq(qp(V("r"), p("region", "r_name"), V("name"))))),
+        "name" -> "string"),
+      Some("SELECT n_name AS name FROM nation UNION ALL SELECT r_name FROM region")),
+
+    ("q_distinct",
+      (s: SparkSession, d: String) => run(s, d,
+        ADistinct(AProject(
+          BGP(Seq(qp(V("c"), p("customer", "c_mktsegment"), V("seg")))), Seq("seg"))),
+        "seg" -> "string"),
+      Some("SELECT DISTINCT c_mktsegment AS seg FROM customer")),
+
+    ("q_reduced", // REDUCED permits any dedup degree; we dedup fully = DISTINCT
+      (s: SparkSession, d: String) => run(s, d,
+        AReduced(AProject(
+          BGP(Seq(qp(V("o"), p("orders", "o_orderpriority"), V("pri")))), Seq("pri"))),
+        "pri" -> "string"),
+      Some("SELECT DISTINCT o_orderpriority AS pri FROM orders")),
+
+    // ---- sort / slice ----
+    ("q_order_limit",
+      (s: SparkSession, d: String) => run(s, d,
+        ASlice(AOrderBy(
+          BGP(Seq(
+            qp(V("o"), p("orders", "o_orderkey"), V("okey")),
+            qp(V("o"), p("orders", "o_totalprice"), V("tp")))),
+          Seq(SortKey(EVar("tp"), asc = false), SortKey(EVar("okey")))), 0, 10),
+        "okey" -> "long", "tp" -> "double"),
+      Some("SELECT o_orderkey AS okey, o_totalprice AS tp FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+
+    ("q_offset",
+      (s: SparkSession, d: String) => run(s, d,
+        ASlice(AOrderBy(
+          BGP(Seq(qp(V("o"), p("orders", "o_orderkey"), V("okey")))),
+          Seq(SortKey(EVar("okey")))), 5, 7),
+        "okey" -> "long"),
+      Some("SELECT o_orderkey AS okey FROM orders ORDER BY o_orderkey LIMIT 7 OFFSET 5")),
+
+    // ---- aggregation ----
+    ("q_agg_q1", // TPC-H Q1 shape through the SPARQL engine
+      (s: SparkSession, d: String) => round4(run(s, d,
+        AOrderBy(AGroup(
+          AExtend(
+            BGP(Seq(
+              qp(V("l"), p("lineitem", "l_returnflag"), V("rf")),
+              qp(V("l"), p("lineitem", "l_linestatus"), V("ls")),
+              qp(V("l"), p("lineitem", "l_quantity"), V("qty")),
+              qp(V("l"), p("lineitem", "l_extendedprice"), V("price")),
+              qp(V("l"), p("lineitem", "l_discount"), V("disc")))),
+            "rev", ECall("*", Seq(EVar("price"),
+              ECall("-", Seq(EConst(Term.int(1)), EVar("disc")))))),
+          Seq("rf", "ls"),
+          Seq(AggSpec("sum_qty", "sum", Some(EVar("qty"))),
+            AggSpec("sum_rev", "sum", Some(EVar("rev"))),
+            AggSpec("avg_disc", "avg", Some(EVar("disc"))),
+            AggSpec("n", "count", None))),
+          Seq(SortKey(EVar("rf")), SortKey(EVar("ls")))),
+        "rf" -> "string", "ls" -> "string", "sum_qty" -> "double",
+        "sum_rev" -> "double", "avg_disc" -> "double", "n" -> "long"),
+        "sum_qty", "sum_rev", "avg_disc"),
+      Some("SELECT l_returnflag AS rf, l_linestatus AS ls, " +
+        "round(sum(l_quantity), 4) AS sum_qty, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_rev, " +
+        "round(avg(l_discount), 4) AS avg_disc, count(*) AS n " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    ("q_agg_countd",
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(
+          BGP(Seq(
+            qp(V("l"), p("lineitem", "l_returnflag"), V("rf")),
+            qp(V("l"), fk("part"), V("pk")))),
+          Seq("rf"),
+          Seq(AggSpec("nparts", "count", Some(EVar("pk")), distinct = true))),
+        "rf" -> "string", "nparts" -> "long"),
+      Some("SELECT l_returnflag AS rf, count(DISTINCT l_partkey) AS nparts " +
+        "FROM lineitem GROUP BY 1")),
+
+    ("q_agg_minmax",
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(
+          BGP(Seq(
+            qp(V("l"), p("lineitem", "l_returnflag"), V("rf")),
+            qp(V("l"), p("lineitem", "l_shipdate"), V("sd")))),
+          Seq("rf"),
+          Seq(AggSpec("first_ship", "min", Some(EVar("sd"))),
+            AggSpec("last_ship", "max", Some(EVar("sd"))))),
+        "rf" -> "string", "first_ship" -> "timestamp", "last_ship" -> "timestamp"),
+      Some("SELECT l_returnflag AS rf, min(l_shipdate) AS first_ship, " +
+        "max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1")),
+
+    ("q_agg_concat",
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(
+          BGP(Seq(
+            qp(V("n"), fk("region"), V("r")),
+            qp(V("n"), p("nation", "n_name"), V("nm")),
+            qp(V("r"), p("region", "r_name"), V("rn")))),
+          Seq("rn"),
+          Seq(AggSpec("nations", "group_concat", Some(EVar("nm")), sep = "|"))),
+        "rn" -> "string", "nations" -> "string"),
+      Some("SELECT r_name AS rn, string_agg(n_name, '|' ORDER BY n_name) AS nations " +
+        "FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY 1")),
+
+    ("q_agg_sample", // SAMPLE implemented deterministically (term-order min)
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(
+          BGP(Seq(
+            qp(V("c"), fk("nation"), V("n")),
+            qp(V("c"), p("customer", "c_name"), V("nm")))),
+          Seq("n"),
+          Seq(AggSpec("pick", "sample", Some(EVar("nm"))),
+            AggSpec("n_cust", "count", None))),
+        "pick" -> "string", "n_cust" -> "long"),
+      Some("SELECT min(c_name) AS pick, count(*) AS n_cust " +
+        "FROM customer GROUP BY c_nationkey")),
+
+    ("q_agg_empty", // empty input × no groups → one row (count = 0)
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(
+          AFilter(ECall("<", Seq(EVar("bal"), EConst(Term.int(-99999)))),
+            BGP(Seq(qp(V("c"), p("customer", "c_acctbal"), V("bal"))))),
+          Seq.empty,
+          Seq(AggSpec("n", "count", None), AggSpec("total", "sum", Some(EVar("bal"))))),
+        "n" -> "long", "total" -> "double"),
+      Some("SELECT count(*) AS n, coalesce(sum(c_acctbal), 0) AS total " +
+        "FROM customer WHERE c_acctbal < -99999")),
+
+    ("q_having",
+      (s: SparkSession, d: String) => run(s, d,
+        AFilter(ECall(">", Seq(EVar("n"), EConst(Term.int(40)))),
+          AGroup(
+            BGP(Seq(qp(V("o"), p("orders", "o_orderpriority"), V("pri")))),
+            Seq("pri"), Seq(AggSpec("n", "count", None)))),
+        "pri" -> "string", "n" -> "long"),
+      Some("SELECT o_orderpriority AS pri, count(*) AS n FROM orders " +
+        "GROUP BY 1 HAVING count(*) > 40")),
+
+    ("q_subquery", // customers above their nation's average balance
+      (s: SparkSession, d: String) => round4(run(s, d,
+        AProject(
+          AFilter(ECall(">", Seq(EVar("bal"), EVar("avgbal"))),
+            AJoin(
+              AGroup(
+                BGP(Seq(
+                  qp(V("c2"), fk("nation"), V("n")),
+                  qp(V("c2"), p("customer", "c_acctbal"), V("bal2")))),
+                Seq("n"), Seq(AggSpec("avgbal", "avg", Some(EVar("bal2"))))),
+              BGP(Seq(
+                qp(V("c"), fk("nation"), V("n")),
+                qp(V("c"), p("customer", "c_name"), V("c_name")),
+                qp(V("c"), p("customer", "c_acctbal"), V("bal")))))),
+          Seq("c_name", "bal", "avgbal")),
+        "c_name" -> "string", "bal" -> "double", "avgbal" -> "double"), "avgbal"),
+      Some("SELECT c_name, c_acctbal AS bal, round(a.avgbal, 4) AS avgbal " +
+        "FROM customer, (SELECT c_nationkey AS nk, avg(c_acctbal) AS avgbal " +
+        "FROM customer GROUP BY 1) a WHERE c_nationkey = a.nk AND c_acctbal > a.avgbal")),
+
+    // ---- VALUES ----
+    ("q_values",
+      (s: SparkSession, d: String) => run(s, d,
+        AJoin(
+          ATable(Seq("rf"), Seq(Seq(Some(Term.str("A"))), Seq(Some(Term.str("R"))))),
+          BGP(Seq(
+            qp(V("l"), p("lineitem", "l_returnflag"), V("rf")),
+            qp(V("l"), p("lineitem", "l_quantity"), V("qty"))))),
+        "rf" -> "string", "qty" -> "double"),
+      Some("SELECT l_returnflag AS rf, l_quantity AS qty FROM lineitem " +
+        "WHERE l_returnflag IN ('A', 'R')")),
+
+    // ---- GRAPH ----
+    ("q_graph_count",
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(
+          BGP(Seq(QuadPattern(V("s"), V("p"), V("o"), V("g")))),
+          Seq("g"), Seq(AggSpec("n", "count", None))),
+        "g" -> "string", "n" -> "long"),
+      Some(Seq(
+        "SELECT 'urn:g:region' AS g, count(r_regionkey)+count(r_name) AS n FROM region",
+        "SELECT 'urn:g:nation', count(n_nationkey)+count(n_name)+count(n_regionkey)*2 FROM nation",
+        "SELECT 'urn:g:customer', count(c_custkey)+count(c_name)+count(c_nationkey)*2+count(c_acctbal)+count(c_mktsegment) FROM customer",
+        "SELECT 'urn:g:supplier', count(s_suppkey)+count(s_name)+count(s_nationkey)*2+count(s_acctbal) FROM supplier",
+        "SELECT 'urn:g:part', count(p_partkey)+count(p_name)+count(p_brand)+count(p_type)+count(p_size)+count(p_retailprice) FROM part",
+        "SELECT 'urn:g:orders', count(o_orderkey)+count(o_custkey)*2+count(o_orderstatus)+count(o_totalprice)+count(o_orderdate)+count(o_orderpriority) FROM orders",
+        "SELECT 'urn:g:lineitem', count(l_orderkey)*2+count(l_partkey)*2+count(l_suppkey)*2+count(l_linenumber)+count(l_quantity)+count(l_extendedprice)+count(l_discount)+count(l_tax)+count(l_returnflag)+count(l_linestatus)+count(l_shipdate) FROM lineitem",
+        "SELECT 'urn:g:events', count(event_id)+count(ts)+count(user_id)+count(event_type)+count(value)+count(props) FROM events",
+        "SELECT 'urn:g:documents', count(doc_id)+count(text)+count(lang)+count(source)+count(n_chars) FROM documents",
+        "SELECT 'urn:g:embeddings', count(vec_id)+count(label) FROM embeddings")
+        .mkString(" UNION ALL "))),
+
+    // ---- property paths ----
+    ("q_path_seq", // lineitem (fk:orders/fk:customer/c_name)
+      (s: SparkSession, d: String) => run(s, d,
+        AProject(APath(V("l"), PSeq(PSeq(PLink("urn:fk:orders"), PLink("urn:fk:customer")),
+          PLink("urn:p:customer:c_name")), V("c_name")), Seq("c_name")),
+        "c_name" -> "string"),
+      Some("SELECT c.c_name FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey")),
+
+    ("q_path_alt",
+      (s: SparkSession, d: String) => run(s, d,
+        AProject(APath(V("c"), PAlt(PLink("urn:p:customer:c_name"),
+          PLink("urn:p:customer:c_mktsegment")), V("v")), Seq("v")),
+        "v" -> "string"),
+      Some("SELECT c_name AS v FROM customer UNION ALL SELECT c_mktsegment FROM customer")),
+
+    ("q_path_inv", // orders of customer 42 via ^fk:customer
+      (s: SparkSession, d: String) => run(s, d,
+        APath(N.iri("urn:t:customer:42"), PInv(PLink("urn:fk:customer")), V("o")),
+        "o" -> "string"),
+      Some("SELECT 'urn:t:orders:' || o_orderkey AS o FROM orders WHERE o_custkey = 42")),
+
+    ("q_path_nps", // !(c_name|c_acctbal) within the customer graph
+      (s: SparkSession, d: String) => run(s, d,
+        AProject(APath(V("c"), PNeg(Seq("urn:p:customer:c_name", "urn:p:customer:c_acctbal")),
+          V("v"), T(Iri("urn:g:customer"))), Seq("v")),
+        "v" -> "string"),
+      Some("SELECT CAST(c_custkey AS VARCHAR) AS v FROM customer " +
+        "UNION ALL SELECT CAST(c_nationkey AS VARCHAR) FROM customer " +
+        "UNION ALL SELECT c_mktsegment FROM customer " +
+        "UNION ALL SELECT 'urn:t:nation:' || c_nationkey FROM customer")),
+
+    ("q_path_plus", // transitive fk closure from one order
+      (s: SparkSession, d: String) => run(s, d,
+        APath(N.iri("urn:t:orders:1"),
+          PPlus(PAlt(PAlt(PLink("urn:fk:customer"), PLink("urn:fk:nation")),
+            PLink("urn:fk:region"))), V("node")),
+        "node" -> "string"),
+      Some("WITH c AS (SELECT o_custkey AS ck FROM orders WHERE o_orderkey = 1), " +
+        "n AS (SELECT c_nationkey AS nk FROM customer, c WHERE c_custkey = ck) " +
+        "SELECT 'urn:t:customer:' || ck AS node FROM c " +
+        "UNION SELECT 'urn:t:nation:' || nk FROM n " +
+        "UNION SELECT 'urn:t:region:' || n_regionkey FROM nation, n WHERE n_nationkey = nk")),
+
+    ("q_path_star", // zero-or-more includes the subject itself
+      (s: SparkSession, d: String) => run(s, d,
+        APath(N.iri("urn:t:customer:1"), PStar(PLink("urn:fk:nation")), V("node")),
+        "node" -> "string"),
+      Some("SELECT 'urn:t:customer:1' AS node " +
+        "UNION SELECT 'urn:t:nation:' || c_nationkey FROM customer WHERE c_custkey = 1")),
+
+    ("q_path_zero_one",
+      (s: SparkSession, d: String) => run(s, d,
+        APath(N.iri("urn:t:customer:1"), PZeroOne(PLink("urn:fk:nation")), V("node")),
+        "node" -> "string"),
+      Some("SELECT 'urn:t:customer:1' AS node " +
+        "UNION SELECT 'urn:t:nation:' || c_nationkey FROM customer WHERE c_custkey = 1")),
+
+    // ---- window functions ----
+    ("q_win_rank",
+      (s: SparkSession, d: String) => run(s, d,
+        AWindow(
+          BGP(Seq(
+            qp(V("c"), p("customer", "c_mktsegment"), V("seg")),
+            qp(V("c"), p("customer", "c_acctbal"), V("bal")),
+            qp(V("c"), p("customer", "c_custkey"), V("ck")))),
+          Seq(WinSpec("rk", "rank", None, Seq("seg"), Seq(SortKey(EVar("bal"), asc = false))),
+            WinSpec("drk", "dense_rank", None, Seq("seg"), Seq(SortKey(EVar("bal"), asc = false))))),
+        "seg" -> "string", "bal" -> "double", "ck" -> "long", "rk" -> "long", "drk" -> "long"),
+      Some("SELECT c_mktsegment AS seg, c_acctbal AS bal, c_custkey AS ck, " +
+        "CAST(rank() OVER w AS BIGINT) AS rk, CAST(dense_rank() OVER w AS BIGINT) AS drk " +
+        "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)")),
+
+    ("q_win_rownum",
+      (s: SparkSession, d: String) => run(s, d,
+        AWindow(
+          BGP(Seq(
+            qp(V("c"), p("customer", "c_mktsegment"), V("seg")),
+            qp(V("c"), p("customer", "c_acctbal"), V("bal")),
+            qp(V("c"), p("customer", "c_custkey"), V("ck")))),
+          Seq(WinSpec("rn", "row_number", None, Seq("seg"),
+            Seq(SortKey(EVar("bal"), asc = false), SortKey(EVar("ck")))))),
+        "seg" -> "string", "ck" -> "long", "rn" -> "long"),
+      Some("SELECT c_mktsegment AS seg, c_custkey AS ck, CAST(row_number() OVER " +
+        "(PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn " +
+        "FROM customer")),
+
+    ("q_win_sum_frame", // running total per customer (ROWS UNBOUNDED PRECEDING)
+      (s: SparkSession, d: String) => round4(run(s, d,
+        AWindow(
+          BGP(Seq(
+            qp(V("o"), p("orders", "o_custkey"), V("ck")),
+            qp(V("o"), p("orders", "o_orderkey"), V("okey")),
+            qp(V("o"), p("orders", "o_orderdate"), V("od")),
+            qp(V("o"), p("orders", "o_totalprice"), V("tp")))),
+          Seq(WinSpec("running", "sum", Some(EVar("tp")), Seq("ck"),
+            Seq(SortKey(EVar("od")), SortKey(EVar("okey"))),
+            frame = Some((Long.MinValue, 0L))))),
+        "ck" -> "long", "okey" -> "long", "running" -> "double"), "running"),
+      Some("SELECT o_custkey AS ck, o_orderkey AS okey, round(sum(o_totalprice) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running FROM orders")),
+
+    ("q_win_avg_frame", // sliding window (1 preceding .. 1 following)
+      (s: SparkSession, d: String) => round4(run(s, d,
+        AWindow(
+          BGP(Seq(
+            qp(V("o"), p("orders", "o_custkey"), V("ck")),
+            qp(V("o"), p("orders", "o_orderkey"), V("okey")),
+            qp(V("o"), p("orders", "o_totalprice"), V("tp")))),
+          Seq(WinSpec("sliding_avg", "avg", Some(EVar("tp")), Seq("ck"),
+            Seq(SortKey(EVar("okey"))), frame = Some((-1L, 1L))),
+            WinSpec("wn", "count", None, Seq("ck"),
+              Seq(SortKey(EVar("okey"))), frame = Some((-1L, 1L))))),
+        "ck" -> "long", "okey" -> "long", "sliding_avg" -> "double", "wn" -> "long"),
+        "sliding_avg"),
+      Some("SELECT o_custkey AS ck, o_orderkey AS okey, round(avg(o_totalprice) OVER w, 4) " +
+        "AS sliding_avg, CAST(count(*) OVER w AS BIGINT) AS wn FROM orders WINDOW w AS " +
+        "(PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)")),
+
+    ("q_win_ntile", // peer-group NTILE (NOT SQL row-ntile; reference semantics)
+      (s: SparkSession, d: String) => run(s, d,
+        AWindow(
+          BGP(Seq(
+            qp(V("o"), p("orders", "o_orderkey"), V("okey")),
+            qp(V("o"), p("orders", "o_totalprice"), V("tp")))),
+          Seq(WinSpec("tile", "ntile", None, Seq.empty,
+            Seq(SortKey(EVar("tp"), asc = false)), arg = 4))),
+        "okey" -> "long", "tile" -> "long"),
+      Some("WITH t AS (SELECT o_orderkey AS okey, dense_rank() OVER " +
+        "(ORDER BY o_totalprice DESC) AS d FROM orders) " +
+        "SELECT okey, CAST(floor((d - 1) * 4.0 / (SELECT max(d) FROM t)) + 1 AS BIGINT) " +
+        "AS tile FROM t")),
+
+    ("q_win_concat", // GROUP_CONCAT over a running frame
+      (s: SparkSession, d: String) => run(s, d,
+        AWindow(
+          BGP(Seq(
+            qp(V("n"), fk("region"), V("r")),
+            qp(V("n"), p("nation", "n_name"), V("nm")),
+            qp(V("r"), p("region", "r_name"), V("rn")))),
+          Seq(WinSpec("acc", "group_concat", Some(EVar("nm")), Seq("rn"),
+            Seq(SortKey(EVar("nm"))), frame = Some((Long.MinValue, 0L)), sep = ","))),
+        "rn" -> "string", "nm" -> "string", "acc" -> "string"),
+      Some("SELECT r_name AS rn, n_name AS nm, string_agg(n_name, ',') OVER " +
+        "(PARTITION BY r_name ORDER BY n_name ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS acc FROM nation JOIN region ON n_regionkey = r_regionkey")),
+
+    // ---- query forms ----
+    ("q_ask",
+      (s: SparkSession, d: String) => {
+        val c = compiler(s, d)
+        Results.ask(c.compile(AFilter(
+          ECall(">", Seq(EVar("qty"), EConst(Term.int(49)))),
+          BGP(Seq(qp(V("l"), p("lineitem", "l_quantity"), V("qty")))))))
+      },
+      Some("SELECT EXISTS(SELECT 1 FROM lineitem WHERE l_quantity > 49) AS ask")),
+
+    ("q_construct",
+      (s: SparkSession, d: String) => {
+        val c = compiler(s, d)
+        Results.construct(c,
+          c.compile(BGP(Seq(qp(V("r"), p("region", "r_name"), V("nm"))))),
+          Seq(
+            (V("r"), p("region", "r_name"), V("nm")),
+            (V("r"), N.iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+              N.iri("urn:class:region"))))
+      },
+      Some("SELECT 'urn:t:region:' || r_regionkey AS subject, 'urn:p:region:r_name' " +
+        "AS predicate, r_name AS object FROM region UNION " +
+        "SELECT 'urn:t:region:' || r_regionkey, " +
+        "'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'urn:class:region' FROM region")),
+
+    ("q_describe",
+      (s: SparkSession, d: String) => {
+        val c = compiler(s, d)
+        val sol = c.compile(BGP(Seq(QuadPattern(V("x"),
+          p("customer", "c_custkey"), T(Term.int(7))))))
+        Results.describe(c, sol, "x")
+      },
+      Some("SELECT 'urn:t:customer:7' AS subject, p AS predicate, o AS object FROM (" +
+        "SELECT 'urn:p:customer:c_custkey' AS p, CAST(c_custkey AS VARCHAR) AS o " +
+        "FROM customer WHERE c_custkey = 7 " +
+        "UNION ALL SELECT 'urn:p:customer:c_name', c_name FROM customer WHERE c_custkey = 7 " +
+        "UNION ALL SELECT 'urn:p:customer:c_nationkey', CAST(c_nationkey AS VARCHAR) " +
+        "FROM customer WHERE c_custkey = 7 " +
+        "UNION ALL SELECT 'urn:p:customer:c_acctbal', CAST(c_acctbal AS VARCHAR) " +
+        "FROM customer WHERE c_custkey = 7 " +
+        "UNION ALL SELECT 'urn:p:customer:c_mktsegment', c_mktsegment " +
+        "FROM customer WHERE c_custkey = 7 " +
+        "UNION ALL SELECT 'urn:fk:nation', 'urn:t:nation:' || c_nationkey " +
+        "FROM customer WHERE c_custkey = 7)")),
+
+    // ---- expression batteries ----
+    ("q_expr_strings",
+      (s: SparkSession, d: String) => run(s, d,
+        AExtend(AExtend(AExtend(AExtend(
+          BGP(Seq(
+            qp(V("c"), p("customer", "c_name"), V("nm")),
+            qp(V("c"), p("customer", "c_mktsegment"), V("seg")))),
+          "len", ECall("strlen", Seq(EVar("nm")))),
+          "upper4", ECall("ucase", Seq(ECall("substr",
+            Seq(EVar("nm"), EConst(Term.int(10)), EConst(Term.int(4))))))),
+          "joined", ECall("concat", Seq(EVar("nm"), EConst(Term.str("-")), EVar("seg")))),
+          "numpart", ECall("strafter", Seq(EVar("nm"), EConst(Term.str("#"))))),
+        "nm" -> "string", "len" -> "long", "upper4" -> "string",
+        "joined" -> "string", "numpart" -> "string"),
+      Some("SELECT c_name AS nm, CAST(length(c_name) AS BIGINT) AS len, " +
+        "upper(substr(c_name, 10, 4)) AS upper4, " +
+        "c_name || '-' || c_mktsegment AS joined, " +
+        "split_part(c_name, '#', 2) AS numpart FROM customer")),
+
+    ("q_expr_numeric",
+      (s: SparkSession, d: String) => round4(run(s, d,
+        AExtend(AExtend(AExtend(AExtend(
+          BGP(Seq(
+            qp(V("o"), p("orders", "o_orderkey"), V("okey")),
+            qp(V("o"), p("orders", "o_totalprice"), V("tp")))),
+          "dist", ECall("abs", Seq(ECall("-", Seq(EVar("tp"), EConst(Term.dbl(200000.0))))))),
+          "up", ECall("ceil", Seq(EVar("tp")))),
+          "down", ECall("floor", Seq(EVar("tp")))),
+          "seventh", ECall("/", Seq(EVar("tp"), EConst(Term.int(7))))),
+        "okey" -> "long", "dist" -> "double", "up" -> "double",
+        "down" -> "double", "seventh" -> "double"), "dist", "seventh"),
+      Some("SELECT o_orderkey AS okey, round(abs(o_totalprice - 200000), 4) AS dist, " +
+        "ceiling(o_totalprice) AS up, floor(o_totalprice) AS down, " +
+        "round(o_totalprice / 7, 4) AS seventh FROM orders")),
+
+    ("q_expr_datetime",
+      (s: SparkSession, d: String) => run(s, d,
+        AExtend(AExtend(AExtend(
+          BGP(Seq(
+            qp(V("l"), p("lineitem", "l_orderkey"), V("okey")),
+            qp(V("l"), p("lineitem", "l_shipdate"), V("sd")))),
+          "y", ECall("year", Seq(EVar("sd")))),
+          "m", ECall("month", Seq(EVar("sd")))),
+          "dd", ECall("day", Seq(EVar("sd")))),
+        "okey" -> "long", "sd" -> "timestamp", "y" -> "long", "m" -> "long", "dd" -> "long"),
+      Some("SELECT l_orderkey AS okey, l_shipdate AS sd, year(l_shipdate) AS y, " +
+        "month(l_shipdate) AS m, day(l_shipdate) AS dd FROM lineitem")),
+
+    ("q_expr_hash",
+      (s: SparkSession, d: String) => run(s, d,
+        AExtend(AExtend(
+          BGP(Seq(qp(V("c"), p("customer", "c_name"), V("nm")))),
+          "h_md5", ECall("md5", Seq(EVar("nm")))),
+          "h_sha256", ECall("sha256", Seq(EVar("nm")))),
+        "nm" -> "string", "h_md5" -> "string", "h_sha256" -> "string"),
+      Some("SELECT c_name AS nm, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256 " +
+        "FROM customer")),
+
+    ("q_expr_cond",
+      (s: SparkSession, d: String) => run(s, d,
+        AFilter(ECall("in", Seq(EVar("seg"), EConst(Term.str("BUILDING")),
+          EConst(Term.str("AUTOMOBILE")), EConst(Term.str("MACHINERY")))),
+          AExtend(
+            BGP(Seq(
+              qp(V("c"), p("customer", "c_name"), V("nm")),
+              qp(V("c"), p("customer", "c_mktsegment"), V("seg")),
+              qp(V("c"), p("customer", "c_acctbal"), V("bal")))),
+            "sign", ECall("if", Seq(
+              ECall("<", Seq(EVar("bal"), EConst(Term.int(0)))),
+              EConst(Term.str("neg")), EConst(Term.str("pos")))))),
+        "nm" -> "string", "seg" -> "string", "sign" -> "string"),
+      Some("SELECT c_name AS nm, c_mktsegment AS seg, " +
+        "CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign FROM customer " +
+        "WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')")),
+
+    ("q_expr_cast",
+      (s: SparkSession, d: String) => run(s, d,
+        AExtend(AExtend(
+          BGP(Seq(
+            qp(V("c"), p("customer", "c_name"), V("nm")),
+            qp(V("c"), p("customer", "c_acctbal"), V("bal")))),
+          "keynum", ECall("*", Seq(
+            ECall("xsd:integer", Seq(ECall("strafter", Seq(EVar("nm"), EConst(Term.str("#")))))),
+            EConst(Term.int(2))))),
+          "balstr", ECall("str", Seq(EVar("bal")))),
+        "nm" -> "string", "keynum" -> "long", "balstr" -> "string"),
+      Some("SELECT c_name AS nm, CAST(split_part(c_name, '#', 2) AS BIGINT) * 2 AS keynum, " +
+        "CAST(c_acctbal AS VARCHAR) AS balstr FROM customer"))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map(e => e._1 -> e._2).toMap
+  def oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

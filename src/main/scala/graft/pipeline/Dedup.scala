@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication operators for LLM-data pipelines, designed for
+  * shuffle-bounded execution at 100 TB:
+  *
+  *  - exact: one hash-groupBy, no pairwise work.
+  *  - MinHash+LSH: shingle → k-minhash signature (one groupBy with k min-aggregates)
+  *    → band buckets → candidate self-join *within buckets only* → exact-Jaccard
+  *    verification. Pairwise work is bounded by bucket collisions, never n².
+  *  - SimHash: 64-bit signature via per-bit weighted sums (one groupBy), near-dup
+  *    candidates from 16-bit band buckets, verified by hamming distance.
+  *  - n-gram Jaccard: brute-force *within blocking keys* (source, length bucket) —
+  *    the classic blocked-pairwise baseline.
+  */
+object Dedup {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup: clusters of byte-identical texts. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+
+  /** Word w-shingles of the text, distinct, as an exploded (doc_id, shingle-hash)
+    * frame. Hashing at the shingle level keeps the shuffle narrow (two longs). */
+  def shingles(d: DataFrame, w: Int): DataFrame =
+    d.select(col("doc_id"), expr(
+        s"transform(sequence(0, greatest(size(split(text, ' ')) - $w, 0) - 1), " +
+        s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $w)))").as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .distinct()
+
+  /** MinHash signatures + LSH banding + exact-Jaccard verification.
+    * Output: (a, b, jaccard) pairs with jaccard >= threshold, a < b.
+    */
+  def minhashLsh(spark: SparkSession, dir: String, k: Int = 64, bands: Int = 16,
+      shingleW: Int = 3, threshold: Double = 0.5, seed: Long = 42): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val sh = shingles(docs(spark, dir), shingleW)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // k min-aggregates in ONE groupBy: minhash_i = min over shingles of a seeded
+    // re-hash (xxhash64(h, seed+i) — overflow-free under ANSI mode, same quality
+    // as an affine family)
+    val aggs = (0 until k).map { i =>
+      min(xxhash64(col("h"), lit(seed + i))).as(s"m$i")
+    }
+    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+
+    // band key = hash of the band's signature slice
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+    // exact Jaccard verification of candidates only
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("h").as("ha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("h").as("hb")), "b")
+      .filter(col("ha") === col("hb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+      .withColumn("jaccard", round(col("inter") /
+        (col("sa") + col("sb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document (one groupBy with 64 per-bit weighted sums). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
+    }
+    val sums = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4 x 16-bit band buckets, verified by hamming <= maxHam. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHam: Int = 3): DataFrame = {
+    val sig = simhash(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("bh")))
+    val banded = sig.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+  }
+
+  /** Blocked brute-force character-n-gram Jaccard: pairs only within
+    * (source, length-bucket) blocks — the O(block²) baseline that LSH replaces.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, n: Int = 3,
+      threshold: Double = 0.4): DataFrame = {
+    val grams = docs(spark, dir).select(col("doc_id"), col("source"),
+        col("n_chars"), expr(
+        s"transform(sequence(0, greatest(length(text) - $n, 0)), " +
+        s"i -> substring(text, i + 1, $n))").as("gs"))
+      .select(col("doc_id"), col("source"), col("n_chars"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("source"), col("n_chars"), xxhash64(col("g")).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // staggered double-bucketing: every doc lands in floor(len/64) and
+    // floor((len+32)/64)+M, so near-dups straddling a bucket boundary still share
+    // a block; (a,b,h) is deduped before counting so the ratio stays exact
+    val blocked = grams.withColumn("lenb",
+      explode(array((col("n_chars") / 64).cast(IntegerType),
+        ((col("n_chars") + 32) / 64).cast(IntegerType) + 1000000)))
+    val inter = blocked.alias("x").join(blocked.alias("y"),
+        col("x.source") === col("y.source") && col("x.lenb") === col("y.lenb") &&
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("x.h").as("h"))
+      .distinct()
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+      .withColumn("jaccard", round(col("inter") /
+        (col("sa") + col("sb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+}

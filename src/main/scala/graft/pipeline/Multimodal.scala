@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata, processed in
+  * partition-sized batches through a typed Dataset pipeline.
+  *
+  * The *decode* step is a clearly-marked STUB (this container has no image/audio
+  * codecs): it derives deterministic pseudo-features from the payload bytes. The
+  * Spark-side plumbing — binary column, case-class schema, mapPartitions batch
+  * shape, partition sizing — is real and is what a production decode would plug
+  * into (swap `decodeStub` for an actual codec call per batch).
+  */
+object Multimodal {
+
+  final case class MMRecord(doc_id: Long, mime: String, payload: Array[Byte])
+  final case class MMFeature(doc_id: Long, n_bytes: Long, width: Int, height: Int,
+      channels: Int, n_frames: Int)
+
+  /** Build a binary-payload frame from the documents table (text bytes stand in for
+    * media bytes; schema/partitioning identical to a real media table). */
+  def records(spark: SparkSession, dir: String): Dataset[MMRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), lit("application/octet-stream").as("mime"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MMRecord]
+  }
+
+  /** STUB decoder — a real implementation would call an image/audio codec here,
+    * once per record, reusing per-partition decoder state. Deterministic
+    * pseudo-features keep the pipeline testable without codecs.
+    */
+  private def decodeStub(r: MMRecord): MMFeature = {
+    val n = r.payload.length.toLong
+    MMFeature(r.doc_id, n,
+      width = (64 + n % 576).toInt,
+      height = (64 + (n * 7) % 576).toInt,
+      channels = 3,
+      n_frames = (1 + r.doc_id % 5).toInt)
+  }
+
+  /** Batch decode / feature-extract over partition iterators (the mapPartitions
+    * shape lets a real codec amortize init cost per partition). */
+  def features(spark: SparkSession, dir: String): Dataset[MMFeature] = {
+    import spark.implicits._
+    records(spark, dir).mapPartitions { it =>
+      // per-partition decoder init would happen here
+      it.map(decodeStub)
+    }
+  }
+
+  /** Frame sampling for "video" payloads: one row per sampled frame index. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    features(spark, dir).toDF()
+      .select(col("doc_id"), explode(sequence(lit(0),
+        col("n_frames") - 1)).as("frame_idx"))
+  }
+
+  /** Resize planning (metadata-only transform over the feature frame). */
+  def resizePlan(spark: SparkSession, dir: String, maxSide: Int = 256): DataFrame = {
+    features(spark, dir).toDF()
+      .withColumn("scale", round(lit(maxSide) / greatest(col("width"), col("height")), 4))
+      .withColumn("out_w", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
+      .select("doc_id", "width", "height", "scale", "out_w", "out_h")
+  }
+}

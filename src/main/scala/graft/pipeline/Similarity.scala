@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - brute-force cosine top-k: the exactness baseline; scales as |queries|×|corpus|
+  *    (fine for bounded query sets; the corpus side streams).
+  *  - random-hyperplane LSH: seeded hyperplanes → sign-bit signature → bucket join →
+  *    cosine rerank. The scale path: candidate generation is a bucket equi-join, so
+  *    cost follows bucket occupancy instead of |q|×|corpus|.
+  */
+object Similarity {
+
+  def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        col("label"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def withNorm(d: DataFrame): DataFrame = d.withColumn("nrm", norm(col("e")))
+
+  /** Exact cosine top-k of each query vector (vec_id < nQueries), excluding self. */
+  def bruteTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val e = withNorm(emb(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = q.join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Seeded random hyperplanes: nTables signatures of nBits each. */
+  private def planes(dim: Int, nTables: Int, nBits: Int, seed: Long): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nTables)(Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Approximate cosine top-k via random-hyperplane LSH + rerank. */
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nTables: Int = 16, nBits: Int = 6, dim: Int = 64, seed: Long = 42): DataFrame = {
+    val pls = planes(dim, nTables, nBits, seed)
+    val e = withNorm(emb(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // signature per table: sign bits of plane dot products, packed to a long
+    def sigCol(t: Int): Column = {
+      val bits = pls(t).zipWithIndex.map { case (pl, i) =>
+        val planeLit = array(pl.map(lit): _*)
+        when(dot(col("e"), planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+    val tables = (0 until nTables).map(t =>
+      struct(lit(t).as("tbl"), sigCol(t).as("sig")))
+    val bucketed = e.select(col("vec_id"), col("e"), col("nrm"),
+        explode(array(tables: _*)).as("bk"))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val qb = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        col("tbl"), col("sig"))
+    val cand = qb.join(bucketed, Seq("tbl", "sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qe"), col("qn"), col("vec_id").as("nid"),
+        col("e"), col("nrm"))
+      .dropDuplicates("qid", "nid")
+    val scored = cand.select(col("qid"), col("nid"),
+      (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold via LSH buckets. */
+  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.95,
+      nTables: Int = 8, nBits: Int = 12, dim: Int = 64, seed: Long = 42): DataFrame = {
+    val pls = planes(dim, nTables, nBits, seed)
+    val e = withNorm(emb(spark, dir))
+    def sigCol(t: Int): Column = {
+      val bits = pls(t).zipWithIndex.map { case (pl, i) =>
+        val planeLit = array(pl.map(lit): _*)
+        when(dot(col("e"), planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+    val tables = (0 until nTables).map(t => struct(lit(t).as("tbl"), sigCol(t).as("sig")))
+    val bucketed = e.select(col("vec_id"), col("e"), col("nrm"),
+        explode(array(tables: _*)).as("bk"))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+    val pairs = bucketed.alias("x").join(bucketed.alias("y"),
+        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        col("x.e").as("ea"), col("x.nrm").as("na"),
+        col("y.e").as("eb"), col("y.nrm").as("nb"))
+      .dropDuplicates("a", "b")
+    pairs.select(col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

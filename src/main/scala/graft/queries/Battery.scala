@@ -641,7 +641,132 @@ object Battery {
           "balstr", ECall("str", Seq(EVar("bal")))),
         "nm" -> "string", "keynum" -> "long", "balstr" -> "string"),
       Some("SELECT c_name AS nm, CAST(split_part(c_name, '#', 2) AS BIGINT) * 2 AS keynum, " +
-        "CAST(c_acctbal AS VARCHAR) AS balstr FROM customer"))
+        "CAST(c_acctbal AS VARCHAR) AS balstr FROM customer")),
+
+    // ---- dedup pipeline ----
+    ("dd_exact",
+      (s: SparkSession, d: String) => graft.pipeline.Dedup.exact(s, d),
+      Some("SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep " +
+        "FROM documents GROUP BY 1")),
+
+    ("dd_minhash_lsh", // MinHash+LSH near-dup pairs (not SQL-expressible → rows-only)
+      (s: SparkSession, d: String) => graft.pipeline.Dedup.minhashLsh(s, d, threshold = 0.2),
+      None),
+
+    ("dd_simhash",
+      (s: SparkSession, d: String) => graft.pipeline.Dedup.simhash(s, d),
+      None),
+
+    ("dd_simhash_pairs",
+      (s: SparkSession, d: String) => graft.pipeline.Dedup.simhashPairs(s, d, maxHam = 10),
+      None),
+
+    ("dd_ngram_jaccard",
+      (s: SparkSession, d: String) => graft.pipeline.Dedup.ngramJaccard(s, d, threshold = 0.3),
+      None),
+
+    // ---- similarity search ----
+    ("sim_topk_brute",
+      (s: SparkSession, d: String) => graft.pipeline.Similarity.bruteTopK(s, d),
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT * FROM e WHERE vec_id < 10) " +
+        "SELECT q.vec_id AS qid, e.vec_id AS nid, " +
+        "round(list_cosine_similarity(q.emb, e.emb), 4) AS cos, " +
+        "CAST(row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id) AS BIGINT) AS rk " +
+        "FROM q, e WHERE e.vec_id != q.vec_id QUALIFY rk <= 5")),
+
+    ("sim_lsh_topk",
+      (s: SparkSession, d: String) => graft.pipeline.Similarity.lshTopK(s, d),
+      None),
+
+    ("sim_neardup",
+      (s: SparkSession, d: String) => graft.pipeline.Similarity.nearDupPairs(s, d,
+        threshold = 0.8),
+      None),
+
+    // ---- text analysis ----
+    ("text_tokens",
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.tokens(s, d),
+      Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS len, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(list_sum(list_transform(string_split(text, ' '), " +
+        "w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords, " +
+        "round(CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) " +
+        "AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_tok_len FROM documents")),
+
+    ("text_quality",
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.quality(s, d),
+      Some("SELECT doc_id, " +
+        "round(CAST(len(list_filter(string_split(text, ' '), w -> w IN " +
+        "('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE) / " +
+        "len(string_split(text, ' ')), 4) AS stop_ratio, " +
+        "round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / " +
+        "len(string_split(text, ' ')), 4) AS type_token, " +
+        "round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) " +
+        "AS DOUBLE) / length(text), 4) AS digit_ratio, " +
+        "round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) " +
+        "AS DOUBLE) / length(text), 4) AS punct_ratio FROM documents")),
+
+    ("text_langid",
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.langid(s, d),
+      Some("WITH t AS (SELECT doc_id, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','is'))) AS en, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist'))) AS de, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('le','la','les','et','est'))) AS fr " +
+        "FROM documents) SELECT doc_id, CASE " +
+        "WHEN en >= de AND en >= fr AND en > 0 THEN 'en' " +
+        "WHEN de >= fr AND de > 0 THEN 'de' " +
+        "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS pred_lang FROM t")),
+
+    ("text_fingerprint",
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.fingerprint(s, d),
+      None),
+
+    // ---- event-stream analytics (batch shapes; streaming in graft.streaming) ----
+    ("ev_window5m",
+      (s: SparkSession, d: String) => graft.pipeline.EventsOps.window5m(s, d),
+      Some("SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS bucket, " +
+        "event_type, count(*) AS n, round(sum(value), 4) AS total " +
+        "FROM events GROUP BY 1, 2")),
+
+    ("ev_sessionize",
+      (s: SparkSession, d: String) => graft.pipeline.EventsOps.sessionize(s, d),
+      Some("WITH t AS (SELECT user_id, ts, lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) " +
+        "SELECT user_id, CAST(sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, count(*) AS n_events " +
+        "FROM t GROUP BY 1")),
+
+    ("ev_json",
+      (s: SparkSession, d: String) => graft.pipeline.EventsOps.jsonExtract(s, d),
+      Some("SELECT event_type, CAST(sum(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) " +
+        "AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n FROM events GROUP BY 1")),
+
+    // ---- multimodal plumbing (decode step stubbed; see Multimodal scaladoc) ----
+    ("mm_features",
+      (s: SparkSession, d: String) => graft.pipeline.Multimodal.features(s, d).toDF(),
+      Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CAST(64 + octet_length(encode(text)) % 576 AS INTEGER) AS width, " +
+        "CAST(64 + (octet_length(encode(text)) * 7) % 576 AS INTEGER) AS height, " +
+        "CAST(3 AS INTEGER) AS channels, " +
+        "CAST(1 + doc_id % 5 AS INTEGER) AS n_frames FROM documents")),
+
+    ("mm_frame_sample",
+      (s: SparkSession, d: String) => graft.pipeline.Multimodal.frameSample(s, d)
+        .withColumn("frame_idx", col("frame_idx").cast("long")),
+      Some("SELECT doc_id, unnest(range(0, 1 + doc_id % 5)) AS frame_idx FROM documents")),
+
+    ("mm_resize_plan",
+      (s: SparkSession, d: String) => graft.pipeline.Multimodal.resizePlan(s, d),
+      Some("WITH f AS (SELECT doc_id, " +
+        "CAST(64 + octet_length(encode(text)) % 576 AS INTEGER) AS width, " +
+        "CAST(64 + (octet_length(encode(text)) * 7) % 576 AS INTEGER) AS height " +
+        "FROM documents) SELECT doc_id, width, height, " +
+        "round(256.0 / greatest(width, height), 4) AS scale, " +
+        "CAST(floor(width * round(256.0 / greatest(width, height), 4)) AS INTEGER) AS out_w, " +
+        "CAST(floor(height * round(256.0 / greatest(width, height), 4)) AS INTEGER) AS out_h " +
+        "FROM f"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming operators over the events stream. The reference engine has
+  * no streaming surface (SURVEY.md §2.11) — this is the Spark-native extension for
+  * continuous pipelines: the batch shapes live in [[graft.pipeline.EventsOps]]; the
+  * same logic here runs incrementally with watermarks + state.
+  */
+object StreamOps {
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, duration_s: Double)
+
+  /** Streaming source over the events parquet directory (one file = one batch in
+    * tests; in production this is a kafka/file stream).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Tumbling 5-minute windowed counts with a 10-minute watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  /** Stateful sessionization with a 30-minute inactivity gap via
+    * flatMapGroupsWithState (emits a session row when the gap closes it).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    val evs = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[Ev]
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L))
+          val out = scala.collection.mutable.ListBuffer[SessionOut]()
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st.n == 0L) st = SessionState(t, t, 1L)
+            else if (t - st.last > 30L * 60 * 1000) {
+              out += SessionOut(uid, st.n, (st.last - st.start) / 1000.0)
+              st = SessionState(t, t, 1L)
+            } else st = st.copy(last = math.max(st.last, t), n = st.n + 1)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Drive a streaming query to completion over the static directory (test/demo
+    * harness: memory sink + processAllAvailable).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Mechanism tests for the pipeline operators: planted near-duplicates must be
+  * found by MinHash-LSH / SimHash / n-gram Jaccard; LSH similarity must recall
+  * most of brute-force top-k.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkBase.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** Synthetic documents dir with planted near-dups (ids 9001~9002, 9003~9004)
+    * and an exact dup (9005==9006). */
+  lazy val plantedDir: String = {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 12
+    val nearA = base + "lambda mu nu xi"
+    val nearB = base + "lambda mu nu omicron" // differs in last word
+    val farC = "completely different words entirely unrelated content here " * 10
+    val farD = "yet another disjoint vocabulary nothing shared with others " * 10
+    val rows = Seq(
+      (9001L, nearA, "en", "srcA", nearA.length.toLong),
+      (9002L, nearB, "en", "srcA", nearB.length.toLong),
+      (9003L, farC, "en", "srcA", farC.length.toLong),
+      (9004L, farD, "en", "srcA", farD.length.toLong),
+      (9005L, base, "en", "srcA", base.length.toLong),
+      (9006L, base, "en", "srcA", base.length.toLong))
+    val dir = "/tmp/graft_planted"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup clusters byte-identical texts") {
+    val r = Dedup.exact(spark, plantedDir).filter(col("n") > 1).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n") == 2 && r.head.getAs[Long]("keep") == 9005L)
+  }
+
+  test("minhash-lsh finds planted near-dups and exact dups, not far pairs") {
+    val pairs = Dedup.minhashLsh(spark, plantedDir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((9001L, 9002L)), s"missing near-dup pair: ${keys.mkString(",")}")
+    assert(keys.contains((9005L, 9006L)))
+    assert(!keys.exists(p => p._1 == 9003L || p._2 == 9003L && p._1 != 9003L))
+    val j12 = pairs.find(p => (p._1, p._2) == (9001L, 9002L)).get._3
+    assert(j12 > 0.8) // shingle sets differ only near the tail
+    assert(pairs.find(p => (p._1, p._2) == (9005L, 9006L)).get._3 == 1.0)
+  }
+
+  test("simhash: identical texts same signature; near-dups close in hamming") {
+    val sigs = Dedup.simhash(spark, plantedDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(9005L) == sigs(9006L))
+    val hamNear = java.lang.Long.bitCount(sigs(9001L) ^ sigs(9002L))
+    val hamFar = java.lang.Long.bitCount(sigs(9001L) ^ sigs(9003L))
+    assert(hamNear < hamFar)
+    val pairs = Dedup.simhashPairs(spark, plantedDir, maxHam = math.max(3, hamNear))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((9005L, 9006L)))
+  }
+
+  test("ngram jaccard finds planted pair within blocks") {
+    val pairs = Dedup.ngramJaccard(spark, plantedDir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((9001L, 9002L)))
+    assert(pairs.contains((9005L, 9006L)))
+  }
+
+  test("lsh similarity recalls most of brute-force top-5") {
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall") // random gaussian corpus: neighbors are weak
+  }
+
+  test("fingerprint is deterministic and separates texts") {
+    val fp = TextStats.fingerprint(spark, plantedDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(9005L) == fp(9006L))
+    assert(fp(9001L) != fp(9003L))
+    val fp2 = TextStats.fingerprint(spark, plantedDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp == fp2)
+  }
+
+  test("multimodal features deterministic and consistent with payload size") {
+    val f = Multimodal.features(spark, sf).collect()
+    assert(f.length == 500)
+    assert(f.forall(x => x.width >= 64 && x.width < 640 && x.channels == 3))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f.forall(x => x.n_bytes == docs(x.doc_id)))
+  }
+
+  test("sessionize totals match event count") {
+    val s = EventsOps.sessionize(spark, sf)
+    val total = s.agg(sum("n_events")).first().getLong(0)
+    assert(total == 1000L)
+    assert(s.filter(col("n_sessions") < 1).count() == 0)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+
+class StreamSpec extends AnyFunSuite {
+  lazy val spark = SparkBase.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** Stream dir containing only the events file (file-source streams a directory). */
+  lazy val evDir: String = {
+    val dir = "/tmp/graft_stream/events"
+    val fs = new java.io.File(dir)
+    if (!fs.exists()) {
+      fs.mkdirs()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sf/events.parquet").write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  def stream() = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(evDir).schema
+    spark.readStream.schema(schema).parquet(evDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  test("streaming windowed counts equal the batch result") {
+    val got = StreamOps.runToMemory(
+      StreamOps.windowedCounts(stream()), "win_counts", OutputMode.Complete)
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).sorted
+    val exp = graft.pipeline.EventsOps.window5m(spark, sf)
+      .select("bucket", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).sorted
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("stateful sessionization emits closed sessions") {
+    val out = StreamOps.runToMemory(
+      StreamOps.sessionize(spark, stream()).toDF(), "sessions", OutputMode.Append)
+    // exactly one session per user stays open in state, all others are emitted:
+    // emitted count == sum(batch n_sessions) - n_users
+    val batch = graft.pipeline.EventsOps.sessionize(spark, sf)
+    val users = batch.count()
+    val totalSessions = batch.agg(sum("n_sessions")).first().getLong(0)
+    assert(out.count() == totalSessions - users)
+    assert(out.filter(col("duration_s") < 0).count() == 0)
+  }
+}

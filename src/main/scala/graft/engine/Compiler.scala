@@ -41,11 +41,17 @@ case object IdRep extends Rep   // Long column of packed term ids
 case object TermRep extends Rep // struct column (kind, lex, dt, lang, num)
 
 /** A compiled solution mapping: one column per in-scope variable; NULL = unbound.
-  * `certain` = necessarily-bound vars (equi-join fast path); `nums` = vars that carry
-  * a `__n_<var>` numeric companion column (decoded object value from the store).
+  *
+  *  - `certain`: necessarily-bound vars (equi-join fast path)
+  *  - `nums`: vars carrying a `__n_<var>` numeric companion column
+  *  - `inl`: vars whose ids are all inline-encoded (store type profile) — sorting
+  *    by the raw id IS the SPARQL term order and views decode without a dictionary
+  *    join
+  *  - `numAll`: vars whose companion is populated for every bound value — numeric
+  *    sorts/aggregates can use the companion alone
   */
 final case class Sol(df: DataFrame, reps: Map[String, Rep], certain: Set[String],
-    nums: Set[String]) {
+    nums: Set[String], inl: Set[String] = Set.empty, numAll: Set[String] = Set.empty) {
   def vars: Set[String] = reps.keySet
   def numCol(v: String): String = "__n_" + v
 }
@@ -75,13 +81,18 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
     }
   }
 
-  /** Ensure variable `v` has a materialized view column; returns (sol, viewCol). */
+  /** Ensure variable `v` has a materialized view column; returns (sol, viewCol).
+    * All-inline vars decode in place (no dictionary join).
+    */
   def withView(sol: Sol, v: String): (Sol, Column) = sol.reps.get(v) match {
     case Some(TermRep) => (sol, col(bt(v)))
     case Some(IdRep) =>
       val tcol = "__t_" + v
       if (sol.df.columns.contains(tcol)) (sol, col(bt(tcol)))
-      else {
+      else if (sol.inl.contains(v)) {
+        val df = sol.df.withColumn(tcol, decodeInlineUdf(col(bt(v))))
+        (sol.copy(df = df), col(bt(tcol)))
+      } else {
         val t = store.terms.select(col("id").as("__tid"),
           struct(col("kind"), col("lex"), col("dt"), col("lang"), col("num")).as("__tv"))
         val joined = sol.df.join(t, col(bt(v)) === col("__tid"), "left")
@@ -236,7 +247,21 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
       firstPos.toSeq.collect { case (n, "o") => col("onum").as("__n_" + n) }
     val out = df.select(outCols: _*)
     val nums = firstPos.collect { case (n, "o") => n }.toSet
-    Sol(out, firstPos.keys.map(_ -> (IdRep: Rep)).toMap, firstPos.keySet.toSet, nums)
+    // type-profile fast-path flags: s/p/g vars inline when the whole store is;
+    // o vars per bound-predicate profile
+    val oProfile: Option[(Boolean, Boolean)] = qp.p match {
+      case T(t) => store.idOf(t).flatMap(store.predProfiles.get)
+      case _ => None
+    }
+    val inl = firstPos.collect {
+      case (n, pos) if pos != "o" && store.spgAllInline => n
+      case (n, "o") if oProfile.exists(_._1) => n
+    }.toSet
+    val numAll = firstPos.collect {
+      case (n, "o") if oProfile.exists(_._2) => n
+    }.toSet
+    Sol(out, firstPos.keys.map(_ -> (IdRep: Rep)).toMap, firstPos.keySet.toSet, nums,
+      inl, numAll)
   }
 
   /** BGP join-order heuristic: bound-position selectivity weights from the
@@ -305,7 +330,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
       } else l.df.join(rdf, conds.reduce(_ && _), kind)
 
     if (kind == "left_semi" || kind == "left_anti")
-      return Sol(joined, l.reps, l.certain, l.nums)
+      return Sol(joined, l.reps, l.certain, l.nums, l.inl, l.numAll)
 
     // merge shared columns, surface right-only vars
     var out = joined
@@ -327,9 +352,21 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
       case _ => l.certain // left_outer
     }
     val nums = l.nums ++ rOnly.filter(r.nums.contains)
-    val keep = reps.keySet.map(bt) ++ nums.map(v => bt("__n_" + v))
+    // flag propagation: equal-valued (certain) shared vars inherit either side's
+    // flag; coalesced (loose) shared vars need both; right-only vars inherit r's
+    val inl = (l.vars ++ r.vars).filter { v =>
+      if (certainShared.contains(v)) l.inl.contains(v) || r0.inl.contains(v)
+      else if (looseShared.contains(v)) l.inl.contains(v) && r0.inl.contains(v)
+      else if (rOnly.contains(v)) r0.inl.contains(v)
+      else l.inl.contains(v)
+    }
+    val numAll = (l.vars ++ r.vars).filter { v =>
+      if (rOnly.contains(v)) r0.numAll.contains(v) && r.nums.contains(v)
+      else l.numAll.contains(v) && l.nums.contains(v)
+    }
     Sol(out.select((reps.keySet.toSeq.sorted.map(v => col(bt(v))) ++
-      nums.toSeq.sorted.map(v => col(bt("__n_" + v)))): _*), reps, certain, nums)
+      nums.toSeq.sorted.map(v => col(bt("__n_" + v)))): _*), reps, certain, nums,
+      inl, numAll)
   }
 
   // ---- main compile ---------------------------------------------------------
@@ -354,7 +391,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
         case _ =>
           val sol = compile(c)
           val (s2, ec) = exprColumn(sol, e)
-          Sol(s2.df.withColumn(v, ec), s2.reps + (v -> TermRep), s2.certain, s2.nums)
+          Sol(s2.df.withColumn(v, ec), s2.reps + (v -> TermRep), s2.certain, s2.nums,
+            s2.inl, s2.numAll)
       }
 
     case AProject(c, vs) =>
@@ -363,15 +401,16 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
       val cols = keep.map(v => col(bt(v))) ++
         keep.filter(sol.nums.contains).map(v => col(bt("__n_" + v)))
       Sol(sol.df.select(cols: _*), sol.reps.filter(kv => keep.contains(kv._1)),
-        sol.certain intersect vs.toSet, sol.nums intersect keep.toSet)
+        sol.certain intersect vs.toSet, sol.nums intersect keep.toSet,
+        sol.inl intersect keep.toSet, sol.numAll intersect keep.toSet)
 
     case ADistinct(c) =>
       val sol = dropCompanions(compile(c))
-      Sol(sol.df.dropDuplicates(), sol.reps, sol.certain, Set.empty)
+      Sol(sol.df.dropDuplicates(), sol.reps, sol.certain, Set.empty, sol.inl)
 
     case AReduced(c) => // REDUCED permits any dedup degree; full dedup is legal
       val sol = dropCompanions(compile(c))
-      Sol(sol.df.dropDuplicates(), sol.reps, sol.certain, Set.empty)
+      Sol(sol.df.dropDuplicates(), sol.reps, sol.certain, Set.empty, sol.inl)
 
     case ASlice(c, off, lim) =>
       val sol = compile(c)
@@ -403,7 +442,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
   }
 
   private def dropCompanions(sol: Sol): Sol =
-    Sol(sol.df.drop(sol.nums.toSeq.map("__n_" + _): _*), sol.reps, sol.certain, Set.empty)
+    Sol(sol.df.drop(sol.nums.toSeq.map("__n_" + _): _*), sol.reps, sol.certain,
+      Set.empty, sol.inl, Set.empty)
 
   // ---- filter (incl. EXISTS rewrite) ---------------------------------------
 
@@ -494,7 +534,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
         .reduce(_ && _)
       val overlap = shared.map(v => col(bt(v)).isNotNull && col(bt("__r_" + v)).isNotNull)
         .reduce(_ || _)
-      Sol(ll.df.join(rdf, compat && overlap, "left_anti"), ll.reps, ll.certain, ll.nums)
+      Sol(ll.df.join(rdf, compat && overlap, "left_anti"), ll.reps, ll.certain,
+        ll.nums, ll.inl, ll.numAll)
     }
   }
 
@@ -522,7 +563,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
         val joined = ll.df.join(renamed, cond, "left_outer")
           .withColumn(flag, coalesce(col(bt(flag)), lit(false)))
           .drop(shared.map("__r_" + _): _*)
-        Sol(joined, ll.reps, ll.certain, ll.nums)
+        Sol(joined, ll.reps, ll.certain, ll.nums, ll.inl, ll.numAll)
       }
     boolVarFromFlag(marked, flag, outVar, negated)
   }
@@ -535,7 +576,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
       lit(Term.xsdBoolean).as("dt"),
       lit(null).cast(StringType).as("lang"),
       lit(null).cast(DoubleType).as("num"))).drop(flag)
-    Sol(df, sol.reps + (outVar -> TermRep), sol.certain + outVar, sol.nums)
+    Sol(df, sol.reps + (outVar -> TermRep), sol.certain + outVar, sol.nums,
+      sol.inl, sol.numAll)
   }
 
   // ---- union ---------------------------------------------------------------
@@ -559,8 +601,14 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
       s.df.select(cols: _*)
     }
     val reps = allVars.map(v => v -> l.reps.getOrElse(v, r.reps(v))).toMap
+    val inl = allVars.filter(v =>
+      (!l.vars.contains(v) || l.inl.contains(v)) &&
+      (!r.vars.contains(v) || r.inl.contains(v))).toSet
+    val numAll = sharedNums.toSet.filter(v =>
+      (!l.vars.contains(v) || l.numAll.contains(v)) &&
+      (!r.vars.contains(v) || r.numAll.contains(v)))
     Sol(pad(l).unionByName(pad(r)), reps, l.certain intersect r.certain,
-      sharedNums.toSet)
+      sharedNums.toSet, inl, numAll)
   }
 
   // ---- order by -------------------------------------------------------------
@@ -568,34 +616,50 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
   /** SPARQL total-order sort key components for an expression:
     * (kindRank, num, lex, dt, lang) — unbound < blank < IRI < literal via
     * kindRank + nulls-first; numeric literals by value before other literals.
+    *
+    * Fast paths (store type profiles): an all-inline variable sorts by its raw id
+    * (tag order == blank < IRI < literal, biased payloads == value order — see
+    * [[graft.model.TermId]]); an all-numeric variable sorts by its companion.
     */
-  private def sortComponents(sol0: Sol, e: Expr): (Sol, Seq[Column]) = {
-    val (sol, v) = exprColumn(sol0, e) match {
-      case (s, c) => (s, c)
-    }
-    val rank = when(v.isNull, lit(null).cast(IntegerType)).otherwise(v.getField("kind"))
-    (sol, Seq(rank, v.getField("num"), v.getField("lex"), v.getField("dt"),
-      v.getField("lang")))
+  private def sortComponents(sol0: Sol, e: Expr): (Sol, Seq[Column]) = e match {
+    case EVar(n) if sol0.inl.contains(n) && sol0.reps.get(n).contains(IdRep) =>
+      (sol0, Seq(col(bt(n))))
+    case EVar(n) if sol0.numAll.contains(n) && sol0.nums.contains(n) =>
+      (sol0, Seq(col(bt(sol0.numCol(n)))))
+    case _ =>
+      val (sol, v) = exprColumn(sol0, e)
+      val rank = when(v.isNull, lit(null).cast(IntegerType)).otherwise(v.getField("kind"))
+      (sol, Seq(rank, v.getField("num"), v.getField("lex"), v.getField("dt"),
+        v.getField("lang")))
   }
 
   // ---- grouping / aggregation ----------------------------------------------
 
   private def compileGroup(sol0: Sol, keys: Seq[String], aggs: Seq[AggSpec]): Sol = {
     var sol = sol0
-    // pre-compute aggregate input columns
-    val inputs: Seq[(AggSpec, Option[Column])] = aggs.map { a =>
+    // pre-compute aggregate input columns; store type profiles unlock cheaper
+    // input modes: "id" (all-inline var: min/max/sample on the raw id — id order
+    // == term order), "num" (all-numeric var: aggregate the companion directly),
+    // else "view" (materialized term struct)
+    val inputs: Seq[(AggSpec, Option[(Column, String)])] = aggs.map { a =>
       a.e match {
         case None => (a, None)
+        case Some(EVar(n)) if sol.reps.get(n).contains(IdRep) && sol.inl.contains(n) &&
+            Seq("min", "max", "sample").contains(a.fn) =>
+          (a, Some((col(bt(n)), "id")))
+        case Some(EVar(n)) if sol.nums.contains(n) && sol.numAll.contains(n) &&
+            Seq("sum", "avg").contains(a.fn) =>
+          (a, Some((col(bt(sol.numCol(n))), "num")))
         case Some(EVar(n)) if sol.reps.get(n).contains(IdRep) =>
           val (s2, vc) = withView(sol, n); sol = s2
-          (a, Some(vc))
+          (a, Some((vc, "view")))
         case Some(expr) =>
           val (s2, c) = exprColumn(sol, expr); sol = s2
-          (a, Some(c))
+          (a, Some((c, "view")))
       }
     }
     val inCols = inputs.zipWithIndex.map { case ((a, c), i) =>
-      c.map(_.as(s"__agg_in_$i"))
+      c.map(_._1.as(s"__agg_in_$i"))
     }
     val keyCols = keys.filter(sol.reps.contains).map(v => col(bt(v)))
     val pre = sol.df.select((keyCols ++ inCols.flatten): _*)
@@ -607,19 +671,24 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
     }
     val aggCols: Seq[Column] = inputs.zipWithIndex.map { case ((a, cOpt), i) =>
       val in = col(s"__agg_in_$i")
+      val mode = cOpt.map(_._2).getOrElse("view")
+      val numIn = if (mode == "num") in else in.getField("num")
       val c: Column = a.fn match {
         case "count" if cOpt.isEmpty => count(lit(1))
         case "count" if a.distinct => count_distinct(in)
         case "count" => count(in)
         case "sum" =>
-          if (a.distinct) coalesce(aggregate(collect_set(in.getField("num")),
+          if (a.distinct) coalesce(aggregate(collect_set(numIn),
             lit(0.0), (acc, x) => acc + x), lit(0.0))
-          else coalesce(sum(in.getField("num")), lit(0.0))
+          else coalesce(sum(numIn), lit(0.0))
         case "avg" =>
           if (a.distinct) {
-            val s = collect_set(in.getField("num"))
+            val s = collect_set(numIn)
             coalesce(aggregate(s, lit(0.0), (acc, x) => acc + x) / size(s), lit(0.0))
-          } else coalesce(avg(in.getField("num")), lit(0.0))
+          } else coalesce(avg(numIn), lit(0.0))
+        case "min" if mode == "id" => min(in)
+        case "max" if mode == "id" => max(in)
+        case "sample" if mode == "id" => min(in)
         case "min" => min_by(in, when(in.isNotNull, sortStruct(i)))
         case "max" => max_by(in, when(in.isNotNull, sortStruct(i)))
         case "sample" => min_by(in, when(in.isNotNull, sortStruct(i))) // deterministic SAMPLE
@@ -646,22 +715,26 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
       lit(TermRow.KIND_LITERAL).as("kind"), c.as("lex"),
       lit(Term.xsdString).as("dt"), lit(null).cast(StringType).as("lang"),
       lit(null).cast(DoubleType).as("num"))).otherwise(lit(null).cast(TermRow.schema))
-    inputs.zipWithIndex.foreach { case ((a, _), i) =>
+    val idOuts = inputs.collect { case ((a, Some((_, "id")))) => a.out }.toSet
+    inputs.zipWithIndex.foreach { case ((a, cOpt), i) =>
       val raw = col(s"__agg_out_$i")
       val v = a.fn match {
         case "count" => numView(raw, Term.xsdInteger)
         case "sum" | "avg" => numView(raw, Term.xsdDouble)
-        case "min" | "max" | "sample" => raw
+        case "min" | "max" | "sample" => raw // id mode: stays an id column
         case "group_concat" => strView(raw)
       }
       out = out.withColumn(a.out, v).drop(s"__agg_out_$i")
     }
     val keptKeys = keys.filter(sol.reps.contains)
     Sol(out,
-      keptKeys.map(v => v -> sol.reps(v)).toMap ++ aggs.map(_.out -> (TermRep: Rep)),
+      keptKeys.map(v => v -> sol.reps(v)).toMap ++
+        aggs.map(a => a.out -> (if (idOuts.contains(a.out)) IdRep else TermRep: Rep)),
       (sol.certain intersect keptKeys.toSet) ++
         aggs.filter(a => a.fn == "count" || a.fn == "sum" || a.fn == "avg" ||
           a.fn == "group_concat").map(_.out),
+      Set.empty,
+      (sol.inl intersect keptKeys.toSet) ++ idOuts,
       Set.empty)
   }
 
@@ -682,7 +755,14 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
       val wBase = if (partCols.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(partCols: _*)
       val w = if (ordCols.isEmpty) wBase else wBase.orderBy(ordCols: _*)
 
-      val inOpt: Option[Column] = spec.e.map { expr =>
+      // num fast path: all-numeric vars aggregate their companion directly
+      val numFast: Option[Column] = spec.e match {
+        case Some(EVar(n)) if sol.nums.contains(n) && sol.numAll.contains(n) &&
+            Seq("sum", "avg", "count").contains(spec.fn) =>
+          Some(col(bt(sol.numCol(n))))
+        case _ => None
+      }
+      val inOpt: Option[Column] = if (numFast.isDefined) None else spec.e.map { expr =>
         val (s2, c) = exprColumn(sol, expr); sol = s2; c
       }
       val numView: Column => Column = c => when(c.isNotNull, struct(
@@ -714,9 +794,12 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
           val bucket = (floor((d - 1) * n / dMax) + 1).cast(LongType)
           intView(bucket)
         case "count" =>
-          intView(inOpt.map(c => count(c).over(framed)).getOrElse(count(lit(1)).over(framed)))
-        case "sum" => numView(sum(inOpt.get.getField("num")).over(framed))
-        case "avg" => numView(avg(inOpt.get.getField("num")).over(framed))
+          intView(numFast.orElse(inOpt).map(c => count(c).over(framed))
+            .getOrElse(count(lit(1)).over(framed)))
+        case "sum" =>
+          numView(sum(numFast.getOrElse(inOpt.get.getField("num"))).over(framed))
+        case "avg" =>
+          numView(avg(numFast.getOrElse(inOpt.get.getField("num"))).over(framed))
         case "min" => min_by(inOpt.get, when(inOpt.get.isNotNull, struct(
           inOpt.get.getField("kind"), inOpt.get.getField("num"), inOpt.get.getField("lex"),
           inOpt.get.getField("dt"), inOpt.get.getField("lang")))).over(framed)

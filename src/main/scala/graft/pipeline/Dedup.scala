@@ -69,12 +69,12 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
 
-    // exact Jaccard verification of candidates only
+    // exact Jaccard verification of candidates only; the second join keys on
+    // (b, h) so matching shingles join directly instead of exploding per-b
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("a"), col("h").as("ha")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("h").as("hb")), "b")
-      .filter(col("ha") === col("hb"))
+      .join(sh.select(col("doc_id").as("a"), col("h")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")

@@ -48,27 +48,38 @@ object Similarity {
     Seq.fill(nTables)(Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
+  /** One UDF computing ALL table signatures per row (a 2-level Scala loop beats
+    * nTables×nBits interpreted higher-order expressions by ~100×). */
+  private def sigsUdf(pls: Seq[Seq[Array[Double]]]) = udf { (e: Seq[Double]) =>
+    val arr = e.toArray
+    pls.map { tablePlanes =>
+      var sig = 0L
+      var i = 0
+      while (i < tablePlanes.length) {
+        val pl = tablePlanes(i)
+        var d = 0.0
+        var j = 0
+        while (j < arr.length && j < pl.length) { d += arr(j) * pl(j); j += 1 }
+        if (d > 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    }
+  }
+
+  /** Explode (vec_id, e, nrm) into one row per (table, signature) bucket. */
+  private def bucketize(d: DataFrame, pls: Seq[Seq[Array[Double]]]): DataFrame =
+    d.withColumn("sigs", sigsUdf(pls)(col("e")))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        posexplode(col("sigs")).as(Seq("tbl", "sig")))
+
   /** Approximate cosine top-k via random-hyperplane LSH + rerank. */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nTables: Int = 16, nBits: Int = 6, dim: Int = 64, seed: Long = 42): DataFrame = {
     val pls = planes(dim, nTables, nBits, seed)
     val e = withNorm(emb(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // signature per table: sign bits of plane dot products, packed to a long
-    def sigCol(t: Int): Column = {
-      val bits = pls(t).zipWithIndex.map { case (pl, i) =>
-        val planeLit = array(pl.map(lit): _*)
-        when(dot(col("e"), planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }
-    val tables = (0 until nTables).map(t =>
-      struct(lit(t).as("tbl"), sigCol(t).as("sig")))
-    val bucketed = e.select(col("vec_id"), col("e"), col("nrm"),
-        explode(array(tables: _*)).as("bk"))
-      .select(col("vec_id"), col("e"), col("nrm"),
-        col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+    val bucketed = bucketize(e, pls)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val qb = bucketed.filter(col("vec_id") < nQueries)
@@ -92,18 +103,7 @@ object Similarity {
       nTables: Int = 8, nBits: Int = 12, dim: Int = 64, seed: Long = 42): DataFrame = {
     val pls = planes(dim, nTables, nBits, seed)
     val e = withNorm(emb(spark, dir))
-    def sigCol(t: Int): Column = {
-      val bits = pls(t).zipWithIndex.map { case (pl, i) =>
-        val planeLit = array(pl.map(lit): _*)
-        when(dot(col("e"), planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }
-    val tables = (0 until nTables).map(t => struct(lit(t).as("tbl"), sigCol(t).as("sig")))
-    val bucketed = e.select(col("vec_id"), col("e"), col("nrm"),
-        explode(array(tables: _*)).as("bk"))
-      .select(col("vec_id"), col("e"), col("nrm"),
-        col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+    val bucketed = bucketize(e, pls)
     val pairs = bucketed.alias("x").join(bucketed.alias("y"),
         col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))

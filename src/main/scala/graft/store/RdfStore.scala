@@ -22,7 +22,12 @@ final case class RdfStore(
     quads: DataFrame,
     terms: DataFrame,
     scheme: IriScheme,
-    defaultGraphs: Seq[Long]) {
+    defaultGraphs: Seq[Long],
+    /** predicate id → (all objects inline-encoded, all objects numeric). Drives the
+      * compiler's id-order sort and no-dictionary-join fast paths. */
+    predProfiles: Map[Long, (Boolean, Boolean)] = Map.empty,
+    /** true when every subject/predicate/graph id in the store is inline. */
+    spgAllInline: Boolean = false) {
 
   def spark: SparkSession = quads.sparkSession
 
@@ -30,13 +35,41 @@ final case class RdfStore(
   lazy val graphIds: Seq[Long] =
     quads.select("g").distinct().collect().map(_.getLong(0)).toSeq
 
+  @transient private lazy val idCache =
+    new java.util.concurrent.ConcurrentHashMap[Term, Option[Long]]()
+
   def idOf(t: Term): Option[Long] =
-    scheme.tryInline(t).orElse {
-      val r = TermRow.toRow(t)
+    scheme.tryInline(t).orElse(idCache.computeIfAbsent(t, t0 => {
+      val r = TermRow.toRow(t0)
       terms.filter(col("kind") === r.get(0) && col("lex") === r.get(1) &&
         col("dt") <=> r.get(2) && col("lang") <=> r.get(3))
         .select("id").collect().headOption.map(_.getLong(0))
-    }
+    }))
+}
+
+object RdfStore {
+  import TermId._
+  private val dictTags = Seq(TAG_BLANK, TAG_IRI, TAG_DECIMAL, TAG_DOUBLE, TAG_FLOAT,
+    TAG_STRING, TAG_LANG, TAG_TYPED)
+
+  private def isDict(c: org.apache.spark.sql.Column) =
+    shiftright(c, PAYLOAD_BITS).bitwiseAND(0xFF).isin(dictTags.map(Integer.valueOf): _*)
+
+  /** One aggregation pass over the quads computing per-predicate type profiles and
+    * the global s/p/g inline flag. Cheap relative to load; at cluster scale this is
+    * the ANALYZE step persisted next to the data.
+    */
+  def computeProfiles(quads: DataFrame): (Map[Long, (Boolean, Boolean)], Boolean) = {
+    val perPred = quads.groupBy("p").agg(
+      max(when(isDict(col("o")), 1).otherwise(0)).as("anyDict"),
+      max(when(col("onum").isNull, 1).otherwise(0)).as("anyNonNum"),
+      max(when(isDict(col("s")) || isDict(col("p")) || isDict(col("g")), 1)
+        .otherwise(0)).as("anySpgDict")).collect()
+    val m = perPred.map(r =>
+      r.getLong(0) -> (r.getInt(1) == 0, r.getInt(2) == 0)).toMap
+    val spg = perPred.forall(_.getInt(3) == 0)
+    (m, spg)
+  }
 }
 
 object StoreEncoder {
@@ -79,8 +112,10 @@ object StoreEncoder {
     val quads = q.select(
       col("sid").as("s"), col("pid").as("p"), col("oid").as("o"), col("gid").as("g"),
       col("o.num").as("onum"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val graphs = quads.select("g").distinct().collect().map(_.getLong(0)).toSeq
-    RdfStore(quads, terms, scheme, graphs)
+    val (profiles, spg) = RdfStore.computeProfiles(quads)
+    RdfStore(quads, terms, scheme, graphs, profiles, spg)
   }
 
   /** Assign dictionary ids to distinct struct-space term views. */

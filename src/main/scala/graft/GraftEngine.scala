@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.algebra._
+import graft.engine._
+import graft.model.Term
+import graft.parser.SparqlParser
+import graft.store.{RdfStore, RelToRdf}
+
+/** Public facade: execute SPARQL 1.1 text queries against an [[RdfStore]].
+  *
+  * Mirrors the reference's library entry point (`query.execute(quadstore:)`,
+  * kasei/kineo `Sources/Kineo/SPARQL/Query.swift:65-76`): parse → algebra →
+  * compile → DataFrame, with query-form dispatch
+  * (`QueryPlanner.swift:1169-1202`).
+  *
+  *  - SELECT  → one struct column (kind, lex, dt, lang, num) per projected
+  *    variable; NULL = unbound
+  *  - ASK     → single boolean column `ask`
+  *  - CONSTRUCT/DESCRIBE → (subject, predicate, object) lexical-form strings
+  */
+final class GraftEngine(val store: RdfStore,
+    extensions: Map[String, Seq[Term] => Term] = Map.empty,
+    serviceClient: Option[ServiceClient] = None) {
+
+  val compiler = new Compiler(store,
+    ExprEval.Ctx(System.currentTimeMillis() * 1000L, extensions), serviceClient)
+
+  def query(sparql: String): DataFrame = {
+    val pq = SparqlParser.parse(sparql)
+    pq.form match {
+      case "select" =>
+        Results.materialize(compiler, compiler.compile(pq.algebra))
+      case "ask" =>
+        Results.ask(compiler.compile(pq.algebra))
+      case "construct" =>
+        Results.construct(compiler, compiler.compile(pq.algebra), pq.constructTemplates)
+      case "describe" =>
+        Results.describe(compiler, compiler.compile(pq.algebra), pq.describeVar.get)
+    }
+  }
+
+  /** Raw compiled solution (id-space columns) — for composition with DataFrame code. */
+  def solutions(sparql: String): Sol =
+    compiler.compile(SparqlParser.parse(sparql).algebra)
+}
+
+object GraftEngine {
+  /** Engine over the relational testdata mapped to RDF (FIXTURES.md §6). */
+  def forTestData(spark: SparkSession, dir: String): GraftEngine =
+    new GraftEngine(RelToRdf.cached(spark, dir))
+}

@@ -99,6 +99,11 @@ final case class WinSpec(out: String, fn: String, e: Option[Expr], partBy: Seq[S
 final case class AWindow(child: Algebra, fns: Seq[WinSpec]) extends Algebra
 /** Inline VALUES table; None = unbound cell. */
 final case class ATable(vars: Seq[String], rows: Seq[Seq[Option[Term]]]) extends Algebra
+/** SERVICE: ship the inner pattern to a remote endpoint via a pluggable client
+  * (reference ServicePlan, MaterializedQueryPlan.swift:669-703 — a driver-side
+  * call, never cluster work). */
+final case class AService(endpoint: Node, child: Algebra, silent: Boolean = false)
+  extends Algebra
 
 object Algebra {
   /** Variables possibly bound by this algebra (reference `inscope`,
@@ -121,6 +126,8 @@ object Algebra {
     case AGroup(_, keys, aggs) => keys.toSet ++ aggs.map(_.out)
     case AWindow(c, fns) => inscope(c) ++ fns.map(_.out)
     case ATable(vs, _) => vs.toSet
+    case AService(e, c, _) =>
+      inscope(c) ++ (e match { case V(n) => Set(n); case _ => Set.empty })
   }
 
   /** Variables bound in every solution (reference `necessarilyBound`,
@@ -146,5 +153,6 @@ object Algebra {
       vs.zipWithIndex.collect {
         case (v, i) if rows.forall(r => r.lift(i).flatten.isDefined) => v
       }.toSet
+    case AService(_, _, _) => Set.empty // remote bindings: no certainty guarantees
   }
 }

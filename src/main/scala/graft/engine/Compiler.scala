@@ -64,7 +64,14 @@ final case class Sol(df: DataFrame, reps: Map[String, Rep], certain: Set[String]
   * structs only at expression/result edges (`MaterializedQueryPlan.swift:11-61`),
   * and let Catalyst pick physical join strategies.
   */
-final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Serializable {
+/** Pluggable SERVICE endpoint client (driver-side; the default engine has none —
+  * tests register mocks, deployments register an HTTP SPARQL-protocol client). */
+trait ServiceClient {
+  def execute(endpoint: String, pattern: Algebra, vars: Seq[String]): Seq[Map[String, Term]]
+}
+
+final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
+    val serviceClient: Option[ServiceClient] = None) extends Serializable {
   import graft.engine.{EvalError => EvalError}
   private val spark = store.spark
   import spark.implicits._
@@ -439,6 +446,23 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx) extends Seriali
       val df = spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq, 1), schema)
       Sol(df, vs.map(_ -> (TermRep: Rep)).toMap,
         Algebra.certain(ATable(vs, rows)), Set.empty)
+
+    case AService(endpoint, child, silent) =>
+      val ep = endpoint match {
+        case T(Iri(iri)) => iri
+        case _ => throw new UnsupportedOperationException("SERVICE with variable endpoint")
+      }
+      serviceClient match {
+        case Some(client) =>
+          val vars = Algebra.inscope(child).toSeq.sorted
+          val rows = try client.execute(ep, child, vars) catch {
+            case e: Exception if silent => Seq.empty
+          }
+          compile(ATable(vars, rows.map(m => vars.map(m.get))))
+        case None =>
+          if (silent) compile(ATable(Seq.empty, Seq(Seq.empty)))
+          else throw new UnsupportedOperationException(s"no SERVICE client for <$ep>")
+      }
   }
 
   private def dropCompanions(sol: Sol): Sol =

@@ -1,0 +1,184 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.algebra._
+import graft.engine.ServiceClient
+import graft.model._
+
+class ParserSpec extends AnyFunSuite {
+  lazy val spark = SparkBase.spark
+  val sf = "/root/testdata/sf0.001"
+  lazy val eng = GraftEngine.forTestData(spark, sf)
+
+  val prolog =
+    """PREFIX c: <urn:p:customer:>
+      |PREFIX o: <urn:p:orders:>
+      |PREFIX n: <urn:p:nation:>
+      |PREFIX l: <urn:p:lineitem:>
+      |PREFIX fk: <urn:fk:>
+      |""".stripMargin
+
+  def lex(r: org.apache.spark.sql.Row, i: Int): String =
+    Option(r.getStruct(i)).map(_.getString(1)).orNull
+
+  test("basic select with ; and , shorthand") {
+    val df = eng.query(prolog +
+      """SELECT ?name ?seg WHERE {
+        |  ?c c:c_name ?name ; c:c_mktsegment ?seg .
+        |}""".stripMargin)
+    assert(df.columns.toSeq == Seq("name", "seg"))
+    assert(df.count() == 150)
+  }
+
+  test("filter with arithmetic and logical ops") {
+    val df = eng.query(prolog +
+      """SELECT ?qty ?price WHERE {
+        |  ?li l:l_quantity ?qty ; l:l_extendedprice ?price .
+        |  FILTER(?qty * 2 > 80 && ?price < 50000)
+        |}""".stripMargin)
+    val exp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") * 2 > 80 && col("l_extendedprice") < 50000).count()
+    assert(df.count() == exp)
+  }
+
+  test("optional with inner filter keeps unmatched rows") {
+    val df = eng.query(prolog +
+      """SELECT ?name ?tp WHERE {
+        |  ?c c:c_name ?name .
+        |  OPTIONAL { ?ord fk:customer ?c ; o:o_totalprice ?tp . FILTER(?tp > 250000) }
+        |}""".stripMargin)
+    val withTp = df.filter(col("tp").isNotNull).count()
+    val exp = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_totalprice") > 250000).count()
+    assert(withTp == exp)
+    assert(df.filter(col("tp").isNull).count() > 0)
+  }
+
+  test("union + bind + values") {
+    val df = eng.query(prolog +
+      """SELECT ?nm ?tag WHERE {
+        |  { ?n n:n_name ?nm . BIND("nation" AS ?tag) }
+        |  UNION
+        |  { ?r <urn:p:region:r_name> ?nm . BIND("region" AS ?tag) }
+        |}""".stripMargin)
+    assert(df.count() == 30)
+    val tags = df.collect().map(r => lex(r, 1)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(tags == Map("nation" -> 25, "region" -> 5))
+
+    val dfv = eng.query(prolog +
+      """SELECT ?rf WHERE {
+        |  VALUES ?rf { "A" "N" }
+        |  ?lix l:l_returnflag ?rf .
+        |}""".stripMargin)
+    val exp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_returnflag").isin("A", "N")).count()
+    assert(dfv.count() == exp)
+  }
+
+  test("aggregates with GROUP BY, HAVING, separator") {
+    val df = eng.query(prolog +
+      """SELECT ?rf (COUNT(*) AS ?n) (SUM(?qty) AS ?total) WHERE {
+        |  ?li l:l_returnflag ?rf ; l:l_quantity ?qty .
+        |} GROUP BY ?rf HAVING(COUNT(*) > 1000)""".stripMargin)
+    val exp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"), sum("l_quantity").as("t"))
+      .filter(col("n") > 1000).collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2)))).toSet
+    val got = df.collect().map(r =>
+      (lex(r, 1), lex(r, 0).toLong, math.round(lex(r, 2).toDouble))).toSet
+    assert(got == exp)
+
+    val dfc = eng.query(prolog +
+      """SELECT (GROUP_CONCAT(DISTINCT ?nm; SEPARATOR="|") AS ?all) WHERE {
+        |  ?r <urn:p:region:r_name> ?nm .
+        |}""".stripMargin)
+    val s = lex(dfc.collect().head, 0)
+    assert(s.split('|').length == 5 && s.contains("AFRICA"))
+  }
+
+  test("order by desc + limit + offset") {
+    val df = eng.query(prolog +
+      """SELECT ?ok ?tp WHERE {
+        |  ?ord o:o_orderkey ?ok ; o:o_totalprice ?tp .
+        |} ORDER BY DESC(?tp) LIMIT 3 OFFSET 2""".stripMargin)
+    val exp = spark.read.parquet(s"$sf/orders.parquet")
+      .orderBy(col("o_totalprice").desc).select("o_orderkey")
+      .collect().map(_.getLong(0)).slice(2, 5).toSeq
+    assert(df.collect().map(r => lex(r, 0).toLong).toSeq == exp)
+  }
+
+  test("property paths: sequence and plus through the parser") {
+    val df = eng.query(prolog +
+      """SELECT ?name WHERE {
+        |  <urn:t:orders:1> fk:customer/c:c_name ?name .
+        |}""".stripMargin)
+    assert(df.count() == 1)
+    val plus = eng.query(prolog +
+      """SELECT ?x WHERE {
+        |  <urn:t:orders:1> (fk:customer|fk:nation|fk:region)+ ?x .
+        |}""".stripMargin)
+    assert(plus.count() == 3)
+  }
+
+  test("subquery and EXISTS") {
+    val df = eng.query(prolog +
+      """SELECT ?name WHERE {
+        |  { SELECT ?c WHERE { ?ord fk:customer ?c . } }
+        |  ?c c:c_name ?name .
+        |  FILTER EXISTS { ?c c:c_acctbal ?bal . FILTER(?bal > 0) }
+        |}""".stripMargin)
+    // orders per customer with positive balance (multiset via subquery)
+    val exp = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet")
+        .filter(col("c_acctbal") > 0), col("o_custkey") === col("c_custkey"))
+      .count()
+    assert(df.count() == exp)
+  }
+
+  test("ask, construct, describe forms") {
+    assert(eng.query("ASK { ?s <urn:p:customer:c_name> ?n }").first().getBoolean(0))
+    assert(!eng.query(
+      """ASK { ?s <urn:p:customer:c_name> "NO_SUCH_NAME" }""").first().getBoolean(0))
+    val tri = eng.query(prolog +
+      """CONSTRUCT { ?r <urn:ex:named> ?nm . }
+        |WHERE { ?r <urn:p:region:r_name> ?nm . }""".stripMargin)
+    assert(tri.count() == 5)
+    assert(tri.columns.toSeq == Seq("subject", "predicate", "object"))
+    val desc = eng.query("DESCRIBE <urn:t:customer:7>")
+    assert(desc.count() == 6) // 5 columns + 1 fk
+  }
+
+  test("graph clause restricts to one graph") {
+    val df = eng.query(
+      """SELECT ?s ?o WHERE { GRAPH <urn:g:region> { ?s ?p ?o } }""")
+    assert(df.count() == 10) // region: 5 rows x 2 cols
+  }
+
+  test("service uses the pluggable client") {
+    val client = new ServiceClient {
+      def execute(ep: String, pattern: Algebra, vars: Seq[String]): Seq[Map[String, Term]] =
+        Seq(Map("ext" -> Term.str("hello")), Map("ext" -> Term.str("world")))
+    }
+    val e2 = new GraftEngine(eng.store, serviceClient = Some(client))
+    val df = e2.query(
+      """SELECT ?ext WHERE { SERVICE <http://remote.example/sparql> { ?x <urn:p:any> ?ext } }""")
+    assert(df.collect().map(r => lex(r, 0)).sorted.toSeq == Seq("hello", "world"))
+  }
+
+  test("expression functions through text: strings, casts, conditionals") {
+    val df = eng.query(prolog +
+      """SELECT ?nm ?u ?keynum ?cls WHERE {
+        |  ?c c:c_name ?nm ; c:c_acctbal ?bal .
+        |  BIND(UCASE(SUBSTR(?nm, 1, 8)) AS ?u)
+        |  BIND(<http://www.w3.org/2001/XMLSchema#integer>(STRAFTER(?nm, "#")) AS ?keynum)
+        |  BIND(IF(?bal >= 0, "ok", "neg") AS ?cls)
+        |  FILTER(CONTAINS(?nm, "1") || REGEX(?nm, "2$"))
+        |}""".stripMargin)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => lex(r, 3) == "CUSTOMER"))
+    assert(rows.forall(r => lex(r, 2) != null))
+    assert(rows.forall(r => Set("ok", "neg").contains(lex(r, 0))))
+  }
+}

@@ -86,8 +86,16 @@ object Results {
   /** DESCRIBE: all quads whose subject is one of the described terms
     * (reference SimpleQueryEvaluation.swift:1305-1319). */
   def describe(c: Compiler, sol: Sol, v: String): DataFrame = {
-    val ids = sol.df.select(v).dropDuplicates()
-    val q = c.store.quads.join(ids, c.store.quads("s") === ids(v), "left_semi")
+    val q = sol.reps(v) match {
+      case IdRep =>
+        val ids = sol.df.select(v).dropDuplicates()
+        c.store.quads.join(ids, c.store.quads("s") === ids(v), "left_semi")
+      case TermRep => // constant DESCRIBE targets: resolve ids driver-side (small set)
+        val ids = sol.df.select(v).dropDuplicates().collect()
+          .flatMap(r => Option(TV.toTerm(r.getStruct(0))).flatMap(c.store.idOf))
+        if (ids.isEmpty) c.store.quads.filter(lit(false))
+        else c.store.quads.filter(col("s").isin(ids.map(Long.box): _*))
+    }
     val dsol = Sol(
       q.select(col("s").as("ds"), col("p").as("dp"), col("o").as("dobj")),
       Map("ds" -> IdRep, "dp" -> IdRep, "dobj" -> IdRep),

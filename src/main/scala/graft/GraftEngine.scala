@@ -30,7 +30,12 @@ final class GraftEngine(val store: RdfStore,
     val pq = SparqlParser.parse(sparql)
     pq.form match {
       case "select" =>
-        Results.materialize(compiler, compiler.compile(pq.algebra))
+        val m = Results.materialize(compiler, compiler.compile(pq.algebra))
+        // materialize orders columns alphabetically; restore projection order
+        if (pq.projection.nonEmpty)
+          m.select(pq.projection.filter(m.columns.contains)
+            .map(org.apache.spark.sql.functions.col): _*)
+        else m
       case "ask" =>
         Results.ask(compiler.compile(pq.algebra))
       case "construct" =>

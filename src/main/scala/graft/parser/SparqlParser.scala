@@ -674,7 +674,11 @@ final class SparqlParser(input: String) {
         }
         more = eatCh(',')
       }
-      go = eatCh(';') && !peekCh('.') && !peekCh('}') && !peekCh(']')
+      // trailing ';' is legal (the following Verb+ObjectList is optional): stop
+      // when the next token cannot start a verb
+      go = eatCh(';') && !peekCh('.') && !peekCh('}') && !peekCh(']') &&
+        !Seq("FILTER", "OPTIONAL", "MINUS", "BIND", "VALUES", "GRAPH", "SERVICE",
+          "UNION", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET").exists(peekKw)
     }
   }
 

@@ -85,8 +85,9 @@ class ParserSpec extends AnyFunSuite {
       .groupBy("l_returnflag").agg(count(lit(1)).as("n"), sum("l_quantity").as("t"))
       .filter(col("n") > 1000).collect()
       .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2)))).toSet
+    assert(df.columns.toSeq == Seq("rf", "n", "total")) // projection order preserved
     val got = df.collect().map(r =>
-      (lex(r, 1), lex(r, 0).toLong, math.round(lex(r, 2).toDouble))).toSet
+      (lex(r, 0), lex(r, 1).toLong, math.round(lex(r, 2).toDouble))).toSet
     assert(got == exp)
 
     val dfc = eng.query(prolog +
@@ -175,10 +176,11 @@ class ParserSpec extends AnyFunSuite {
         |  BIND(IF(?bal >= 0, "ok", "neg") AS ?cls)
         |  FILTER(CONTAINS(?nm, "1") || REGEX(?nm, "2$"))
         |}""".stripMargin)
+    assert(df.columns.toSeq == Seq("nm", "u", "keynum", "cls"))
     val rows = df.collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(r => lex(r, 3) == "CUSTOMER"))
+    assert(rows.forall(r => lex(r, 1) == "CUSTOMER"))
     assert(rows.forall(r => lex(r, 2) != null))
-    assert(rows.forall(r => Set("ok", "neg").contains(lex(r, 0))))
+    assert(rows.forall(r => Set("ok", "neg").contains(lex(r, 3))))
   }
 }

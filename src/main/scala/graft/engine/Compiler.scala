@@ -65,8 +65,9 @@ final case class Sol(df: DataFrame, reps: Map[String, Rep], certain: Set[String]
   * and let Catalyst pick physical join strategies.
   */
 /** Pluggable SERVICE endpoint client (driver-side; the default engine has none —
-  * tests register mocks, deployments register an HTTP SPARQL-protocol client). */
-trait ServiceClient {
+  * tests register mocks, deployments register an HTTP SPARQL-protocol client).
+  * Serializable because expression-UDF closures capture the owning Compiler. */
+trait ServiceClient extends Serializable {
   def execute(endpoint: String, pattern: Algebra, vars: Seq[String]): Seq[Map[String, Term]]
 }
 

@@ -81,13 +81,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
 
   // ---- id → view decoding ---------------------------------------------------
 
-  private val decodeInlineUdf = udf { (id: java.lang.Long) =>
-    if (id == null) None
-    else {
-      val t = TermId.tag(id)
-      if (scheme.isInlineTag(t)) Option(TV.of(scheme.decodeInline(id))) else None
-    }
-  }
+  /** Native Catalyst decode (codegen-friendly; see graft.functions.DecodeInlineTerm). */
+  private def decodeInlineUdf(c: Column): Column =
+    graft.functions.DecodeInlineTerm(c, scheme)
 
   /** Ensure variable `v` has a materialized view column; returns (sol, viewCol).
     * All-inline vars decode in place (no dictionary join).

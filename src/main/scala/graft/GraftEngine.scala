@@ -27,7 +27,8 @@ final class GraftEngine(val store: RdfStore,
     ExprEval.Ctx(System.currentTimeMillis() * 1000L, extensions), serviceClient)
 
   def query(sparql: String): DataFrame = {
-    val pq = SparqlParser.parse(sparql)
+    val pq0 = SparqlParser.parse(sparql)
+    val pq = pq0.copy(algebra = Rewriter.rewrite(pq0.algebra))
     pq.form match {
       case "select" =>
         val m = Results.materialize(compiler, compiler.compile(pq.algebra))
@@ -47,7 +48,7 @@ final class GraftEngine(val store: RdfStore,
 
   /** Raw compiled solution (id-space columns) — for composition with DataFrame code. */
   def solutions(sparql: String): Sol =
-    compiler.compile(SparqlParser.parse(sparql).algebra)
+    compiler.compile(Rewriter.rewrite(SparqlParser.parse(sparql).algebra))
 }
 
 object GraftEngine {

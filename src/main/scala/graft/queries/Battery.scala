@@ -30,7 +30,7 @@ object Battery {
   /** Compile + cast to native output in one call. */
   def run(spark: SparkSession, dir: String, a: Algebra, casts: (String, String)*): DataFrame = {
     val c = compiler(spark, dir)
-    Results.native(c, c.compile(a), casts)
+    Results.native(c, c.compile(Rewriter.rewrite(a)), casts)
   }
 
   private def round4(df: DataFrame, cols: String*): DataFrame =

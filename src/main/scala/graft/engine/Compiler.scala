@@ -931,7 +931,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     * quadratic (same in the reference, MaterializedQueryPlan.swift:2036-2068).
     */
   private def closure(s: Node, p: PathE, o: Node, g: Node, includeZero: Boolean): Sol = {
-    val edges = pathEdges(p, g).persist()
+    val edges = graft.pipeline.ScratchCache.persist(pathEdges(p, g))
     edges.count()
 
     def fix(seed: DataFrame): DataFrame = {

@@ -45,7 +45,7 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
     val sh = shingles(docs(spark, dir), shingleW)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ScratchCache.persist)
 
     // k min-aggregates in ONE groupBy: minhash_i = min over shingles of a seeded
     // re-hash (xxhash64(h, seed+i) — overflow-free under ANSI mode, same quality
@@ -103,7 +103,7 @@ object Dedup {
   /** SimHash near-dup pairs: 4 x 16-bit band buckets, verified by hamming <= maxHam. */
   def simhashPairs(spark: SparkSession, dir: String, maxHam: Int = 3): DataFrame = {
     val sig = simhash(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ScratchCache.persist)
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("bh")))
@@ -130,7 +130,7 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("n_chars"), explode(col("gs")).as("g"))
       .select(col("doc_id"), col("source"), col("n_chars"), xxhash64(col("g")).as("h"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ScratchCache.persist)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // staggered double-bucketing: every doc lands in floor(len/64) and
     // floor((len+32)/64)+M, so near-dups straddling a bucket boundary still share

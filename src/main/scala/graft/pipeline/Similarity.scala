@@ -29,7 +29,7 @@ object Similarity {
   def bruteTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5): DataFrame = {
     val e = withNorm(emb(spark, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ScratchCache.persist)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
     val scored = q.join(e, col("vec_id") =!= col("qid"))
@@ -78,9 +78,9 @@ object Similarity {
       nTables: Int = 16, nBits: Int = 6, dim: Int = 64, seed: Long = 42): DataFrame = {
     val pls = planes(dim, nTables, nBits, seed)
     val e = withNorm(emb(spark, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ScratchCache.persist)
     val bucketed = bucketize(e, pls)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ScratchCache.persist)
 
     val qb = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),

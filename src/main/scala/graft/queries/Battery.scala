@@ -643,6 +643,20 @@ object Battery {
       Some("SELECT c_name AS nm, CAST(split_part(c_name, '#', 2) AS BIGINT) * 2 AS keynum, " +
         "CAST(c_acctbal AS VARCHAR) AS balstr FROM customer")),
 
+    ("q_sparql_text", // end-to-end through the SPARQL *text* parser
+      (s: SparkSession, d: String) => {
+        val eng = new graft.GraftEngine(RelToRdf.cached(s, d))
+        val df = eng.query(
+          """PREFIX l: <urn:p:lineitem:>
+            |SELECT ?rf (COUNT(*) AS ?n) (SUM(?qty) AS ?sumqty) WHERE {
+            |  ?li l:l_returnflag ?rf ; l:l_quantity ?qty .
+            |} GROUP BY ?rf""".stripMargin)
+        df.select(col("rf.lex").as("rf"), col("n.lex").cast("long").as("n"),
+          round(col("sumqty.num"), 4).as("sumqty"))
+      },
+      Some("SELECT l_returnflag AS rf, count(*) AS n, round(sum(l_quantity), 4) " +
+        "AS sumqty FROM lineitem GROUP BY 1")),
+
     // ---- dedup pipeline ----
     ("dd_exact",
       (s: SparkSession, d: String) => graft.pipeline.Dedup.exact(s, d),

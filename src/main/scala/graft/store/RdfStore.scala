@@ -118,13 +118,58 @@ object StoreEncoder {
     RdfStore(quads, terms, scheme, graphs, profiles, spg)
   }
 
+  /** Bulk append (the reference's only mutation: `MutableQuadStoreProtocol
+    * .load(version:quads:)`, QuadStore.swift:141-144,170-258): encode new quads
+    * reusing the existing dictionary, assign fresh ids past the current maximum
+    * for genuinely new terms, and return a new store over the unioned frames.
+    */
+  def append(store: RdfStore, structQuads: DataFrame): RdfStore = {
+    val spark = structQuads.sparkSession
+    val scheme = store.scheme
+    val inl = udf { (r: org.apache.spark.sql.Row) =>
+      if (r == null) None else scheme.tryInline(TermRow.fromRow(r)).map(Long.box)
+    }
+    val withInline = structQuads
+      .withColumn("sid", inl(col("s"))).withColumn("pid", inl(col("p")))
+      .withColumn("oid", inl(col("o"))).withColumn("gid", inl(col("g")))
+      .localCheckpoint()
+    val positions = Seq("s", "p", "o", "g")
+    val needed = positions.map(pos =>
+        withInline.filter(col(pos + "id").isNull && col(pos).isNotNull)
+          .select(col(pos).as("t")))
+      .reduce(_ unionByName _).distinct()
+    val existing = store.terms.select(
+      struct(col("kind"), col("lex"), col("dt"), col("lang"), col("num")).as("t"))
+    val fresh = needed.join(existing, needed("t") <=> existing("t"), "left_anti")
+    val maxPayload = store.terms
+      .agg(max(col("id").bitwiseAND(TermId.PAYLOAD_MASK))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(-1L)
+    val freshTerms = dictFromViews(fresh, scheme, offset = maxPayload + 1)
+    val allTerms = store.terms.unionByName(freshTerms)
+    var q = withInline
+    val d = allTerms.select(struct(col("kind"), col("lex"), col("dt"), col("lang"),
+      col("num")).as("t"), col("id").as("__did"))
+    for (pos <- positions) {
+      q = q.join(d, q(pos) <=> d("t"), "left")
+        .withColumn(pos + "id", coalesce(col(pos + "id"), col("__did")))
+        .drop("t", "__did")
+    }
+    val newQuads = q.select(col("sid").as("s"), col("pid").as("p"),
+      col("oid").as("o"), col("gid").as("g"), col("o.num").as("onum"))
+    val quads = store.quads.unionByName(newQuads)
+    val graphs = quads.select("g").distinct().collect().map(_.getLong(0)).toSeq
+    val (profiles, spg) = RdfStore.computeProfiles(quads)
+    RdfStore(quads, allTerms, scheme, graphs, profiles, spg)
+  }
+
   /** Assign dictionary ids to distinct struct-space term views. */
-  def dictFromViews(dictViews: DataFrame, scheme: IriScheme): DataFrame = {
+  def dictFromViews(dictViews: DataFrame, scheme: IriScheme,
+      offset: Long = 0L): DataFrame = {
     val spark = dictViews.sparkSession
     val rdd = dictViews.rdd.zipWithIndex().map { case (r, idx) =>
       val t = TermRow.fromRow(if (r.schema.fields.length == 1) r.getStruct(0) else r)
       val tg = dictTag(t)
-      org.apache.spark.sql.Row.fromSeq(make(tg, idx) +: TermRow.toRow(t).toSeq)
+      org.apache.spark.sql.Row.fromSeq(make(tg, offset + idx) +: TermRow.toRow(t).toSeq)
     }
     spark.createDataFrame(rdd, termsSchema)
   }

@@ -29,6 +29,7 @@ final class GraftEngine(val store: RdfStore,
   def query(sparql: String): DataFrame = {
     val pq0 = SparqlParser.parse(sparql)
     val pq = pq0.copy(algebra = Rewriter.rewrite(pq0.algebra))
+    val compiler = compilerFor(pq)
     pq.form match {
       case "select" =>
         val m = Results.materialize(compiler, compiler.compile(pq.algebra))
@@ -45,6 +46,19 @@ final class GraftEngine(val store: RdfStore,
         Results.describe(compiler, compiler.compile(pq.algebra), pq.describeVar.get)
     }
   }
+
+  /** FROM/FROM NAMED: compile against a store restricted to the given dataset
+    * (reference dataset handling, QueryPlanner.swift:209-244). */
+  private def compilerFor(pq: graft.parser.ParsedQuery): Compiler =
+    if (pq.defaultGraphs.isEmpty && pq.namedGraphs.isEmpty) this.compiler
+    else {
+      def ids(iris: Seq[String]) = iris.flatMap(i => store.idOf(graft.model.Iri(i)))
+      val restricted = store.copy(
+        defaultGraphs =
+          if (pq.defaultGraphs.nonEmpty) ids(pq.defaultGraphs) else store.defaultGraphs,
+        namedGraphs = if (pq.namedGraphs.nonEmpty) Some(ids(pq.namedGraphs)) else None)
+      new Compiler(restricted, this.compiler.ctx, this.compiler.serviceClient)
+    }
 
   /** Raw compiled solution (id-space columns) — for composition with DataFrame code. */
   def solutions(sparql: String): Sol =

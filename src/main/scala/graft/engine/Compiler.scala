@@ -230,6 +230,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       case DefaultGraph =>
         if (store.defaultGraphs.toSet != store.graphIds.toSet)
           df = df.filter(col("g").isin(store.defaultGraphs: _*))
+      case V(_) => // GRAPH ?g ranges over the dataset's *named* graphs
+        for (named <- store.namedGraphs)
+          df = df.filter(col("g").isin(named: _*))
       case _ => ()
     }
     // bound terms → id filters (a term with no id in this store → empty scan)

@@ -25,7 +25,9 @@ final case class ParsedQuery(
     algebra: Algebra,
     projection: Seq[String],
     constructTemplates: Seq[(Node, Node, Node)],
-    describeVar: Option[String])
+    describeVar: Option[String],
+    defaultGraphs: Seq[String] = Seq.empty, // FROM <iri>
+    namedGraphs: Seq[String] = Seq.empty)   // FROM NAMED <iri>
 
 object SparqlParser {
   def parse(q: String): ParsedQuery = new SparqlParser(q).parseQuery()
@@ -232,11 +234,24 @@ final class SparqlParser(input: String) {
     r
   }
 
+  /** DatasetClause*: FROM <iri> | FROM NAMED <iri> (reference dataset resolution:
+    * QueryPlanner.swift:209-244 — default graph = union of FROM graphs). */
+  private def parseDatasetClauses(): (Seq[String], Seq[String]) = {
+    val defaults = scala.collection.mutable.ListBuffer[String]()
+    val named = scala.collection.mutable.ListBuffer[String]()
+    while (eatKw("FROM")) {
+      if (eatKw("NAMED")) named += parsePrefixedOrIri()
+      else defaults += parsePrefixedOrIri()
+    }
+    (defaults.toSeq, named.toSeq)
+  }
+
   private def parseAsk(): ParsedQuery = {
     expectKw("ASK")
+    val (dg, ng) = parseDatasetClauses()
     if (peekKw("WHERE")) eatKw("WHERE")
     val g = parseGroupGraphPattern()
-    ParsedQuery("ask", g, Seq.empty, Seq.empty, None)
+    ParsedQuery("ask", g, Seq.empty, Seq.empty, None, dg, ng)
   }
 
   private def parseDescribe(): ParsedQuery = {
@@ -249,9 +264,10 @@ final class SparqlParser(input: String) {
         val g = ATable(Seq("__desc"), Seq(Seq(Some(Iri(iri)))))
         return ParsedQuery("describe", g, Seq.empty, Seq.empty, Some("__desc"))
     }
+    val (dg, ng) = parseDatasetClauses()
     if (peekKw("WHERE")) eatKw("WHERE")
     val g = parseGroupGraphPattern()
-    ParsedQuery("describe", g, Seq.empty, Seq.empty, Some(v))
+    ParsedQuery("describe", g, Seq.empty, Seq.empty, Some(v), dg, ng)
   }
 
   private def parseConstruct(): ParsedQuery = {
@@ -272,10 +288,11 @@ final class SparqlParser(input: String) {
       eatCh('.')
     }
     expectCh('}')
+    val (dg, ng) = parseDatasetClauses()
     if (peekKw("WHERE")) eatKw("WHERE")
     val g = parseGroupGraphPattern()
     val mod = parseSolutionModifiers(g, Seq.empty, distinct = false, reduced = false)
-    ParsedQuery("construct", mod._1, Seq.empty, templates.toSeq, None)
+    ParsedQuery("construct", mod._1, Seq.empty, templates.toSeq, None, dg, ng)
   }
 
   private def parseVerbNode(): Node = {
@@ -334,6 +351,7 @@ final class SparqlParser(input: String) {
       }
       if (items.isEmpty) fail("empty SELECT list")
     }
+    val (dsDefaults, dsNamed) = parseDatasetClauses()
     if (peekKw("WHERE")) eatKw("WHERE")
     var g = parseGroupGraphPattern()
 
@@ -395,7 +413,7 @@ final class SparqlParser(input: String) {
     val (g2, projected) = parseSolutionModifiersWithProject(g,
       if (star) Algebra.inscope(g).toSeq.sorted else rewrittenItems.map(_._1),
       distinct, reduced, rewriteAggs)
-    (ParsedQuery("select", g2, projected, Seq.empty, None), projected)
+    (ParsedQuery("select", g2, projected, Seq.empty, None, dsDefaults, dsNamed), projected)
   }
 
   private def isAggCall(e: Expr): Boolean = e match {

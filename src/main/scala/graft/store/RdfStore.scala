@@ -27,7 +27,10 @@ final case class RdfStore(
       * compiler's id-order sort and no-dictionary-join fast paths. */
     predProfiles: Map[Long, (Boolean, Boolean)] = Map.empty,
     /** true when every subject/predicate/graph id in the store is inline. */
-    spgAllInline: Boolean = false) {
+    spgAllInline: Boolean = false,
+    /** FROM NAMED restriction: None = every graph is named (reference
+      * StoreDefaultDataset, Query.swift:196-219). */
+    namedGraphs: Option[Seq[Long]] = None) {
 
   def spark: SparkSession = quads.sparkSession
 

@@ -167,6 +167,22 @@ class ParserSpec extends AnyFunSuite {
     assert(df.collect().map(r => lex(r, 0)).sorted.toSeq == Seq("hello", "world"))
   }
 
+  test("FROM restricts the default graph; FROM NAMED restricts GRAPH ?g") {
+    // default graph = region only → ?s ?p ?o sees 10 quads
+    val df = eng.query(
+      """SELECT ?s ?o FROM <urn:g:region> WHERE { ?s ?p ?o }""")
+    assert(df.count() == 10)
+    // FROM NAMED: GRAPH ?g ranges over the named set only
+    val dfn = eng.query(
+      """SELECT ?g2 WHERE { GRAPH ?g2 { ?s ?p ?o } }""")
+    assert(dfn.select("g2").distinct().count() == 10) // all graphs named by default
+    val dfn2 = eng.query(
+      """SELECT ?g2 FROM NAMED <urn:g:region> FROM NAMED <urn:g:nation>
+        |WHERE { GRAPH ?g2 { ?s ?p ?o } }""".stripMargin)
+    val got = dfn2.collect().map(_.getStruct(0).getString(1)).toSet
+    assert(got == Set("urn:g:region", "urn:g:nation"))
+  }
+
   test("expression functions through text: strings, casts, conditionals") {
     val df = eng.query(prolog +
       """SELECT ?nm ?u ?keynum ?cls WHERE {

@@ -256,16 +256,16 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     val nums = firstPos.collect { case (n, "o") => n }.toSet
     // type-profile fast-path flags: s/p/g vars inline when the whole store is;
     // o vars per bound-predicate profile
-    val oProfile: Option[(Boolean, Boolean)] = qp.p match {
+    val oProfile: Option[graft.store.PredProfile] = qp.p match {
       case T(t) => store.idOf(t).flatMap(store.predProfiles.get)
       case _ => None
     }
     val inl = firstPos.collect {
       case (n, pos) if pos != "o" && store.spgAllInline => n
-      case (n, "o") if oProfile.exists(_._1) => n
+      case (n, "o") if oProfile.exists(_.allInline) => n
     }.toSet
     val numAll = firstPos.collect {
-      case (n, "o") if oProfile.exists(_._2) => n
+      case (n, "o") if oProfile.exists(_.allNumeric) => n
     }.toSet
     Sol(out, firstPos.keys.map(_ -> (IdRep: Rep)).toMap, firstPos.keySet.toSet, nums,
       inl, numAll)
@@ -278,13 +278,22 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     */
   def compileBGP(patterns: Seq[QuadPattern]): Sol = {
     require(patterns.nonEmpty, "empty BGP")
+    lazy val totalQuads: Double =
+      if (store.predProfiles.nonEmpty) store.predProfiles.values.map(_.count.toDouble).sum
+      else 1e6
     def cost(qp: QuadPattern): Double = {
-      var c = 1.0
       def unbound(n: Node) = n.isInstanceOf[V]
-      if (unbound(qp.s)) c *= 7.5
-      if (unbound(qp.p)) c *= 2.5
-      if (unbound(qp.o)) c *= 5.0
-      if (unbound(qp.g)) c *= 10.0
+      // cardinality-based when per-predicate statistics exist; the reference's
+      // static bound-position weights otherwise (QueryPlanCost.swift:231-248)
+      val base: Double = qp.p match {
+        case T(t) => store.idOf(t).flatMap(store.predProfiles.get)
+          .map(_.count.toDouble).getOrElse(totalQuads * 0.1)
+        case _ => totalQuads
+      }
+      var c = base
+      if (!unbound(qp.s)) c *= 0.001
+      if (!unbound(qp.o)) c *= 0.01
+      if (!unbound(qp.g) && qp.g != DefaultGraph) c *= 0.5
       c
     }
     val remaining = scala.collection.mutable.ListBuffer(patterns.sortBy(cost): _*)
@@ -436,6 +445,17 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       }
       sol.copy(df = sol.df.orderBy(sortCols: _*))
 
+    // COUNT-statistics shortcut (reference: Diomede answers COUNT star queries
+    // from Characteristic Sets statically, DiomedeQuadStore.swift:15-97): a
+    // group-less COUNT(*) over one all-variable / bound-p pattern is a stat lookup
+    case AGroup(BGP(Seq(qp)), Seq(), Seq(AggSpec(out, "count", None, false, _)))
+        if qp.g == DefaultGraph && store.defaultGraphs.toSet == store.graphIds.toSet &&
+          qp.s.isInstanceOf[V] && qp.o.isInstanceOf[V] &&
+          qp.vars.size == (Seq(qp.s, qp.p, qp.o).count(_.isInstanceOf[V]) + 0) &&
+          statCount(qp).isDefined =>
+      val n = statCount(qp).get
+      compile(ATable(Seq(out), Seq(Seq(Some(Term.int(n))))))
+
     case AGroup(c, keys, aggs) => compileGroup(compile(c), keys, aggs)
 
     case AWindow(c, fns) => compileWindow(compile(c), fns)
@@ -463,6 +483,18 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           if (silent) compile(ATable(Seq.empty, Seq(Seq.empty)))
           else throw new UnsupportedOperationException(s"no SERVICE client for <$ep>")
       }
+  }
+
+  /** Exact count for a single quad pattern from per-predicate statistics (only
+    * when every variable is distinct — no correlation — and p is bound or all). */
+  private def statCount(qp: QuadPattern): Option[Long] = qp.p match {
+    case T(t) if qp.s.isInstanceOf[V] && qp.o.isInstanceOf[V] &&
+        qp.s != qp.o =>
+      store.idOf(t).flatMap(store.predProfiles.get).map(_.count)
+    case V(_) if qp.s.isInstanceOf[V] && qp.o.isInstanceOf[V] &&
+        Seq(qp.s, qp.p, qp.o).distinct.size == 3 && store.predProfiles.nonEmpty =>
+      Some(store.predProfiles.values.map(_.count).sum)
+    case _ => None
   }
 
   private def dropCompanions(sol: Sol): Sol =

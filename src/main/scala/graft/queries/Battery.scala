@@ -643,6 +643,13 @@ object Battery {
       Some("SELECT c_name AS nm, CAST(split_part(c_name, '#', 2) AS BIGINT) * 2 AS keynum, " +
         "CAST(c_acctbal AS VARCHAR) AS balstr FROM customer")),
 
+    ("q_count_stat", // COUNT(*) answered from per-predicate statistics (no scan)
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(BGP(Seq(qp(V("l"), p("lineitem", "l_quantity"), V("q0")))),
+          Seq.empty, Seq(AggSpec("n", "count", None))),
+        "n" -> "long"),
+      Some("SELECT count(*) AS n FROM lineitem")),
+
     ("q_sparql_text", // end-to-end through the SPARQL *text* parser
       (s: SparkSession, d: String) => {
         val eng = new graft.GraftEngine(RelToRdf.cached(s, d))

@@ -23,9 +23,10 @@ final case class RdfStore(
     terms: DataFrame,
     scheme: IriScheme,
     defaultGraphs: Seq[Long],
-    /** predicate id → (all objects inline-encoded, all objects numeric). Drives the
-      * compiler's id-order sort and no-dictionary-join fast paths. */
-    predProfiles: Map[Long, (Boolean, Boolean)] = Map.empty,
+    /** predicate id → type profile + cardinality. Drives the compiler's id-order
+      * sort / no-dictionary-join fast paths, BGP join ordering, and the COUNT
+      * statistics shortcut. */
+    predProfiles: Map[Long, PredProfile] = Map.empty,
     /** true when every subject/predicate/graph id in the store is inline. */
     spgAllInline: Boolean = false,
     /** FROM NAMED restriction: None = every graph is named (reference
@@ -50,6 +51,10 @@ final case class RdfStore(
     }))
 }
 
+/** Per-predicate statistics (the ANALYZE output; reference analogue: Diomede's
+  * Characteristic Sets, kasei/kineo QuadStore/DiomedeQuadStore.swift:15-97). */
+final case class PredProfile(allInline: Boolean, allNumeric: Boolean, count: Long)
+
 object RdfStore {
   import TermId._
   private val dictTags = Seq(TAG_BLANK, TAG_IRI, TAG_DECIMAL, TAG_DOUBLE, TAG_FLOAT,
@@ -62,14 +67,15 @@ object RdfStore {
     * the global s/p/g inline flag. Cheap relative to load; at cluster scale this is
     * the ANALYZE step persisted next to the data.
     */
-  def computeProfiles(quads: DataFrame): (Map[Long, (Boolean, Boolean)], Boolean) = {
+  def computeProfiles(quads: DataFrame): (Map[Long, PredProfile], Boolean) = {
     val perPred = quads.groupBy("p").agg(
       max(when(isDict(col("o")), 1).otherwise(0)).as("anyDict"),
       max(when(col("onum").isNull, 1).otherwise(0)).as("anyNonNum"),
       max(when(isDict(col("s")) || isDict(col("p")) || isDict(col("g")), 1)
-        .otherwise(0)).as("anySpgDict")).collect()
+        .otherwise(0)).as("anySpgDict"),
+      count(lit(1)).as("n")).collect()
     val m = perPred.map(r =>
-      r.getLong(0) -> (r.getInt(1) == 0, r.getInt(2) == 0)).toMap
+      r.getLong(0) -> PredProfile(r.getInt(1) == 0, r.getInt(2) == 0, r.getLong(4))).toMap
     val spg = perPred.forall(_.getInt(3) == 0)
     (m, spg)
   }

@@ -50,6 +50,11 @@ object Expr {
     case EExists(_, _) => true
     case _ => false
   }
+  def hasBnode(e: Expr): Boolean = e match {
+    case ECall("bnode", _) => true
+    case ECall(_, as) => as.exists(hasBnode)
+    case _ => false
+  }
   def nondeterministic(e: Expr): Boolean = e match {
     case ECall(f, as) =>
       f == "rand" || f == "uuid" || f == "struuid" || f == "bnode" ||

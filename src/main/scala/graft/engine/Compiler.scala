@@ -51,7 +51,10 @@ case object TermRep extends Rep // struct column (kind, lex, dt, lang, num)
   *    sorts/aggregates can use the companion alone
   */
 final case class Sol(df: DataFrame, reps: Map[String, Rep], certain: Set[String],
-    nums: Set[String], inl: Set[String] = Set.empty, numAll: Set[String] = Set.empty) {
+    nums: Set[String], inl: Set[String] = Set.empty, numAll: Set[String] = Set.empty,
+    /** vars whose full value set is a small compile-time constant (VALUES
+      * tables): unlocks driver-side id resolution in mixed-rep joins. */
+    consts: Map[String, Seq[Term]] = Map.empty) {
   def vars: Set[String] = reps.keySet
   def numCol(v: String): String = "__n_" + v
 }
@@ -123,6 +126,43 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       s2.copy(df = df, reps = s2.reps + (v -> TermRep), nums = s2.nums - v)
   }
 
+  /** Convert a variable to IdRep (mixed-representation joins, small side).
+    *
+    * Inline-encodable terms (ints, dates, short strings, template IRIs) convert
+    * in a single UDF; only the leftovers pay a dictionary join — and that join
+    * runs over THIS (small) side, not the big id-space side. Terms absent from
+    * the store become NULL ids: under the plain `===` equality this method is
+    * gated on (certain-certain joins only), null matches nothing — exactly the
+    * semantics of a term no store quad contains.
+    */
+  private def toIdRep(sol: Sol, v: String): Sol = sol.reps(v) match {
+    case IdRep => sol
+    case TermRep =>
+      val converted: DataFrame = sol.consts.get(v) match {
+        case Some(ts) =>
+          // VALUES fast path: terms known at compile time → resolve ids
+          // driver-side (store.idOf caches); no scan, no join in the plan
+          val m: Map[Term, Long] =
+            ts.flatMap(t => store.idOf(t).map(t -> _)).toMap
+          val lookUdf = udf { (r: Row) => Option(r).map(TV.toTerm).flatMap(m.get) }
+          sol.df.withColumn(v, lookUdf(col(bt(v))))
+        case None =>
+          val schemeL = scheme
+          val inlUdf = udf { (r: Row) =>
+            if (r == null) None else schemeL.tryInline(TV.toTerm(r)).map(Long.box)
+          }
+          val df0 = sol.df.withColumn("__iid", inlUdf(col(bt(v))))
+          val d = store.terms.select(
+            struct(col("kind"), col("lex"), col("dt"), col("lang"), col("num")).as("__dt"),
+            col("id").as("__did"))
+          df0.join(d, col(bt(v)) <=> col("__dt") && col("__iid").isNull, "left")
+            .withColumn(v, coalesce(col("__iid"), col("__did")))
+            .drop("__iid", "__dt", "__did")
+      }
+      sol.copy(df = converted, reps = sol.reps + (v -> IdRep),
+        nums = sol.nums - v, inl = sol.inl - v, numAll = sol.numAll - v)
+  }
+
   private def bt(c: String) = s"`$c`"
 
   // ---- expression compilation ----------------------------------------------
@@ -146,16 +186,36 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         c.as("num"))).otherwise(lit(null).cast(TermRow.schema)))
     case None =>
       val fv = Expr.freeVars(e).toSeq.sorted
-      val (sol, views) = withViews(sol0, fv)
+      val (sol1, views) = withViews(sol0, fv)
       val theCtx = ctx
-      var u = udf { (vals: Seq[Row]) =>
-        val m = fv.zip(vals.map(TV.toTerm)).toMap
-        try Option(TV.of(ExprEval.eval(e, m.getOrElse(_, null), theCtx)))
-        catch { case _: EvalError => None }
+      if (Expr.hasBnode(e)) {
+        // per-row bnode label scope: all expressions of a row share the nonce
+        // column, so BNODE("x") co-refers across BINDs of the same solution row
+        val (sol, nonceCol) = withRowNonce(sol1)
+        val exprId = freshId()
+        val u = udf { (nonce: Long, vals: Seq[Row]) =>
+          val m = fv.zip(vals.map(TV.toTerm)).toMap
+          val scope = new ExprEval.BnodeScope(nonce, exprId)
+          try Option(TV.of(ExprEval.eval(e, m.getOrElse(_, null), theCtx, scope)))
+          catch { case _: EvalError => None }
+        }.asNondeterministic()
+        (sol, u(nonceCol, array(views: _*)))
+      } else {
+        var u = udf { (vals: Seq[Row]) =>
+          val m = fv.zip(vals.map(TV.toTerm)).toMap
+          try Option(TV.of(ExprEval.eval(e, m.getOrElse(_, null), theCtx)))
+          catch { case _: EvalError => None }
+        }
+        if (Expr.nondeterministic(e)) u = u.asNondeterministic()
+        (sol1, u(array(views: _*)))
       }
-      if (Expr.nondeterministic(e)) u = u.asNondeterministic()
-      (sol, u(array(views: _*)))
   }
+
+  /** Ensure the solution carries a per-row unique nonce column (bnode scoping). */
+  private def withRowNonce(sol: Sol): (Sol, Column) =
+    if (sol.df.columns.contains("__rownonce")) (sol, col("`__rownonce`"))
+    else (sol.copy(df = sol.df.withColumn("__rownonce", monotonically_increasing_id())),
+      col("`__rownonce`"))
 
   /** Compile an expression to a Boolean EBV Column (null → row dropped by filter). */
   def ebvColumn(sol0: Sol, e: Expr): (Sol, Column) = fastBool(sol0, e) match {
@@ -317,8 +377,24 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       extraFilter: Option[(Sol, Sol) => (Sol, Sol, Column)] = None): Sol = {
     var l = l0; var r = r0
     val shared = (l.vars intersect r.vars).toSeq.sorted
-    // align representations on shared vars
-    for (v <- shared if l.reps(v) != r.reps(v)) { l = toTermRep(l, v); r = toTermRep(r, v) }
+    // align representations on shared vars. Preferred direction: convert the
+    // TermRep side to ids and keep the (usually much bigger) id-space side
+    // untouched — legal when the var is certain on both sides (plain `===`
+    // equality; null ids for store-absent terms match nothing) and the
+    // TermRep side's bindings don't have to survive unmatched (it's not the
+    // preserved side of an outer/anti join). Otherwise fall back to
+    // coercing both sides to term structs.
+    for (v <- shared if l.reps(v) != r.reps(v)) {
+      val bothCertain = l.certain.contains(v) && r0.certain.contains(v)
+      val idSafe = bothCertain && (kind match {
+        case "inner" | "left_semi" => true
+        case "left_outer" | "left_anti" => l.reps(v) == IdRep // convert right only
+        case _ => false
+      })
+      if (idSafe) {
+        if (l.reps(v) == TermRep) l = toIdRep(l, v) else r = toIdRep(r, v)
+      } else { l = toTermRep(l, v); r = toTermRep(r, v) }
+    }
 
     // rename ALL right columns
     val rdf0 = r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, "__r_" + c))
@@ -464,8 +540,13 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       val schema = StructType(vs.map(v => StructField(v, TermRow.schema, nullable = true)))
       val data = rows.map(r => Row.fromSeq(r.map(_.map(TermRow.toRow).orNull)))
       val df = spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq, 1), schema)
+      val consts =
+        if (rows.size > 1000) Map.empty[String, Seq[Term]]
+        else vs.zipWithIndex.map { case (v, i) =>
+          v -> rows.flatMap(r => r.lift(i).flatten).distinct
+        }.toMap
       Sol(df, vs.map(_ -> (TermRep: Rep)).toMap,
-        Algebra.certain(ATable(vs, rows)), Set.empty)
+        Algebra.certain(ATable(vs, rows)), Set.empty, consts = consts)
 
     case AService(endpoint, child, silent) =>
       val ep = endpoint match {
@@ -498,8 +579,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   }
 
   private def dropCompanions(sol: Sol): Sol =
-    Sol(sol.df.drop(sol.nums.toSeq.map("__n_" + _): _*), sol.reps, sol.certain,
-      Set.empty, sol.inl, Set.empty)
+    Sol(sol.df.drop(sol.nums.toSeq.map("__n_" + _) :+ "__rownonce": _*), sol.reps,
+      sol.certain, Set.empty, sol.inl, Set.empty)
 
   // ---- filter (incl. EXISTS rewrite) ---------------------------------------
 

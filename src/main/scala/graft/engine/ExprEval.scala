@@ -26,6 +26,35 @@ object ExprEval {
   final case class Ctx(nowEpochUs: Long,
       extensions: Map[String, Seq[Term] => Term] = Map.empty) extends Serializable
 
+  /** Per-row blank-node label scope (reference NextRowPlan,
+    * MaterializedQueryPlan.swift:517-537 + Expression.swift:103-105): BNODE("x")
+    * evaluated twice for the same solution row must yield the SAME blank node,
+    * while different rows yield different ones. `nonce` is a per-row unique value
+    * (the compiler passes a monotonic row id); `exprId` disambiguates argless
+    * BNODE() across distinct compiled expressions sharing a row.
+    */
+  final class BnodeScope(nonce: Long, exprId: Int) {
+    private var n = 0
+    private def hex(s: String): String = {
+      // bnode labels must stay in a safe charset; hash arbitrary user labels
+      if (s.forall(ch => ch.isLetterOrDigit && ch < 128)) s
+      else java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s))
+    }
+    /** Deterministic per (row, label): same-row coreference holds across all
+      * expressions of the row (they share the nonce). */
+    def labeled(label: String): BNode =
+      BNode("rb" + java.lang.Long.toHexString(nonce) + "x" + hex(label))
+    /** Fresh per evaluation; unique across a row's expressions via exprId. */
+    def fresh(): BNode = {
+      n += 1
+      BNode("rf" + java.lang.Long.toHexString(nonce) + "e" + exprId + "n" + n)
+    }
+  }
+
+  /** Driver-side fallback scope (one-off evals outside a row context). */
+  def freshScope(): BnodeScope =
+    new BnodeScope(java.util.concurrent.ThreadLocalRandom.current().nextLong(), 0)
+
   // ---- numeric tower (reference NumericValue, MaterializedQueryPlan.swift:1380-1434)
   sealed trait Num { def d: Double }
   final case class NInt(v: Long) extends Num { def d: Double = v.toDouble }
@@ -157,14 +186,18 @@ object ExprEval {
   // ---- the interpreter -----------------------------------------------------
 
   /** Evaluate; binding returns null for unbound. Throws EvalError on SPARQL error. */
-  def eval(e: Expr, bind: String => Term, ctx: Ctx): Term = e match {
+  def eval(e: Expr, bind: String => Term, ctx: Ctx): Term =
+    eval(e, bind, ctx, freshScope())
+
+  def eval(e: Expr, bind: String => Term, ctx: Ctx, scope: BnodeScope): Term = e match {
     case EConst(t) => t
     case EVar(n) => bind(n) match { case null => err(s"unbound: ?$n"); case t => t }
     case EExists(_, _) => err("EXISTS must be rewritten to a join before eval")
-    case ECall(fn, args) => call(fn, args, bind, ctx)
+    case ECall(fn, args) => call(fn, args, bind, ctx, scope)
   }
 
-  private def ev(e: Expr, b: String => Term, c: Ctx): Term = eval(e, b, c)
+  private def ev(e: Expr, b: String => Term, c: Ctx)(implicit sc: BnodeScope): Term =
+    eval(e, b, c, sc)
 
   private def strArg(t: Term): String = t match {
     case Lit(l, dt, _) if dt == xsdString || dt == rdfLangString => l
@@ -222,7 +255,14 @@ object ExprEval {
   }
 
   // scalastyle:off cyclomatic.complexity method.length
-  private def call(fn: String, args: Seq[Expr], b: String => Term, c: Ctx): Term = fn match {
+  private def call(fn: String, args: Seq[Expr], b: String => Term, c: Ctx,
+      scope: BnodeScope): Term = {
+    implicit val sc: BnodeScope = scope
+    callImpl(fn, args, b, c)
+  }
+
+  private def callImpl(fn: String, args: Seq[Expr], b: String => Term, c: Ctx)(
+      implicit scope: BnodeScope): Term = fn match {
     // logical — 3-valued with error short-circuit (Expression.swift:484-507)
     case "&&" =>
       val l = try Some(ebvOrErr(ev(args(0), b, c))) catch { case _: EvalError => None }
@@ -329,9 +369,8 @@ object ExprEval {
       }
       Term.langStr(l, strArg(ev(args(1), b, c)))
     case "bnode" =>
-      if (args.isEmpty) BNode(java.util.UUID.randomUUID.toString.replace("-", ""))
-      else BNode("b" + strArg(ev(args(0), b, c)).hashCode.toHexString +
-        java.util.UUID.randomUUID.toString.take(8))
+      if (args.isEmpty) scope.fresh()
+      else scope.labeled(strArg(ev(args(0), b, c)))
     case "uuid" => Iri("urn:uuid:" + java.util.UUID.randomUUID.toString)
     case "struuid" => Term.str(java.util.UUID.randomUUID.toString)
 

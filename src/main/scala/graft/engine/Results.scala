@@ -60,22 +60,32 @@ object Results {
 
   /** CONSTRUCT: instantiate templates over bindings, drop non-ground triples,
     * dedup (reference QueryPlanner.swift:1181-1199). Output: lexical s/p/o strings.
+    *
+    * Scale shape: each template first dedups the solution on its *variable*
+    * columns in their native representation (id-space Longs for scan-born vars) —
+    * the dictionary join and lexical materialization run over the already-distinct
+    * set, so the big shuffle carries 8-byte ids, not strings. The final
+    * cross-template lexical dedup only sees output-sized input.
     */
   def construct(c: Compiler, sol0: Sol, templates: Seq[(Node, Node, Node)]): DataFrame = {
-    var sol = sol0
-    def colOf(n: Node): Column = n match {
-      case T(t) => lit(t.lex)
-      case V(v) =>
-        val (s2, vc) = c.withView(sol, v)
-        sol = s2
-        vc.getField("lex")
-      case DefaultGraph => lit(null).cast(StringType)
-    }
-    val parts = templates.map { case (s, p, o) =>
+    val dfs = templates.map { case (s, p, o) =>
+      val tvars = Seq(s, p, o).collect { case V(v) if sol0.reps.contains(v) => v }.distinct
+      // dedup in native rep first (id-space when the var came from a scan)
+      val deduped = Sol(
+        sol0.df.select(tvars.map(v => col(s"`$v`")): _*).dropDuplicates(),
+        sol0.reps.filter(kv => tvars.contains(kv._1)),
+        sol0.certain intersect tvars.toSet, Set.empty,
+        sol0.inl intersect tvars.toSet, Set.empty)
+      var sol = deduped
+      def colOf(n: Node): Column = n match {
+        case T(t) => lit(t.lex)
+        case V(v) if sol.reps.contains(v) =>
+          val (s2, vc) = c.withView(sol, v)
+          sol = s2
+          vc.getField("lex")
+        case _ => lit(null).cast(StringType)
+      }
       val (cs, cp, co) = (colOf(s), colOf(p), colOf(o))
-      (cs, cp, co)
-    }
-    val dfs = parts.map { case (cs, cp, co) =>
       sol.df.select(cs.as("subject"), cp.as("predicate"), co.as("object"))
         .filter(col("subject").isNotNull && col("predicate").isNotNull &&
           col("object").isNotNull)

@@ -98,11 +98,33 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Plant deterministic near-duplicates: for each vec_id < n, add a copy at
+    * vec_id + idOffset with coordinates scaled by a small cyclic factor
+    * (cosine vs the original ≈ 0.999). Gives the near-dup path known positives
+    * to find — the synthetic corpus itself has none (max pairwise cosine ≈ 0.6).
+    */
+  def plantNearDups(embDf: DataFrame, n: Int = 20, idOffset: Long = 1000000L): DataFrame = {
+    val planted = embDf.filter(col("vec_id") < n).select(
+      (col("vec_id") + idOffset).as("vec_id"),
+      transform(col("e"), (x, i) => x * (lit(1.0) + lit(0.03) * ((i % 3) - 1))).as("e"),
+      col("label"))
+    embDf.unionByName(planted)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold via LSH buckets. */
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.95,
+      nTables: Int = 8, nBits: Int = 12, dim: Int = 64, seed: Long = 42,
+      plant: Boolean = false): DataFrame = {
+    val base = emb(spark, dir)
+    nearDupPairsOf(if (plant) plantNearDups(base) else base, threshold,
+      nTables, nBits, dim, seed)
+  }
+
+  /** Near-dup pairs over an explicit (vec_id, e, label) frame. */
+  def nearDupPairsOf(embDf: DataFrame, threshold: Double = 0.95,
       nTables: Int = 8, nBits: Int = 12, dim: Int = 64, seed: Long = 42): DataFrame = {
     val pls = planes(dim, nTables, nBits, seed)
-    val e = withNorm(emb(spark, dir))
+    val e = withNorm(embDf)
     val bucketed = bucketize(e, pls)
     val pairs = bucketed.alias("x").join(bucketed.alias("y"),
         col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&

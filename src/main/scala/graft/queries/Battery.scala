@@ -701,9 +701,9 @@ object Battery {
       (s: SparkSession, d: String) => graft.pipeline.Similarity.lshTopK(s, d),
       None),
 
-    ("sim_neardup",
+    ("sim_neardup", // planted near-dup positives (corpus has no natural ones)
       (s: SparkSession, d: String) => graft.pipeline.Similarity.nearDupPairs(s, d,
-        threshold = 0.8),
+        threshold = 0.9, plant = true),
       None),
 
     // ---- text analysis ----

@@ -241,4 +241,42 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
     assert(got.sorted.toSeq == exp.sorted.toSeq)
   }
+
+  test("VALUES ⋈ BGP joins in id space (no struct coercion of the scan side)") {
+    // the 2-row VALUES side converts to ids driver-side; the lineitem-sized BGP
+    // side must NOT be materialized through term structs or the dictionary
+    val a = AJoin(
+      ATable(Seq("seg"), Seq(Seq(Some(Term.str("BUILDING"))), Seq(Some(Term.str("MACHINERY"))))),
+      BGP(Seq(
+        QuadPattern(V("c"), p("customer", "c_mktsegment"), V("seg")),
+        QuadPattern(V("c"), p("customer", "c_acctbal"), V("bal")))))
+    val sol = comp.compile(a)
+    assert(sol.reps("seg") == IdRep, "shared var must stay in id space")
+    val plan = sol.df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__tid") && !plan.contains("__dt"),
+      s"dictionary join leaked into VALUES join plan:\n$plan")
+    val got = Results.native(comp, sol, Seq("seg" -> "string", "bal" -> "double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted
+    val exp = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"), col("c_acctbal"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("BNODE(label) co-refers within a row, differs across rows (tiny store)") {
+    // two separate BINDs of BNODE("x") on the same solution row must produce the
+    // SAME blank node (per-row label scope); different rows different nodes
+    val a = AExtend(
+      AExtend(
+        BGP(Seq(QuadPattern(V("s"), T(Iri("http://example.org/name")), V("nm")))),
+        "b1", ECall("bnode", Seq(EConst(Term.str("x"))))),
+      "b2", ECall("bnode", Seq(EConst(Term.str("x")))))
+    val rows = Results.materialize(tcomp, tcomp.compile(a))
+      .select(col("b1.lex"), col("b2.lex")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length == 3)
+    rows.foreach { case (b1, b2) => assert(b1 == b2, "same row must co-refer") }
+    assert(rows.map(_._1).distinct.length == 3, "different rows must differ")
+  }
 }

@@ -190,6 +190,24 @@ class ExprEvalSpec extends AnyFunSuite {
     assert(dv >= 0.0 && dv < 1.0)
   }
 
+  test("BNODE per-row label scoping (NextRowPlan semantics)") {
+    // same scope (= same solution row): BNODE("x") co-refers; BNODE() stays fresh
+    val row1 = new ExprEval.BnodeScope(7L, 1)
+    val a = ExprEval.eval(call("bnode", s("x")), Map.empty[String, Term].getOrElse(_, null), ctx, row1)
+    val b = ExprEval.eval(call("bnode", s("x")), Map.empty[String, Term].getOrElse(_, null), ctx, row1)
+    assert(a == b, "same row, same label → same bnode")
+    val f1 = ExprEval.eval(call("bnode"), Map.empty[String, Term].getOrElse(_, null), ctx, row1)
+    val f2 = ExprEval.eval(call("bnode"), Map.empty[String, Term].getOrElse(_, null), ctx, row1)
+    assert(f1 != f2, "argless BNODE is fresh per call")
+    // different scope (= different row): different bnodes for the same label
+    val row2 = new ExprEval.BnodeScope(8L, 1)
+    val a2 = ExprEval.eval(call("bnode", s("x")), Map.empty[String, Term].getOrElse(_, null), ctx, row2)
+    assert(a != a2, "different rows → different bnodes")
+    // distinct labels in one row stay distinct
+    val y = ExprEval.eval(call("bnode", s("y")), Map.empty[String, Term].getOrElse(_, null), ctx, row1)
+    assert(a != y)
+  }
+
   test("encode_for_uri") {
     assert(ev(call("encode_for_uri", s("Los Angeles"))) == Term.str("Los%20Angeles"))
     assert(ev(call("encode_for_uri", s("a~b_c-d.e"))) == Term.str("a~b_c-d.e"))

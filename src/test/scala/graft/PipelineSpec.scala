@@ -106,4 +106,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(total == 1000L)
     assert(s.filter(col("n_sessions") < 1).count() == 0)
   }
+
+  test("embedding near-dup pairs: all planted pairs found, no false positives") {
+    val planted = Similarity.plantNearDups(Similarity.emb(spark, sf), n = 20)
+    val pairs = Similarity.nearDupPairsOf(planted, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 20L).map(i => (i, i + 1000000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing planted pairs: ${(expected -- pairs).mkString(",")}")
+    // the synthetic corpus has no natural pairs at cos >= 0.9 (max ≈ 0.6)
+    assert(pairs == expected, s"unexpected extra pairs: ${(pairs -- expected).mkString(",")}")
+  }
 }

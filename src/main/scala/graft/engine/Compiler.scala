@@ -187,6 +187,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     case None =>
       val fv = Expr.freeVars(e).toSeq.sorted
       val (sol1, views) = withViews(sol0, fv)
+      val viewMap = fv.zip(views).toMap
+      val native = NativeExpr.termColumn(e, viewMap.get, ctx.nowEpochUs)
+      if (native.isDefined) return (sol1, native.get)
       val theCtx = ctx
       if (Expr.hasBnode(e)) {
         // per-row bnode label scope: all expressions of a row share the nonce
@@ -223,6 +226,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     case None =>
       val fv = Expr.freeVars(e).toSeq.sorted
       val (sol, views) = withViews(sol0, fv)
+      val viewMap = fv.zip(views).toMap
+      val native = NativeExpr.ebvColumn(e, viewMap.get, ctx.nowEpochUs)
+      if (native.isDefined) return (sol, native.get)
       val theCtx = ctx
       var u = udf { (vals: Seq[Row]) =>
         val m = fv.zip(vals.map(TV.toTerm)).toMap

@@ -54,9 +54,19 @@ final case class Sol(df: DataFrame, reps: Map[String, Rep], certain: Set[String]
     nums: Set[String], inl: Set[String] = Set.empty, numAll: Set[String] = Set.empty,
     /** vars whose full value set is a small compile-time constant (VALUES
       * tables): unlocks driver-side id resolution in mixed-rep joins. */
-    consts: Map[String, Seq[Term]] = Map.empty) {
+    consts: Map[String, Seq[Term]] = Map.empty,
+    /** numeric-family flag from predicate statistics: FAM_INT = every bound value
+      * is an inline xsd:integer (exact long aggregation from the id payload);
+      * FAM_DBL = int/float/double mix promoting to xsd:double (companion-exact).
+      * Absent = unknown → typed aggregation uses the generic view path. */
+    fam: Map[String, Int] = Map.empty) {
   def vars: Set[String] = reps.keySet
   def numCol(v: String): String = "__n_" + v
+}
+
+object Sol {
+  val FAM_INT = 1
+  val FAM_DBL = 3
 }
 
 /** Compiles SPARQL algebra to DataFrame transformations over an [[RdfStore]].
@@ -333,8 +343,17 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     val numAll = firstPos.collect {
       case (n, "o") if oProfile.exists(_.allNumeric) => n
     }.toSet
+    val fam: Map[String, Int] = firstPos.collect {
+      case (n, "o") if oProfile.exists(p => p.allNumeric && p.oTags.nonEmpty) =>
+        val tags = oProfile.get.oTags
+        if (tags == Set(TermId.TAG_INTEGER)) Some(n -> Sol.FAM_INT)
+        else if (tags.contains(TermId.TAG_DOUBLE) &&
+          tags.subsetOf(Set(TermId.TAG_INTEGER, TermId.TAG_DOUBLE, TermId.TAG_FLOAT)))
+          Some(n -> Sol.FAM_DBL)
+        else None
+    }.flatten.toMap
     Sol(out, firstPos.keys.map(_ -> (IdRep: Rep)).toMap, firstPos.keySet.toSet, nums,
-      inl, numAll)
+      inl, numAll, fam = fam)
   }
 
   /** BGP join-order heuristic: bound-position selectivity weights from the
@@ -462,9 +481,16 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       if (rOnly.contains(v)) r0.numAll.contains(v) && r.nums.contains(v)
       else l.numAll.contains(v) && l.nums.contains(v)
     }
+    val fam = (l.vars ++ r.vars).flatMap { v =>
+      val f =
+        if (rOnly.contains(v)) r0.fam.get(v)
+        else if (shared.contains(v)) l.fam.get(v).filter(r0.fam.get(v).contains)
+        else l.fam.get(v)
+      f.map(v -> _)
+    }.toMap
     Sol(out.select((reps.keySet.toSeq.sorted.map(v => col(bt(v))) ++
       nums.toSeq.sorted.map(v => col(bt("__n_" + v)))): _*), reps, certain, nums,
-      inl, numAll)
+      inl, numAll, fam = fam)
   }
 
   // ---- main compile ---------------------------------------------------------
@@ -490,7 +516,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           val sol = compile(c)
           val (s2, ec) = exprColumn(sol, e)
           Sol(s2.df.withColumn(v, ec), s2.reps + (v -> TermRep), s2.certain, s2.nums,
-            s2.inl, s2.numAll)
+            s2.inl, s2.numAll, fam = s2.fam)
       }
 
     case AProject(c, vs) =>
@@ -500,15 +526,16 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         keep.filter(sol.nums.contains).map(v => col(bt("__n_" + v)))
       Sol(sol.df.select(cols: _*), sol.reps.filter(kv => keep.contains(kv._1)),
         sol.certain intersect vs.toSet, sol.nums intersect keep.toSet,
-        sol.inl intersect keep.toSet, sol.numAll intersect keep.toSet)
+        sol.inl intersect keep.toSet, sol.numAll intersect keep.toSet,
+        fam = sol.fam.filter(kv => keep.contains(kv._1)))
 
     case ADistinct(c) =>
       val sol = dropCompanions(compile(c))
-      Sol(sol.df.dropDuplicates(), sol.reps, sol.certain, Set.empty, sol.inl)
+      sol.copy(df = sol.df.dropDuplicates())
 
     case AReduced(c) => // REDUCED permits any dedup degree; full dedup is legal
       val sol = dropCompanions(compile(c))
-      Sol(sol.df.dropDuplicates(), sol.reps, sol.certain, Set.empty, sol.inl)
+      sol.copy(df = sol.df.dropDuplicates())
 
     case ASlice(c, off, lim) =>
       val sol = compile(c)
@@ -585,8 +612,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   }
 
   private def dropCompanions(sol: Sol): Sol =
-    Sol(sol.df.drop(sol.nums.toSeq.map("__n_" + _) :+ "__rownonce": _*), sol.reps,
-      sol.certain, Set.empty, sol.inl, Set.empty)
+    sol.copy(df = sol.df.drop(sol.nums.toSeq.map("__n_" + _) :+ "__rownonce": _*),
+      nums = Set.empty, numAll = Set.empty)
 
   // ---- filter (incl. EXISTS rewrite) ---------------------------------------
 
@@ -750,8 +777,16 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     val numAll = sharedNums.toSet.filter(v =>
       (!l.vars.contains(v) || l.numAll.contains(v)) &&
       (!r.vars.contains(v) || r.numAll.contains(v)))
+    val fam = allVars.flatMap { v =>
+      (l.fam.get(v), r.fam.get(v)) match {
+        case (Some(a), Some(b)) if a == b => Some(v -> a)
+        case (Some(a), None) if !r.vars.contains(v) => Some(v -> a)
+        case (None, Some(b)) if !l.vars.contains(v) => Some(v -> b)
+        case _ => None
+      }
+    }.toMap
     Sol(pad(l).unionByName(pad(r)), reps, l.certain intersect r.certain,
-      sharedNums.toSet, inl, numAll)
+      sharedNums.toSet, inl, numAll, fam = fam)
   }
 
   // ---- order by -------------------------------------------------------------
@@ -779,19 +814,25 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   // ---- grouping / aggregation ----------------------------------------------
 
   private def compileGroup(sol0: Sol, keys: Seq[String], aggs: Seq[AggSpec]): Sol = {
+    import graft.engine.{NativeExpr => NE}
     var sol = sol0
     // pre-compute aggregate input columns; store type profiles unlock cheaper
-    // input modes: "id" (all-inline var: min/max/sample on the raw id — id order
-    // == term order), "num" (all-numeric var: aggregate the companion directly),
-    // else "view" (materialized term struct)
+    // input modes:
+    //  - "id"  (all-inline var: min/max/sample on the raw id — id order == term order)
+    //  - "int" (FAM_INT var: exact xsd:integer SUM/AVG on the id payload Long)
+    //  - "num" (FAM_DBL var: double-family SUM/AVG on the numeric companion)
+    //  - "view" (materialized term struct; generic typed aggregation)
     val inputs: Seq[(AggSpec, Option[(Column, String)])] = aggs.map { a =>
       a.e match {
         case None => (a, None)
         case Some(EVar(n)) if sol.reps.get(n).contains(IdRep) && sol.inl.contains(n) &&
             Seq("min", "max", "sample").contains(a.fn) =>
           (a, Some((col(bt(n)), "id")))
+        case Some(EVar(n)) if sol.reps.get(n).contains(IdRep) &&
+            sol.fam.get(n).contains(Sol.FAM_INT) && Seq("sum", "avg").contains(a.fn) =>
+          (a, Some((col(bt(n)).bitwiseAND(TermId.PAYLOAD_MASK) - TermId.BIAS, "int")))
         case Some(EVar(n)) if sol.nums.contains(n) && sol.numAll.contains(n) &&
-            Seq("sum", "avg").contains(a.fn) =>
+            sol.fam.get(n).contains(Sol.FAM_DBL) && Seq("sum", "avg").contains(a.fn) =>
           (a, Some((col(bt(sol.numCol(n))), "num")))
         case Some(EVar(n)) if sol.reps.get(n).contains(IdRep) =>
           val (s2, vc) = withView(sol, n); sol = s2
@@ -812,35 +853,61 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       struct(v.getField("kind"), v.getField("num"), v.getField("lex"),
         v.getField("dt"), v.getField("lang"))
     }
-    val aggCols: Seq[Column] = inputs.zipWithIndex.map { case ((a, cOpt), i) =>
+    // 18-digit-scale exact decimal division (see NativeExpr.divide); operands
+    // beyond DECIMAL(20,10) fall back to full-range division at scale 6
+    def decDiv(x: Column, y: Column): Column =
+      coalesce(
+        try_divide(x.try_cast(DecimalType(20, 10)), y.try_cast(DecimalType(20, 10)))
+          .cast(DecimalType(38, 18)),
+        try_divide(x.cast(DecimalType(38, 18)), y.cast(DecimalType(38, 18)))
+          .cast(DecimalType(38, 18)))
+
+    // each AggSpec compiles to one or more physical aggregates, suffixed _0.._k
+    val aggCols: Seq[Column] = inputs.zipWithIndex.flatMap { case ((a, cOpt), i) =>
       val in = col(s"__agg_in_$i")
       val mode = cOpt.map(_._2).getOrElse("view")
-      val numIn = if (mode == "num") in else in.getField("num")
-      val c: Column = a.fn match {
-        case "count" if cOpt.isEmpty => count(lit(1))
-        case "count" if a.distinct => count_distinct(in)
-        case "count" => count(in)
-        case "sum" =>
-          if (a.distinct) coalesce(aggregate(collect_set(numIn),
-            lit(0.0), (acc, x) => acc + x), lit(0.0))
-          else coalesce(sum(numIn), lit(0.0))
-        case "avg" =>
-          if (a.distinct) {
-            val s = collect_set(numIn)
-            coalesce(aggregate(s, lit(0.0), (acc, x) => acc + x) / size(s), lit(0.0))
-          } else coalesce(avg(numIn), lit(0.0))
-        case "min" if mode == "id" => min(in)
-        case "max" if mode == "id" => max(in)
-        case "sample" if mode == "id" => min(in)
-        case "min" => min_by(in, when(in.isNotNull, sortStruct(i)))
-        case "max" => max_by(in, when(in.isNotNull, sortStruct(i)))
-        case "sample" => min_by(in, when(in.isNotNull, sortStruct(i))) // deterministic SAMPLE
-        case "group_concat" =>
-          val lst = if (a.distinct) collect_set(in.getField("lex")) else collect_list(in.getField("lex"))
-          concat_ws(a.sep, array_sort(lst))
-        case other => throw new IllegalArgumentException(s"aggregate: $other")
+      def out(j: Int, c: Column): Column = c.as(s"__agg_out_${i}_$j")
+      val cs: Seq[Column] = (a.fn, mode) match {
+        case ("count", _) if cOpt.isEmpty => Seq(count(lit(1)))
+        case ("count", _) if a.distinct => Seq(count_distinct(in))
+        case ("count", _) => Seq(count(in))
+        case ("sum" | "avg", "int") =>
+          val v = if (a.distinct) sum_distinct(in) else try_sum(in)
+          Seq(v, count(in))
+        case ("sum" | "avg", "num") =>
+          val v = if (a.distinct) sum_distinct(in) else sum(in)
+          Seq(v, count(in))
+        case ("sum" | "avg", _) =>
+          // generic typed aggregation over term structs: per-family partial sums
+          // + family promotion rank + non-numeric poison flag (reference typed
+          // accumulators, MaterializedQueryPlan.swift:2303-2354)
+          val rank = NE.famRank(in)
+          val longV = when(rank === 0, NE.longVal(in))
+          val decV = when(rank <= 1, NE.decVal(in))
+          val dblV = when(rank.isNotNull, in.getField("num"))
+          def distinctable(c: Column) =
+            if (a.distinct) sum_distinct(c) else sum(c)
+          Seq(
+            if (a.distinct) sum_distinct(when(rank === 0, NE.longVal(in)))
+            else try_sum(longV), // _0: exact integer sum
+            distinctable(decV), // _1: exact decimal sum (ints contribute)
+            distinctable(dblV), // _2: double sum (all numerics)
+            count(when(rank.isNotNull, lit(1))), // _3: numeric count
+            max(rank), // _4: promoted family
+            max(when(in.isNotNull && rank.isNull, 1).otherwise(0))) // _5: poison
+        case ("min", "id") => Seq(min(in))
+        case ("max", "id") => Seq(max(in))
+        case ("sample", "id") => Seq(min(in))
+        case ("min", _) => Seq(min_by(in, when(in.isNotNull, sortStruct(i))))
+        case ("max", _) => Seq(max_by(in, when(in.isNotNull, sortStruct(i))))
+        case ("sample", _) => Seq(min_by(in, when(in.isNotNull, sortStruct(i))))
+        case ("group_concat", _) =>
+          val lst = if (a.distinct) collect_set(in.getField("lex"))
+            else collect_list(in.getField("lex"))
+          Seq(concat_ws(a.sep, array_sort(lst)))
+        case (other, _) => throw new IllegalArgumentException(s"aggregate: $other")
       }
-      c.as("__agg_out_" + i)
+      cs.zipWithIndex.map { case (c, j) => out(j, c) }
     }
 
     val grouped =
@@ -860,25 +927,52 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       lit(null).cast(DoubleType).as("num"))).otherwise(lit(null).cast(TermRow.schema))
     val idOuts = inputs.collect { case ((a, Some((_, "id")))) => a.out }.toSet
     inputs.zipWithIndex.foreach { case ((a, cOpt), i) =>
-      val raw = col(s"__agg_out_$i")
-      val v = a.fn match {
-        case "count" => numView(raw, Term.xsdInteger)
-        case "sum" | "avg" => numView(raw, Term.xsdDouble)
-        case "min" | "max" | "sample" => raw // id mode: stays an id column
-        case "group_concat" => strView(raw)
+      def raw(j: Int) = col(s"__agg_out_${i}_$j")
+      val mode = cOpt.map(_._2).getOrElse("view")
+      val v = (a.fn, mode) match {
+        case ("count", _) => numView(raw(0), Term.xsdInteger)
+        case ("sum", "int") => numView(coalesce(raw(0), lit(0L)), Term.xsdInteger)
+        case ("avg", "int") =>
+          // integer AVG → exact decimal (op:numeric-divide); empty group → 0
+          when(raw(1) === 0, numView(lit(0), Term.xsdInteger))
+            .otherwise(NE.decTerm(decDiv(raw(0), raw(1))))
+        case ("sum", "num") => numView(coalesce(raw(0), lit(0.0)), Term.xsdDouble)
+        case ("avg", "num") =>
+          when(raw(1) === 0, numView(lit(0), Term.xsdInteger))
+            .otherwise(numView(raw(0) / raw(1), Term.xsdDouble))
+        case ("sum", _) =>
+          when(raw(5) === 1, lit(null).cast(TermRow.schema)) // poisoned group
+            .when(raw(3) === 0, numView(lit(0), Term.xsdInteger)) // SUM({}) = 0
+            .when(raw(4) === 0, numView(raw(0), Term.xsdInteger))
+            .when(raw(4) === 1, NE.decTerm(raw(1)))
+            .when(raw(4) === 2, NE.fltTerm(raw(2).cast(FloatType)))
+            .otherwise(numView(raw(2), Term.xsdDouble))
+        case ("avg", _) =>
+          when(raw(5) === 1, lit(null).cast(TermRow.schema))
+            .when(raw(3) === 0, numView(lit(0), Term.xsdInteger))
+            .when(raw(4) === 0, NE.decTerm(decDiv(raw(0), raw(3))))
+            .when(raw(4) === 1, NE.decTerm(decDiv(raw(1), raw(3))))
+            .when(raw(4) === 2, NE.fltTerm((raw(2) / raw(3)).cast(FloatType)))
+            .otherwise(numView(raw(2) / raw(3), Term.xsdDouble))
+        case ("min" | "max" | "sample", "id") => raw(0) // stays an id column
+        case ("min" | "max" | "sample", _) => raw(0)
+        case ("group_concat", _) => strView(raw(0))
       }
-      out = out.withColumn(a.out, v).drop(s"__agg_out_$i")
+      val dropCols = (0 until 6).map(j => s"__agg_out_${i}_$j")
+      out = out.withColumn(a.out, v).drop(dropCols: _*)
     }
     val keptKeys = keys.filter(sol.reps.contains)
     Sol(out,
       keptKeys.map(v => v -> sol.reps(v)).toMap ++
         aggs.map(a => a.out -> (if (idOuts.contains(a.out)) IdRep else TermRep: Rep)),
+      // sum/avg can poison (non-numeric input → unbound result), so only
+      // count/group_concat outputs are necessarily bound
       (sol.certain intersect keptKeys.toSet) ++
-        aggs.filter(a => a.fn == "count" || a.fn == "sum" || a.fn == "avg" ||
-          a.fn == "group_concat").map(_.out),
+        aggs.filter(a => a.fn == "count" || a.fn == "group_concat").map(_.out),
       Set.empty,
       (sol.inl intersect keptKeys.toSet) ++ idOuts,
-      Set.empty)
+      Set.empty,
+      fam = sol.fam.filter(kv => keptKeys.contains(kv._1)))
   }
 
   // ---- windows --------------------------------------------------------------

@@ -169,6 +169,20 @@ object NativeExpr {
         when(nm(t).isNotNull, nm(t) =!= 0.0 && !isnan(nm(t))).otherwise(lit(false)))
       .when(isLit(t) && (dtF(t) === xsdString || lg(t).isNotNull), length(lx(t)) > 0)
 
+  // ---- typed-aggregation helpers (used by Compiler.compileGroup) ------------
+
+  /** Numeric-family promotion rank of a term: 0 = integer family, 1 = decimal,
+    * 2 = float, 3 = double; null = not a (well-formed) numeric literal. */
+  private[engine] def famRank(t: Column): Column =
+    when(isNum(t),
+      when(isIntFam(t), 0).when(dtF(t) === xsdDecimal, 1)
+        .when(dtF(t) === xsdFloat, 2).otherwise(3))
+
+  private[engine] def longVal(t: Column): Column = longOf(t)
+  private[engine] def decVal(t: Column): Column = decOf(t)
+  private[engine] def decTerm(d: Column): Column = decT(d)
+  private[engine] def fltTerm(f: Column): Column = fltT(f)
+
   // ---- the compiler ---------------------------------------------------------
 
   private final class Comp(view: String => Option[Column], nowUs: Long) {

@@ -249,6 +249,30 @@ object Battery {
       Some("SELECT l_returnflag AS rf, count(DISTINCT l_partkey) AS nparts " +
         "FROM lineitem GROUP BY 1")),
 
+    ("q_agg_sum_typed", // exact integer-typed SUM — oracle compares UNROUNDED, uncast
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(
+          BGP(Seq(
+            qp(V("l"), p("lineitem", "l_returnflag"), V("rf")),
+            qp(V("l"), p("lineitem", "l_linenumber"), V("ln")))),
+          Seq("rf"),
+          Seq(AggSpec("s_ln", "sum", Some(EVar("ln"))))),
+        "rf" -> "string", "s_ln" -> "long"),
+      Some("SELECT l_returnflag AS rf, sum(l_linenumber) AS s_ln " +
+        "FROM lineitem GROUP BY 1")),
+
+    ("q_agg_avg_typed", // integer AVG → exact decimal (op:numeric-divide)
+      (s: SparkSession, d: String) => round4(run(s, d,
+        AGroup(
+          BGP(Seq(
+            qp(V("l"), p("lineitem", "l_returnflag"), V("rf")),
+            qp(V("l"), p("lineitem", "l_linenumber"), V("ln")))),
+          Seq("rf"),
+          Seq(AggSpec("a_ln", "avg", Some(EVar("ln"))))),
+        "rf" -> "string", "a_ln" -> "double"), "a_ln"),
+      Some("SELECT l_returnflag AS rf, round(avg(l_linenumber), 4) AS a_ln " +
+        "FROM lineitem GROUP BY 1")),
+
     ("q_agg_minmax",
       (s: SparkSession, d: String) => run(s, d,
         AGroup(

@@ -52,8 +52,11 @@ final case class RdfStore(
 }
 
 /** Per-predicate statistics (the ANALYZE output; reference analogue: Diomede's
-  * Characteristic Sets, kasei/kineo QuadStore/DiomedeQuadStore.swift:15-97). */
-final case class PredProfile(allInline: Boolean, allNumeric: Boolean, count: Long)
+  * Characteristic Sets, kasei/kineo QuadStore/DiomedeQuadStore.swift:15-97).
+  * `oTags`: the distinct id type tags observed in the object position — drives
+  * exactly-typed aggregation fast paths (integer vs double family). */
+final case class PredProfile(allInline: Boolean, allNumeric: Boolean, count: Long,
+    oTags: Set[Int] = Set.empty)
 
 object RdfStore {
   import TermId._
@@ -73,9 +76,12 @@ object RdfStore {
       max(when(col("onum").isNull, 1).otherwise(0)).as("anyNonNum"),
       max(when(isDict(col("s")) || isDict(col("p")) || isDict(col("g")), 1)
         .otherwise(0)).as("anySpgDict"),
-      count(lit(1)).as("n")).collect()
+      count(lit(1)).as("n"),
+      collect_set(shiftright(col("o"), PAYLOAD_BITS).bitwiseAND(0xFF)).as("otags"))
+      .collect()
     val m = perPred.map(r =>
-      r.getLong(0) -> PredProfile(r.getInt(1) == 0, r.getInt(2) == 0, r.getLong(4))).toMap
+      r.getLong(0) -> PredProfile(r.getInt(1) == 0, r.getInt(2) == 0, r.getLong(4),
+        r.getSeq[Long](5).map(_.toInt).toSet)).toMap
     val spg = perPred.forall(_.getInt(3) == 0)
     (m, spg)
   }

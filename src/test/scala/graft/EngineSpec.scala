@@ -264,6 +264,40 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("typed SUM/AVG: integer stays integer, mixed promotes, non-numeric poisons") {
+    val ex = "http://example.org/"
+    // tiny store: ages 30 and 25 (xsd:integer)
+    val g = AGroup(
+      BGP(Seq(QuadPattern(V("s"), T(Iri(ex + "age")), V("a")))),
+      Seq.empty,
+      Seq(AggSpec("total", "sum", Some(EVar("a"))),
+        AggSpec("mean", "avg", Some(EVar("a")))))
+    val row = Results.materialize(tcomp, tcomp.compile(g)).collect().head
+    val total = row.getStruct(row.fieldIndex("total"))
+    assert(total.getString(1) == "55", "sum value")
+    assert(total.getString(2) == Term.xsdInteger, s"SUM over integers must be xsd:integer")
+    val mean = row.getStruct(row.fieldIndex("mean"))
+    assert(mean.getString(2) == Term.xsdDecimal, "integer AVG must be xsd:decimal")
+    assert(mean.getString(1) == "27.5", "avg value exact decimal")
+
+    // mixed int + double promotes to double; a string input poisons the group
+    def tableAgg(rows: Seq[Term]): Row = {
+      val a = AGroup(
+        ATable(Seq("v"), rows.map(t => Seq(Option(t)))),
+        Seq.empty, Seq(AggSpec("s", "sum", Some(EVar("v")))))
+      Results.materialize(tcomp, tcomp.compile(a)).collect().head
+    }
+    val mixed = tableAgg(Seq(Term.int(1), Term.dbl(2.5)))
+    val ms = mixed.getStruct(mixed.fieldIndex("s"))
+    assert(ms.getString(2) == Term.xsdDouble && ms.getString(1) == "3.5")
+    val poisoned = tableAgg(Seq(Term.int(1), Term.str("oops")))
+    assert(poisoned.isNullAt(poisoned.fieldIndex("s")),
+      "non-numeric input must poison SUM to unbound")
+    val dec = tableAgg(Seq(Term.dec(BigDecimal("1.25")), Term.int(2)))
+    val ds = dec.getStruct(dec.fieldIndex("s"))
+    assert(ds.getString(2) == Term.xsdDecimal && ds.getString(1) == "3.25")
+  }
+
   test("BNODE(label) co-refers within a row, differs across rows (tiny store)") {
     // two separate BINDs of BNODE("x") on the same solution row must produce the
     // SAME blank node (per-row label scope); different rows different nodes

@@ -198,8 +198,11 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       val fv = Expr.freeVars(e).toSeq.sorted
       val (sol1, views) = withViews(sol0, fv)
       val viewMap = fv.zip(views).toMap
-      val native = NativeExpr.termColumn(e, viewMap.get, ctx.nowEpochUs)
-      if (native.isDefined) return (sol1, native.get)
+      NativeExpr.termColumn(e, viewMap.get, ctx.nowEpochUs) match {
+        case Some(compiled) =>
+          return (sol1.copy(df = compiled.applyTo(sol1.df)), compiled.result)
+        case None => ()
+      }
       val theCtx = ctx
       if (Expr.hasBnode(e)) {
         // per-row bnode label scope: all expressions of a row share the nonce
@@ -237,8 +240,11 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       val fv = Expr.freeVars(e).toSeq.sorted
       val (sol, views) = withViews(sol0, fv)
       val viewMap = fv.zip(views).toMap
-      val native = NativeExpr.ebvColumn(e, viewMap.get, ctx.nowEpochUs)
-      if (native.isDefined) return (sol, native.get)
+      NativeExpr.ebvColumn(e, viewMap.get, ctx.nowEpochUs) match {
+        case Some(compiled) =>
+          return (sol.copy(df = compiled.applyTo(sol.df)), compiled.result)
+        case None => ()
+      }
       val theCtx = ctx
       var u = udf { (vals: Seq[Row]) =>
         val m = fv.zip(vals.map(TV.toTerm)).toMap
@@ -611,9 +617,12 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     case _ => None
   }
 
-  private def dropCompanions(sol: Sol): Sol =
-    sol.copy(df = sol.df.drop(sol.nums.toSeq.map("__n_" + _) :+ "__rownonce": _*),
+  private def dropCompanions(sol: Sol): Sol = {
+    val scratch = sol.df.columns.filter(c =>
+      c.startsWith("__ne_") || c == "__rownonce").toSeq
+    sol.copy(df = sol.df.drop(sol.nums.toSeq.map("__n_" + _) ++ scratch: _*),
       nums = Set.empty, numAll = Set.empty)
+  }
 
   // ---- filter (incl. EXISTS rewrite) ---------------------------------------
 

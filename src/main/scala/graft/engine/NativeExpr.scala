@@ -32,13 +32,34 @@ object NativeExpr {
   import Term._
   import TermRow.{KIND_BLANK, KIND_IRI, KIND_LITERAL}
 
+  /** Compiled expression: intermediate columns to add (in order) + the result.
+    *
+    * Every non-leaf subexpression is bound to a `__ne_*` temp column instead of
+    * being inlined: operator implementations reference their operands many times
+    * (type-dispatch `when` chains), so textual inlining would grow the tree
+    * exponentially with nesting depth — the temps keep the plan a DAG (Spark's
+    * CollapseProject leaves multi-referenced non-trivial aliases in their own
+    * projection, so codegen evaluates each once per row).
+    */
+  final case class Compiled(temps: Seq[(String, Column)], result: Column) {
+    /** Apply the intermediate columns to a frame. */
+    def applyTo(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      temps.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+  }
+
+  private val tempId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Compile to a term-view struct Column; None = shape not supported natively. */
-  def termColumn(e: Expr, view: String => Option[Column], nowUs: Long): Option[Column] =
-    new Comp(view, nowUs).term(e)
+  def termColumn(e: Expr, view: String => Option[Column], nowUs: Long): Option[Compiled] = {
+    val c = new Comp(view, nowUs)
+    c.term(e).map(res => Compiled(c.temps.toSeq, res))
+  }
 
   /** Compile to a Boolean EBV Column (null = error → filter drops the row). */
-  def ebvColumn(e: Expr, view: String => Option[Column], nowUs: Long): Option[Column] =
-    new Comp(view, nowUs).bool(e)
+  def ebvColumn(e: Expr, view: String => Option[Column], nowUs: Long): Option[Compiled] = {
+    val c = new Comp(view, nowUs)
+    c.bool(e).map(res => Compiled(c.temps.toSeq, res))
+  }
 
   // ---- shared column helpers ------------------------------------------------
 
@@ -186,12 +207,21 @@ object NativeExpr {
   // ---- the compiler ---------------------------------------------------------
 
   private final class Comp(view: String => Option[Column], nowUs: Long) {
+    val temps = scala.collection.mutable.ListBuffer[(String, Column)]()
+
+    /** Bind a computed column as a temp so downstream operators reference an
+      * attribute instead of re-inlining the tree. */
+    private def bindTemp(c: Column): Column = {
+      val n = s"__ne_${tempId.incrementAndGet()}"
+      temps += n -> c
+      col(s"`$n`")
+    }
 
     def term(e: Expr): Option[Column] = e match {
-      case EConst(t) => Some(constTerm(t))
+      case EConst(t) => Some(constTerm(t)) // constant-folds at reference sites
       case EVar(n) => Some(view(n).getOrElse(nullTerm))
       case EExists(_, _) => None
-      case ECall(fn, args) => call(fn, args)
+      case ECall(fn, args) => call(fn, args).map(bindTemp)
     }
 
     /** Boolean-valued compile: direct for predicates, EBV-wrap otherwise. */

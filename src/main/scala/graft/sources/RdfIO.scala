@@ -150,16 +150,21 @@ object RdfIO {
 
   // ---- Turtle subset (driver-side, small files) ------------------------------
 
-  /** Parse a Turtle document (subset: @prefix/@base, `;` `,` shorthand, `a`,
-    * typed + lang literals, numbers, booleans, blank-node property lists).
+  /** Parse a Turtle document: @prefix/@base (with relative IRI resolution),
+    * `;` `,` shorthand, `a`, typed + lang literals, numbers (incl. leading-dot
+    * decimals), booleans, blank-node property lists, collections `( … )`.
+    * Reference grammar: kasei/kineo `Sources/Kineo/RDF/Turtle.swift`.
     */
-  def parseTurtle(doc: String): Seq[(Term, Term, Term)] = new TurtleParser(doc).all()
+  def parseTurtle(doc: String, base: String = ""): Seq[(Term, Term, Term)] =
+    new TurtleParser(doc, base).all()
 
-  private final class TurtleParser(input: String) {
+  private final class TurtleParser(input: String, base0: String) {
     private var i = 0
     private var prefixes = Map.empty[String, String]
+    private var base: String = base0
     private var bn = 0
     private val out = scala.collection.mutable.ListBuffer[(Term, Term, Term)]()
+    private val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
     def all(): Seq[(Term, Term, Term)] = {
       ws()
@@ -193,8 +198,11 @@ object RdfIO {
         ws()
         if (i < input.length && input(i) == '.') i += 1
       } else if (input.startsWith("@base", i) || input.startsWith("BASE", i)) {
-        while (i < input.length && input(i) != '.') i += 1
-        i += 1
+        i += 5
+        ws()
+        base = RdfXml.resolve(base, rawIriRef())
+        ws()
+        if (i < input.length && input(i) == '.') i += 1
       } else {
         val s = node()
         predicateObjectList(s)
@@ -229,12 +237,15 @@ object RdfIO {
       } else iriTerm()
     }
 
-    private def iriRef(): String = {
+    private def rawIriRef(): String = {
       val e = input.indexOf('>', i)
       val iri = input.substring(i + 1, e)
       i = e + 1
       iri
     }
+
+    /** IRIREF with base resolution (relative references resolve against @base). */
+    private def iriRef(): String = RdfXml.resolve(base, rawIriRef())
 
     private def iriTerm(): Term = {
       ws()
@@ -266,12 +277,26 @@ object RdfIO {
           ws()
           i += 1 // ']'
           b
+        case '(' => // collection → rdf:first/rest/nil chain
+          i += 1
+          val items = scala.collection.mutable.ListBuffer[Term]()
+          ws()
+          while (i < input.length && input(i) != ')') { items += node(); ws() }
+          i += 1 // ')'
+          items.foldRight(Iri(rdfNs + "nil"): Term) { (item, tail) =>
+            bn += 1
+            val cell = BNode(s"tb$bn")
+            out += ((cell, Iri(rdfNs + "first"), item))
+            out += ((cell, Iri(rdfNs + "rest"), tail))
+            cell
+          }
         case '_' =>
           i += 2
           val st = i
           while (i < input.length && (input(i).isLetterOrDigit || input(i) == '_')) i += 1
           BNode(input.substring(st, i))
-        case c if c.isDigit || c == '+' || c == '-' =>
+        case c if c.isDigit || c == '+' || c == '-' ||
+            (c == '.' && i + 1 < input.length && input(i + 1).isDigit) =>
           val st = i
           if (input(i) == '+' || input(i) == '-') i += 1
           var dec = false; var exp = false
@@ -303,7 +328,10 @@ object RdfIO {
             case 'n' => sb.append('\n'); case 't' => sb.append('\t')
             case 'r' => sb.append('\r'); case '\\' => sb.append('\\')
             case '"' => sb.append('"'); case '\'' => sb.append('\'')
+            case 'b' => sb.append('\b'); case 'f' => sb.append('\f')
             case 'u' => sb.append(Integer.parseInt(input.substring(i + 2, i + 6), 16).toChar); i += 4
+            case 'U' =>
+              sb.appendAll(Character.toChars(Integer.parseInt(input.substring(i + 2, i + 10), 16))); i += 8
             case o => sb.append(o)
           }
           i += 2

@@ -84,7 +84,8 @@ class NativeExprSpec extends AnyFunSuite {
     val viewMap = Map("a" -> col("a"), "b" -> col("b"))
     val native = NativeExpr.termColumn(e, viewMap.get, ctx.nowEpochUs)
     assert(native.isDefined, s"$name: expected native support")
-    val rows = pairsDf.select(col("i"), col("j"), native.get.as("out")).collect()
+    val rows = native.get.applyTo(pairsDf)
+      .select(col("i"), col("j"), native.get.result.as("out")).collect()
     rows.foreach { r =>
       val a = terms(r.getInt(0)); val b = terms(r.getInt(1))
       val bind: String => Term = { case "a" => a; case "b" => b; case _ => null }

@@ -90,4 +90,120 @@ class RdfIOSpec extends AnyFunSuite {
     assert(tr.map(_("nm")) == jr.map(_("nm")))
     assert(tr.head("bal").asInstanceOf[Lit].datatype == Term.xsdDouble)
   }
+
+  test("rdf/xml: fixture parses isomorphic to its n-triples twin") {
+    import graft.sources.RdfXml
+    val xml =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://ex.org/" xml:base="http://base.org/doc">
+        |  <ex:Person rdf:about="http://ex.org/s1" ex:nick="Al">
+        |    <ex:name xml:lang="en">alice</ex:name>
+        |    <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</ex:age>
+        |    <ex:knows rdf:resource="http://ex.org/s2"/>
+        |    <ex:friend>
+        |      <rdf:Description rdf:about="http://ex.org/s3">
+        |        <ex:name>carol</ex:name>
+        |      </rdf:Description>
+        |    </ex:friend>
+        |    <ex:addr rdf:parseType="Resource">
+        |      <ex:city>Springfield</ex:city>
+        |    </ex:addr>
+        |    <ex:tags rdf:parseType="Collection">
+        |      <rdf:Description rdf:about="http://ex.org/t1"/>
+        |      <rdf:Description rdf:about="http://ex.org/t2"/>
+        |    </ex:tags>
+        |    <ex:anon rdf:nodeID="z9"/>
+        |  </ex:Person>
+        |  <rdf:Description rdf:ID="frag">
+        |    <ex:rel rdf:resource="relpath"/>
+        |  </rdf:Description>
+        |  <rdf:Seq rdf:about="http://ex.org/seq">
+        |    <rdf:li>one</rdf:li>
+        |    <rdf:li>two</rdf:li>
+        |  </rdf:Seq>
+        |</rdf:RDF>""".stripMargin
+    val ntTwin =
+      """<http://ex.org/s1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Person> .
+        |<http://ex.org/s1> <http://ex.org/nick> "Al" .
+        |<http://ex.org/s1> <http://ex.org/name> "alice"@en .
+        |<http://ex.org/s1> <http://ex.org/age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |<http://ex.org/s1> <http://ex.org/knows> <http://ex.org/s2> .
+        |<http://ex.org/s1> <http://ex.org/friend> <http://ex.org/s3> .
+        |<http://ex.org/s3> <http://ex.org/name> "carol" .
+        |<http://ex.org/s1> <http://ex.org/addr> _:a1 .
+        |_:a1 <http://ex.org/city> "Springfield" .
+        |<http://ex.org/s1> <http://ex.org/tags> _:c1 .
+        |_:c1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://ex.org/t1> .
+        |_:c1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:c2 .
+        |_:c2 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://ex.org/t2> .
+        |_:c2 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+        |<http://ex.org/s1> <http://ex.org/anon> _:z9 .
+        |<http://base.org/doc#frag> <http://ex.org/rel> <http://base.org/relpath> .
+        |<http://ex.org/seq> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/1999/02/22-rdf-syntax-ns#Seq> .
+        |<http://ex.org/seq> <http://www.w3.org/1999/02/22-rdf-syntax-ns#_1> "one" .
+        |<http://ex.org/seq> <http://www.w3.org/1999/02/22-rdf-syntax-ns#_2> "two" .
+        |""".stripMargin
+    val got = RdfXml.parse(xml)
+    val expected = ntTwin.split('\n').filter(_.nonEmpty).toSeq
+      .flatMap(l => RdfIO.parseLine(l)).map { case (s, p, o, _) => (s, p, o) }
+    assert(graft.testkit.Isomorphism.isomorphic(got, expected),
+      s"RDF/XML parse not isomorphic to twin:\n${got.mkString("\n")}")
+    // loadable into a store and queryable
+    val store = RdfXml.load(spark, xml)
+    val eng = new GraftEngine(store)
+    val n = eng.query(
+      "SELECT ?p ?o WHERE { <http://ex.org/s1> ?p ?o }").count()
+    assert(n == 9) // type, nick, name, age, knows, friend, addr, tags, anon
+  }
+
+  test("rdf/xml: parseType Literal captures XML content") {
+    import graft.sources.RdfXml
+    val xml =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://ex.org/">
+        |  <rdf:Description rdf:about="http://ex.org/s">
+        |    <ex:html rdf:parseType="Literal"><b>bold</b> text</ex:html>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val ts = RdfXml.parse(xml)
+    assert(ts.size == 1)
+    val Lit(lex, dt, _) = ts.head._3: @unchecked
+    assert(dt == "http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral")
+    assert(lex.contains("<b>bold</b> text"))
+  }
+
+  test("turtle: collections, @base resolution, leading-dot decimals") {
+    val ttl =
+      """@base <http://base.org/dir/> .
+        |@prefix ex: <http://ex.org/> .
+        |<item> ex:vals ( 1 2.5 .5 "x" ) ; ex:w .75 .
+        |<#frag> ex:rel <other> .
+        |""".stripMargin
+    val ts = RdfIO.parseTurtle(ttl)
+    // 1 vals triple + 4 cells × 2 + 1 w + 1 rel = 11
+    assert(ts.size == 11, ts.mkString("\n"))
+    val bySubj = ts.groupBy(_._1)
+    assert(bySubj.contains(Iri("http://base.org/dir/item")))
+    assert(bySubj.contains(Iri("http://base.org/dir/#frag")))
+    assert(ts.exists(_._3 == Iri("http://base.org/dir/other")))
+    val first = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+    val firsts = ts.filter(_._2 == Iri(first)).map(_._3)
+    assert(firsts.contains(Term.int(1)))
+    assert(firsts.contains(Lit("2.5", Term.xsdDecimal, null)))
+    assert(firsts.contains(Lit(".5", Term.xsdDecimal, null)))
+    assert(firsts.contains(Term.str("x")))
+    assert(ts.exists(t => t._2 == Iri("http://ex.org/w") &&
+      t._3 == Lit(".75", Term.xsdDecimal, null)))
+  }
+
+  test("turtle: parses the reference geo.ttl example in full") {
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/geo-data/geo.ttl")), "UTF-8")
+    val ts = RdfIO.parseTurtle(doc)
+    // 764 features × (point, type, lat, long)
+    assert(ts.size == 3056, s"got ${ts.size}")
+    assert(ts.count(_._2 ==
+      Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")) == 764)
+  }
 }

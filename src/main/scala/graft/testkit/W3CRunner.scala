@@ -1,0 +1,103 @@
+package graft.testkit
+
+import org.apache.spark.sql.SparkSession
+import graft.model._
+import graft.sources.{RdfIO, SparqlResults}
+import graft.GraftEngine
+
+/** Manifest-driven SPARQL evaluation-test runner (reference:
+  * kasei/kineo `Sources/Kineo/W3C/SPARQLTestSuite.swift:11-501`).
+  *
+  * Same self-hosting idea as the reference: the manifest is RDF, so the engine
+  * stack reads it — `manifest.ttl` parses with our Turtle parser, the
+  * `mf:entries` collection walks through rdf:first/rest, each entry's
+  * qt:query/qt:data/mf:result resolve as relative IRIs against the manifest
+  * location. Results compare as solution multisets modulo blank-node bijection
+  * ([[Isomorphism.solutionsEqual]]), booleans directly.
+  *
+  * The W3C corpus is vendored as mini-manifests under
+  * `src/test/resources/w3c/` (authored in the structure of the public
+  * sparql11 test suite — aggregates, negation, property paths, optional).
+  */
+object W3CRunner {
+  val MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
+  val QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
+  val RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+  final case class TestCase(name: String, query: java.io.File,
+      data: Option[java.io.File], result: java.io.File)
+
+  private def read(f: java.io.File): String =
+    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+
+  /** Parse `dir/manifest.ttl` into test cases. */
+  def loadManifest(dir: java.io.File): Seq[TestCase] = {
+    val triples = RdfIO.parseTurtle(read(new java.io.File(dir, "manifest.ttl")),
+      dir.toURI.toString)
+    val bySubj = triples.groupBy(_._1)
+    def obj(s: Term, p: String): Option[Term] =
+      bySubj.getOrElse(s, Nil).collectFirst { case (_, Iri(pp), o) if pp == p => o }
+    def fileOf(t: Term): java.io.File = t match {
+      case Iri(v) => new java.io.File(new java.net.URI(v))
+      case other => throw new IllegalArgumentException(s"not a file IRI: $other")
+    }
+    val entriesHead = triples.collectFirst {
+      case (_, Iri(p), o) if p == MF + "entries" => o
+    }.getOrElse(throw new IllegalArgumentException(s"no mf:entries in $dir"))
+    def walk(n: Term): Seq[Term] = n match {
+      case Iri(v) if v == RDFNS + "nil" => Nil
+      case _ => obj(n, RDFNS + "first").toSeq ++
+        obj(n, RDFNS + "rest").toSeq.flatMap(walk)
+    }
+    walk(entriesHead).map { e =>
+      val name = obj(e, MF + "name").map(_.lex).getOrElse(e.lex)
+      val action = obj(e, MF + "action")
+        .getOrElse(throw new IllegalArgumentException(s"$name: no mf:action"))
+      TestCase(name,
+        fileOf(obj(action, QT + "query").get),
+        obj(action, QT + "data").map(fileOf),
+        fileOf(obj(e, MF + "result").get))
+    }
+  }
+
+  /** Run one test; None = pass, Some(message) = failure. */
+  def run(spark: SparkSession, tc: TestCase): Option[String] = {
+    val store = RdfIO.loadTurtle(spark,
+      tc.data.map(read).getOrElse(""), graph = "urn:g:w3c")
+    val eng = new GraftEngine(store)
+    val queryText = read(tc.query)
+    val df = eng.query(queryText)
+    val expectedText = read(tc.result)
+
+    if (expectedText.contains("<boolean>")) { // ASK
+      val want = expectedText.contains("<boolean>true</boolean>")
+      val got = df.collect().head.getBoolean(0)
+      if (got == want) None else Some(s"${tc.name}: ASK got $got, want $want")
+    } else {
+      val (_, expRows) = SparqlResults.parseXml(expectedText)
+      val cols = df.columns
+      val gotRows: Seq[Map[String, Term]] = df.collect().toSeq.map { r =>
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(i)) None
+          else Option(TermRow.fromRow(r.getStruct(i))).map(c -> _)
+        }.toMap
+      }
+      if (Isomorphism.solutionsEqual(gotRows, expRows)) None
+      else Some(s"${tc.name}: results differ\n  got:  ${fmt(gotRows)}\n" +
+        s"  want: ${fmt(expRows)}")
+    }
+  }
+
+  /** Run every test of a manifest directory; returns failures. */
+  def runDir(spark: SparkSession, dir: String): Seq[String] = {
+    val cases = loadManifest(new java.io.File(dir))
+    require(cases.nonEmpty, s"empty manifest: $dir")
+    cases.flatMap(tc =>
+      try run(spark, tc)
+      catch { case e: Exception => Some(s"${tc.name}: ${e.getClass.getSimpleName} ${e.getMessage}") })
+  }
+
+  private def fmt(rows: Seq[Map[String, Term]]): String =
+    rows.map(m => m.toSeq.sortBy(_._1).map { case (k, v) => s"?$k=${v}" }
+      .mkString("{", ", ", "}")).sorted.mkString(" | ")
+}

@@ -1,0 +1,113 @@
+package graft.parser
+
+import graft.algebra._
+import graft.model._
+
+/** Serialize algebra back to SPARQL text — what an HTTP SERVICE client ships to
+  * a remote endpoint (reference builds the query string in
+  * kasei/kineo `Sources/Kineo/SPARQL/SPARQLClient.swift:25-110`).
+  *
+  * Covers the pattern algebra that can appear inside SERVICE: BGP, paths,
+  * join/optional/minus/union, filter/bind, VALUES, subselect modifiers.
+  */
+object AlgebraText {
+
+  /** A complete SELECT query for the pattern, projecting `vars`. */
+  def selectQuery(a: Algebra, vars: Seq[String]): String = {
+    val proj = if (vars.isEmpty) "*" else vars.map("?" + _).mkString(" ")
+    s"SELECT $proj WHERE { ${pattern(a)} }"
+  }
+
+  def pattern(a: Algebra): String = a match {
+    case BGP(ps) => ps.map(quad).mkString(" ")
+    case APath(s, p, o, g) =>
+      val t = s"${node(s)} ${path(p)} ${node(o)} ."
+      g match {
+        case DefaultGraph => t
+        case gn => s"GRAPH ${node(gn)} { $t }"
+      }
+    case AJoin(l, r) => s"${pattern(l)} ${pattern(r)}"
+    case ALeftJoin(l, r, None) => s"${pattern(l)} OPTIONAL { ${pattern(r)} }"
+    case ALeftJoin(l, r, Some(e)) =>
+      s"${pattern(l)} OPTIONAL { ${pattern(r)} FILTER(${expr(e)}) }"
+    case AMinus(l, r) => s"${pattern(l)} MINUS { ${pattern(r)} }"
+    case AUnion(l, r) => s"{ ${pattern(l)} } UNION { ${pattern(r)} }"
+    case AFilter(e, c) => s"${pattern(c)} FILTER(${expr(e)})"
+    case AExtend(c, v, e) => s"${pattern(c)} BIND(${expr(e)} AS ?$v)"
+    case AProject(c, vs) =>
+      s"{ SELECT ${vs.map("?" + _).mkString(" ")} WHERE { ${pattern(c)} } }"
+    case ADistinct(c) => s"{ SELECT DISTINCT * WHERE { ${pattern(c)} } }"
+    case AReduced(c) => s"{ SELECT REDUCED * WHERE { ${pattern(c)} } }"
+    case ASlice(c, off, lim) =>
+      val l = if (lim >= 0) s" LIMIT $lim" else ""
+      val o = if (off > 0) s" OFFSET $off" else ""
+      s"{ SELECT * WHERE { ${pattern(c)} }$l$o }"
+    case AOrderBy(c, keys) =>
+      val ks = keys.map(k =>
+        if (k.asc) s"ASC(${expr(k.e)})" else s"DESC(${expr(k.e)})").mkString(" ")
+      s"{ SELECT * WHERE { ${pattern(c)} } ORDER BY $ks }"
+    case ATable(vs, rows) =>
+      val head = vs.map("?" + _).mkString("(", " ", ")")
+      val data = rows.map(r =>
+        r.map(_.map(term).getOrElse("UNDEF")).mkString("(", " ", ")")).mkString(" ")
+      s"VALUES $head { $data }"
+    case other =>
+      throw new UnsupportedOperationException(s"SERVICE pattern: ${other.getClass.getSimpleName}")
+  }
+
+  private def quad(q: QuadPattern): String = {
+    val t = s"${node(q.s)} ${node(q.p)} ${node(q.o)} ."
+    q.g match {
+      case DefaultGraph => t
+      case g => s"GRAPH ${node(g)} { $t }"
+    }
+  }
+
+  def node(n: Node): String = n match {
+    case V(name) => "?" + name
+    case T(t) => term(t)
+    case DefaultGraph => throw new IllegalArgumentException("DefaultGraph as term")
+  }
+
+  def term(t: Term): String = graft.sources.RdfIO.serializeTerm(t)
+
+  def path(p: PathE): String = p match {
+    case PLink(iri) => s"<$iri>"
+    case PInv(x) => s"^(${path(x)})"
+    case PSeq(a, b) => s"(${path(a)}/${path(b)})"
+    case PAlt(a, b) => s"(${path(a)}|${path(b)})"
+    case PNeg(fwd, rev) =>
+      val parts = fwd.map(i => s"<$i>") ++ rev.map(i => s"^<$i>")
+      s"!(${parts.mkString("|")})"
+    case PPlus(x) => s"(${path(x)})+"
+    case PStar(x) => s"(${path(x)})*"
+    case PZeroOne(x) => s"(${path(x)})?"
+  }
+
+  private val infix = Set("=", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/", "&&", "||")
+  private val xsdCasts = Map(
+    "xsd:integer" -> (Term.XSD + "integer"), "xsd:decimal" -> (Term.XSD + "decimal"),
+    "xsd:float" -> (Term.XSD + "float"), "xsd:double" -> (Term.XSD + "double"),
+    "xsd:string" -> (Term.XSD + "string"), "xsd:boolean" -> (Term.XSD + "boolean"),
+    "xsd:datetime" -> (Term.XSD + "dateTime"), "xsd:date" -> (Term.XSD + "date"))
+
+  def expr(e: Expr): String = e match {
+    case EVar(n) => "?" + n
+    case EConst(t) => term(t)
+    case EExists(p, neg) =>
+      (if (neg) "NOT EXISTS" else "EXISTS") + s" { ${pattern(p)} }"
+    case ECall(op, Seq(a, b)) if infix.contains(op) =>
+      s"(${expr(a)} ${op} ${expr(b)})"
+    case ECall("!", Seq(a)) => s"(!${expr(a)})"
+    case ECall("neg", Seq(a)) => s"(-${expr(a)})"
+    case ECall("in", v +: rest) =>
+      s"(${expr(v)} IN (${rest.map(expr).mkString(", ")}))"
+    case ECall("notin", v +: rest) =>
+      s"(${expr(v)} NOT IN (${rest.map(expr).mkString(", ")}))"
+    case ECall(cast, args) if xsdCasts.contains(cast) =>
+      s"<${xsdCasts(cast)}>(${args.map(expr).mkString(", ")})"
+    case ECall(fn, args) if fn.contains(":") => // extension function by IRI
+      s"<$fn>(${args.map(expr).mkString(", ")})"
+    case ECall(fn, args) => s"${fn.toUpperCase}(${args.map(expr).mkString(", ")})"
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.algebra.Algebra
-import graft.engine.LocalServiceClient
+import graft.engine.{HttpServiceClient, LocalServiceClient}
 import graft.graph.GraphView
 import graft.model._
 import graft.store.RelToRdf
@@ -45,5 +45,54 @@ class GraphSpec extends AnyFunSuite {
     assert(df.count() == 25)
     val rows = df.collect().map(r => (r.getStruct(0).getString(1), r.getStruct(1).getString(1)))
     assert(rows.forall { case (nm, rn) => nm.startsWith("NATION_") && rn.nonEmpty })
+  }
+
+  test("HTTP SERVICE client federates against a SPARQL-protocol endpoint") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.sources.SparqlResults
+    // a real SPARQL-protocol endpoint stub: decodes the POSTed query, runs it
+    // on a local engine, answers in the format the Accept header asks for —
+    // `mode` forces each negotiated content type in turn
+    val remoteEng = new GraftEngine(store)
+    @volatile var mode = "json"
+    @volatile var lastAccept = ""
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sparql", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val form = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        lastAccept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+        val query = java.net.URLDecoder.decode(form.stripPrefix("query="), "UTF-8")
+        val df = remoteEng.query(query)
+        val (ct, body) = mode match {
+          case "json" => ("application/sparql-results+json", SparqlResults.toJson(df))
+          case "xml" => ("application/sparql-results+xml;charset=utf-8", SparqlResults.toXml(df))
+          case _ => ("text/tab-separated-values", SparqlResults.toTsv(df))
+        }
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", ct)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/sparql"
+      val eng = new GraftEngine(store, serviceClient = Some(new HttpServiceClient()))
+      for (m <- Seq("json", "xml", "tsv")) {
+        mode = m
+        val df = eng.query(
+          s"""SELECT ?nm ?rn WHERE {
+             |  ?n <urn:p:nation:n_name> ?nm .
+             |  SERVICE <$endpoint> { ?n <urn:fk:region> ?r . ?r <urn:p:region:r_name> ?rn . }
+             |}""".stripMargin)
+        assert(df.count() == 25, s"mode=$m")
+        assert(lastAccept.contains("application/sparql-results+json"),
+          "client must send a content-negotiation Accept header")
+        val got = df.collect().map(r => (r.getStruct(0).getString(1), r.getStruct(1).getString(1)))
+        assert(got.forall { case (nm, rn) => nm.startsWith("NATION_") && rn.nonEmpty },
+          s"mode=$m: ${got.take(3).mkString(",")}")
+      }
+    } finally server.stop(0)
   }
 }

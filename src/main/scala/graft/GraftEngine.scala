@@ -63,6 +63,18 @@ final class GraftEngine(val store: RdfStore,
   /** Raw compiled solution (id-space columns) — for composition with DataFrame code. */
   def solutions(sparql: String): Sol =
     compiler.compile(Rewriter.rewrite(SparqlParser.parse(sparql).algebra))
+
+  /** Explain: rewritten algebra tree + Catalyst's formatted physical plan
+    * (reference kineo-cli explain, kineo-cli/main.swift:275-334). */
+  def explain(sparql: String): String = {
+    val pq = SparqlParser.parse(sparql)
+    val alg = Rewriter.rewrite(pq.algebra)
+    val sol = compilerFor(pq).compile(alg)
+    val physical = sol.df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    s"== SPARQL algebra (rewritten) ==\n${graft.algebra.AlgebraPrint.pretty(alg)}" +
+      s"\n== Spark physical plan ==\n$physical"
+  }
 }
 
 object GraftEngine {

@@ -77,4 +77,109 @@ class StoreSpec extends AnyFunSuite {
     val doubles = store.terms.filter(col("dt") === Term.xsdDouble)
     assert(doubles.filter(col("num").isNull).count() == 0)
   }
+
+  test("endpoint-backed remote store: paged snapshot through a ServiceClient") {
+    import graft.engine.LocalServiceClient
+    import graft.store.RemoteStore
+    val remote = RelToRdf.cached(spark, "/root/testdata/sf0.001")
+    val client = new LocalServiceClient(Map("urn:svc:remote" -> remote))
+    // tiny page size forces the LIMIT/OFFSET paging loop through many rounds
+    val snap = RemoteStore.fromEndpoint(spark, "urn:svc:remote", client,
+      pageSize = 997, maxRows = 3000)
+    val n = snap.quads.count()
+    assert(n == 3000, s"paged snapshot rows: $n") // capped by maxRows
+    // snapshot is a full store: statistics + query machinery work on it
+    val eng = new GraftEngine(snap)
+    assert(eng.query("SELECT ?s ?o WHERE { ?s <urn:p:region:r_name> ?o }").count() > 0)
+  }
+
+  test("TPF client: follows hydra paging, strips control triples, filters patterns") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.store.RemoteStore
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def page(body: String): Array[Byte] = body.getBytes("UTF-8")
+    server.createContext("/fragment", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        queries.add(q)
+        val base = s"http://127.0.0.1:${server.getAddress.getPort}/fragment"
+        val body =
+          if (q.contains("page=2"))
+            """<http://ex.org/s2> <http://ex.org/p> "two" .
+              |<http://ex.org/frag> <http://rdfs.org/ns/void#triples> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .
+              |""".stripMargin
+          else
+            s"""<http://ex.org/s1> <http://ex.org/p> "one" .
+               |<http://ex.org/frag> <http://www.w3.org/ns/hydra/core#next> <$base?page=2> .
+               |""".stripMargin
+        val bytes = page(body)
+        ex.getResponseHeaders.set("Content-Type", "application/n-triples")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/fragment"
+      val client = new RemoteStore.TpfClient()
+      val ts = client.fetchPattern(base, p = Some(Iri("http://ex.org/p")))
+      // the first request carries the pattern; hydra next links are opaque
+      assert(queries.peek().contains("predicate="),
+        "pattern must be passed as query params")
+      assert(ts.size == 2, s"got: $ts") // both pages' data, no hydra/void controls
+      assert(ts.map(_._3).toSet == Set(Term.str("one"), Term.str("two")))
+      val snap = RemoteStore.fromTpf(spark, base, client)
+      assert(snap.quads.count() == 2)
+    } finally server.stop(0)
+  }
+
+  test("language-preference store keeps the best-ranked language per property") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.store.{LangPrefStore, StoreEncoder}
+    val ex = "http://example.org/"
+    val g = Iri(ex + "g")
+    val quads: Seq[(Term, Term, Term)] = Seq(
+      (Iri(ex + "s1"), Iri(ex + "label"), Term.langStr("hello", "en")),
+      (Iri(ex + "s1"), Iri(ex + "label"), Term.langStr("bonjour", "fr")),
+      (Iri(ex + "s1"), Iri(ex + "label"), Term.langStr("hallo", "de")),
+      (Iri(ex + "s1"), Iri(ex + "note"), Term.str("plain")), // untagged: passes
+      (Iri(ex + "s2"), Iri(ex + "label"), Term.langStr("salut", "fr")),
+      (Iri(ex + "s2"), Iri(ex + "label"), Term.langStr("servus", "de")))
+    val schema = StructType(Seq("s", "p", "o", "g").map(n =>
+      StructField(n, TermRow.schema, nullable = true)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(
+      quads.map { case (s, p, o) =>
+        Row(TermRow.toRow(s), TermRow.toRow(p), TermRow.toRow(o), TermRow.toRow(g)) }, 1),
+      schema)
+    val base = StoreEncoder.encode(df, graft.model.IriScheme.default)
+    val pref = LangPrefStore(base, Seq("en" -> 1.0, "fr" -> 0.5))
+    val eng = new GraftEngine(pref)
+    val labels = eng.query(
+      s"SELECT ?s ?l WHERE {{ ?s <${ex}label> ?l }}")
+      .collect().map(r => (r.getStruct(0).getString(1), r.getStruct(1).getString(1))).toSet
+    // s1: en beats fr, de unlisted (dropped); s2: no en → fr wins
+    assert(labels == Set((ex + "s1", "hello"), (ex + "s2", "salut")), labels.toString)
+    // untagged literal untouched
+    assert(eng.query(s"SELECT ?v WHERE {{ <${ex}s1> <${ex}note> ?v }}").count() == 1)
+    // statistics recomputed: stats-backed COUNT(*) equals the filtered view
+    val total = eng.query("SELECT (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }")
+      .collect().head.getStruct(0).getString(1).toLong
+    assert(total == 3L)
+  }
+
+  test("explain renders the algebra tree and the Catalyst physical plan") {
+    val eng = new GraftEngine(store)
+    val out = eng.explain(
+      """SELECT ?nm WHERE { ?c <urn:p:customer:c_name> ?nm .
+        |  FILTER(STRSTARTS(?nm, "Customer")) } ORDER BY ?nm LIMIT 5""".stripMargin)
+    assert(out.contains("== SPARQL algebra (rewritten) =="))
+    assert(out.contains("BGP"))
+    assert(out.contains("Filter STRSTARTS"))
+    assert(out.contains("== Spark physical plan =="))
+    assert(out.contains("(1) Scan") || out.contains("WholeStageCodegen") ||
+      out.contains("InMemoryTableScan"))
+  }
 }

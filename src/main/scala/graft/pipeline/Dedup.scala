@@ -21,6 +21,14 @@ object Dedup {
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** The DEFAULT near-duplicate path: MinHash+LSH — bucketed candidate
+    * generation, never O(n²). The blocked n-gram Jaccard below is a
+    * diagnostic/small-data baseline only: its within-block pairwise cost is
+    * quadratic in the largest block and must not be the production path. */
+  def nearDuplicates(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    minhashLsh(spark, dir, threshold = threshold)
+
   /** Exact dedup: clusters of byte-identical texts. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

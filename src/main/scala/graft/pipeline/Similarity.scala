@@ -98,6 +98,79 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+    * partitions the corpus into `nLists` inverted lists; each query probes its
+    * `nProbe` nearest lists and reranks exactly within them.
+    *
+    * Scale shape: centroids are tiny (nLists × dim) and ship in the task
+    * closure; assignment is map-side; candidate generation is an equi-join on
+    * the list id — cost follows probed-list occupancy (≈ nProbe/nLists of the
+    * corpus), never |q|×|corpus|. Training is `iters` Lloyd steps, each one
+    * groupBy over (list, dim) — deterministic (lowest-id seeds, no RNG).
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nLists: Int = 8, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val e = withNorm(emb(spark, dir)).transform(ScratchCache.persist)
+
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    // deterministic init: the nLists lowest-id vectors
+    var centroids: Array[Array[Double]] = e.filter(col("vec_id") < nLists)
+      .orderBy("vec_id").collect()
+      .map(r => normalize(r.getSeq[Double](1).toArray))
+
+    def assignUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      var best = 0; var bestDot = Double.MinValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < arr.length && i < cv.length) { d += arr(i) * cv(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    for (_ <- 0 until iters) {
+      val cs = centroids
+      val means = e.withColumn("cl", assignUdf(cs)(col("e")))
+        .select(col("cl"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cl", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next.map(normalize)
+    }
+
+    val corpus = e.withColumn("cl", assignUdf(centroids)(col("e")))
+      .transform(ScratchCache.persist)
+    val cs = centroids
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < arr.length && i < cv.length) { d += arr(i) * cv(i); i += 1 }
+        (c, d)
+      }.sortBy(-_._2).take(nProbe).map(_._1)
+    }
+    val q = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        explode(probeUdf(col("e"))).as("cl"))
+    val cand = q.join(corpus, Seq("cl")).filter(col("vec_id") =!= col("qid"))
+    val scored = cand.select(col("qid"), col("vec_id").as("nid"),
+      (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Plant deterministic near-duplicates: for each vec_id < n, add a copy at
     * vec_id + idOffset with coordinates scaled by a small cyclic factor
     * (cosine vs the original ≈ 0.999). Gives the near-dup path known positives

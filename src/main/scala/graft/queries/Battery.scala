@@ -725,6 +725,10 @@ object Battery {
       (s: SparkSession, d: String) => graft.pipeline.Similarity.lshTopK(s, d),
       None),
 
+    ("sim_ivf_topk", // IVF inverted-list ANN (approximate → rows-only check)
+      (s: SparkSession, d: String) => graft.pipeline.Similarity.ivfTopK(s, d),
+      None),
+
     ("sim_neardup", // planted near-dup positives (corpus has no natural ones)
       (s: SparkSession, d: String) => graft.pipeline.Similarity.nearDupPairs(s, d,
         threshold = 0.9, plant = true),

@@ -80,6 +80,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall") // random gaussian corpus: neighbors are weak
   }
 
+  test("ivf similarity recalls most of brute-force top-5") {
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(spark, sf, nLists = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    // probing 4 of 8 lists scans ~half the corpus: recall should beat LSH
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("fingerprint is deterministic and separates texts") {
     val fp = TextStats.fingerprint(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -448,8 +448,13 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         extra.toSeq
     val joined =
       if (conds.isEmpty) {
-        if (kind == "inner") l.df.crossJoin(rdf)
-        else l.df.join(rdf, lit(true), kind)
+        // CartesianProduct schedules |left| × |right| partition-product tasks —
+        // with 32-partition cached scans that is 1024 tasks of pure overhead
+        // for small outputs. Cap the partition product; SPARQL cross joins come
+        // from disconnected groups (usually small dimension patterns), and a
+        // genuinely huge×huge cartesian is unrunnable at any partitioning.
+        if (kind == "inner") l.df.coalesce(8).crossJoin(rdf.coalesce(4))
+        else l.df.coalesce(8).join(rdf.coalesce(4), lit(true), kind)
       } else l.df.join(rdf, conds.reduce(_ && _), kind)
 
     if (kind == "left_semi" || kind == "left_anti")
@@ -684,6 +689,13 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           }
         } else lit(null).cast(TermRow.schema)
       }
+    }
+    // shallow conditions (the common OPTIONAL-filter shape) compile natively
+    // inline — a join condition can't host temp columns, so only small trees
+    val viewMap = fv.zip(views).toMap
+    NativeExpr.ebvColumnInline(e, viewMap.get, ctx.nowEpochUs) match {
+      case Some(c) => return (ls, rs, c === true)
+      case None => ()
     }
     val theCtx = ctx
     val eLocal = e

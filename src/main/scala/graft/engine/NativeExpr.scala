@@ -61,6 +61,21 @@ object NativeExpr {
     c.bool(e).map(res => Compiled(c.temps.toSeq, res))
   }
 
+  /** Inline (temp-free) EBV compile — usable inside JOIN conditions, where no
+    * projection can host intermediate columns. Only for SHALLOW expressions:
+    * the guard caps the node count, since inlining duplicates operand trees at
+    * every reference (see [[Compiled]]). */
+  def ebvColumnInline(e: Expr, view: String => Option[Column], nowUs: Long,
+      maxNodes: Int = 8): Option[Column] = {
+    def size(x: Expr): Int = x match {
+      case ECall(_, args) => 1 + args.map(size).sum
+      case _ => 1
+    }
+    if (size(e) > maxNodes) return None
+    val c = new Comp(view, nowUs, inline = true)
+    c.bool(e)
+  }
+
   // ---- shared column helpers ------------------------------------------------
 
   private val nullTerm: Column = lit(null).cast(TermRow.schema)
@@ -206,16 +221,20 @@ object NativeExpr {
 
   // ---- the compiler ---------------------------------------------------------
 
-  private final class Comp(view: String => Option[Column], nowUs: Long) {
+  private final class Comp(view: String => Option[Column], nowUs: Long,
+      inline: Boolean = false) {
     val temps = scala.collection.mutable.ListBuffer[(String, Column)]()
 
     /** Bind a computed column as a temp so downstream operators reference an
-      * attribute instead of re-inlining the tree. */
-    private def bindTemp(c: Column): Column = {
-      val n = s"__ne_${tempId.incrementAndGet()}"
-      temps += n -> c
-      col(s"`$n`")
-    }
+      * attribute instead of re-inlining the tree (inline mode: caller
+      * guarantees shallowness, e.g. JOIN conditions). */
+    private def bindTemp(c: Column): Column =
+      if (inline) c
+      else {
+        val n = s"__ne_${tempId.incrementAndGet()}"
+        temps += n -> c
+        col(s"`$n`")
+      }
 
     def term(e: Expr): Option[Column] = e match {
       case EConst(t) => Some(constTerm(t)) // constant-folds at reference sites

@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Repeated-query profiling main: warm-vs-cold timings for a few battery
+  * entries (bench-harness conditions, one JVM). */
 object ProfileQ {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -8,12 +11,15 @@ object ProfileQ {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     graft.queries.Battery.compiler(spark, dir)
-    for (q <- Seq("q_cross_join", "q_cross_join", "q_describe", "q_describe", "q_agg_concat", "q_agg_concat")) {
+    val qs = if (args.nonEmpty) args.toSeq.flatMap(q => Seq(q, q))
+      else Seq("q_path_plus", "q_path_plus", "q_path_star", "q_path_star")
+    for (q <- qs) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).count()
-      println(f"$q%-16s ${(System.nanoTime()-t0)/1e9}%.2f s")
+      graft.pipeline.ScratchCache.drain()
+      println(f"$q%-16s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -186,7 +186,15 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     case _ => exprColumnComputed(sol0, e)
   }
 
-  private def exprColumnComputed(sol0: Sol, e: Expr): (Sol, Column) = fastNum(sol0, e) match {
+  /** The companion-column fast path stamps xsd:double, which is only correct
+    * when every participating numeric var is double-family (FAM_DBL) — an
+    * integer-family var must take the native typed path instead. */
+  private def allDblFamily(sol: Sol, e: Expr): Boolean =
+    Expr.freeVars(e).forall(v =>
+      !sol.nums.contains(v) || sol.fam.get(v).contains(Sol.FAM_DBL))
+
+  private def exprColumnComputed(sol0: Sol, e: Expr): (Sol, Column) =
+    (if (allDblFamily(sol0, e)) fastNum(sol0, e) else None) match {
     case Some(c) => // numeric fast path: build the view struct natively
       (sol0, when(c.isNotNull, struct(
         lit(TermRow.KIND_LITERAL).as("kind"),
@@ -1013,9 +1021,11 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       val wBase = if (partCols.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(partCols: _*)
       val w = if (ordCols.isEmpty) wBase else wBase.orderBy(ordCols: _*)
 
-      // num fast path: all-numeric vars aggregate their companion directly
+      // num fast path: double-family vars aggregate their companion directly
+      // (COUNT is type-agnostic; SUM/AVG need FAM_DBL for correct typing)
       val numFast: Option[Column] = spec.e match {
         case Some(EVar(n)) if sol.nums.contains(n) && sol.numAll.contains(n) &&
+            (spec.fn == "count" || sol.fam.get(n).contains(Sol.FAM_DBL)) &&
             Seq("sum", "avg", "count").contains(spec.fn) =>
           Some(col(bt(sol.numCol(n))))
         case _ => None
@@ -1176,6 +1186,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       var acc = seed.dropDuplicates().localCheckpoint()
       var frontier = acc
       var done = false
+      var iter = 0
       while (!done) {
         val next = frontier.join(edges.withColumnRenamed("a", "b0").withColumnRenamed("b", "c"),
             frontier("b") === col("b0"))
@@ -1185,7 +1196,13 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           .localCheckpoint()
         if (next.isEmpty) done = true
         else {
-          acc = acc.union(next).localCheckpoint()
+          // each frontier is already checkpointed, so the visited-set union's
+          // lineage stays one union-of-checkpoints deep — re-checkpointing it
+          // every iteration just pays an extra job. Compact periodically so
+          // very deep closures don't accumulate a wide union.
+          iter += 1
+          acc = acc.union(next)
+          if (iter % 8 == 0) acc = acc.localCheckpoint()
           frontier = next
         }
       }

@@ -261,6 +261,31 @@ object Battery {
       Some("SELECT l_returnflag AS rf, sum(l_linenumber) AS s_ln " +
         "FROM lineitem GROUP BY 1")),
 
+    ("q_agg_sumd_typed", // SUM(DISTINCT) over integers, exact compare
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(
+          BGP(Seq(
+            qp(V("l"), p("lineitem", "l_returnflag"), V("rf")),
+            qp(V("l"), p("lineitem", "l_linenumber"), V("ln")))),
+          Seq("rf"),
+          Seq(AggSpec("s_ln", "sum", Some(EVar("ln")), distinct = true))),
+        "rf" -> "string", "s_ln" -> "long"),
+      Some("SELECT l_returnflag AS rf, sum(DISTINCT l_linenumber) AS s_ln " +
+        "FROM lineitem GROUP BY 1")),
+
+    ("q_agg_concat_distinct", // GROUP_CONCAT(DISTINCT; SEPARATOR) sorted output
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(
+          BGP(Seq(
+            qp(V("o"), p("orders", "o_orderstatus"), V("st")),
+            qp(V("o"), p("orders", "o_orderpriority"), V("pri")))),
+          Seq("st"),
+          Seq(AggSpec("pris", "group_concat", Some(EVar("pri")),
+            distinct = true, sep = "|"))),
+        "st" -> "string", "pris" -> "string"),
+      Some("SELECT o_orderstatus AS st, string_agg(DISTINCT o_orderpriority, '|' " +
+        "ORDER BY o_orderpriority) AS pris FROM orders GROUP BY 1")),
+
     ("q_agg_avg_typed", // integer AVG → exact decimal (op:numeric-divide)
       (s: SparkSession, d: String) => round4(run(s, d,
         AGroup(

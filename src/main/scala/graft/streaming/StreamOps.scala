@@ -71,4 +71,49 @@ object StreamOps {
     q.stop()
     spark.table(name)
   }
+
+  // ---- streaming RDF ingestion ---------------------------------------------
+
+  /** One streamed quad in struct space (field layout = TermRow.schema). */
+  final case class QuadTV(s: graft.engine.TV, p: graft.engine.TV,
+      o: graft.engine.TV, g: graft.engine.TV)
+
+  /** Streaming N-Triples/N-Quads source: a text-file stream of lines, parsed
+    * distributed per micro-batch into struct-space quads — the incremental
+    * twin of [[graft.sources.RdfIO.readNTriples]]. Line-oriented means the
+    * parallelism unit is the line, so this scales like the batch reader.
+    */
+  def quadStream(spark: SparkSession, dir: String,
+      defaultGraph: String = "urn:g:default"): DataFrame = {
+    import spark.implicits._
+    import graft.engine.TV
+    spark.readStream.text(dir).as[String].flatMap { line =>
+      graft.sources.RdfIO.parseLine(line).map { case (s, p, o, g) =>
+        QuadTV(TV.of(s), TV.of(p), TV.of(o),
+          TV.of(g.getOrElse(graft.model.Iri(defaultGraph))))
+      }
+    }.toDF()
+  }
+
+  /** Running per-predicate quad counts over the stream (complete mode). */
+  def predicateCounts(quads: DataFrame): DataFrame =
+    quads.groupBy(col("p.lex").as("predicate")).agg(count(lit(1)).as("n"))
+
+  /** Incremental store maintenance: dictionary-encoding append of each
+    * micro-batch into an evolving [[graft.store.RdfStore]] (the streaming twin
+    * of the bulk `StoreEncoder.append` mutation path). `onUpdate` receives the
+    * store after every batch.
+    */
+  def appendToStore(quads: DataFrame, initial: graft.store.RdfStore,
+      onUpdate: graft.store.RdfStore => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    @volatile var current = initial
+    quads.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          current = graft.store.StoreEncoder.append(current, batch)
+          onUpdate(current)
+        }
+      }
+      .start()
+  }
 }

@@ -22,10 +22,11 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: negation manifest") { runArea("negation") }
   test("w3c: property-path manifest") { runArea("property-path") }
   test("w3c: optional manifest") { runArea("optional") }
+  test("w3c: functions manifest") { runArea("functions") }
 
   test("w3c: manifest loader finds every vendored test") {
-    val n = Seq("aggregates", "negation", "property-path", "optional")
+    val n = Seq("aggregates", "negation", "property-path", "optional", "functions")
       .map(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")).size).sum
-    assert(n == 24, s"expected 24 vendored tests, found $n")
+    assert(n == 31, s"expected 31 vendored tests, found $n")
   }
 }

@@ -1064,10 +1064,40 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         case "count" =>
           intView(numFast.orElse(inOpt).map(c => count(c).over(framed))
             .getOrElse(count(lit(1)).over(framed)))
-        case "sum" =>
-          numView(sum(numFast.getOrElse(inOpt.get.getField("num"))).over(framed))
-        case "avg" =>
-          numView(avg(numFast.getOrElse(inOpt.get.getField("num"))).over(framed))
+        case "sum" | "avg" if numFast.isDefined => // double-family fast path
+          val c = numFast.get
+          if (spec.fn == "sum") numView(sum(c).over(framed))
+          else numView(avg(c).over(framed))
+        case "sum" | "avg" =>
+          // typed frame aggregate: family promotion + poison, like compileGroup
+          val in = inOpt.get
+          val rank = graft.engine.NativeExpr.famRank(in)
+          val sumL = try_sum(when(rank === 0, graft.engine.NativeExpr.longVal(in))).over(framed)
+          val sumDec = sum(when(rank <= 1, graft.engine.NativeExpr.decVal(in))).over(framed)
+          val sumD = sum(when(rank.isNotNull, in.getField("num"))).over(framed)
+          val n = count(when(rank.isNotNull, lit(1))).over(framed)
+          val poison = max(when(in.isNotNull && rank.isNull, 1).otherwise(0)).over(framed)
+          val maxRank = max(rank).over(framed)
+          def decDivW(x: Column, y: Column): Column =
+            coalesce(
+              try_divide(x.try_cast(DecimalType(20, 10)), y.try_cast(DecimalType(20, 10)))
+                .cast(DecimalType(38, 18)),
+              try_divide(x.cast(DecimalType(38, 18)), y.cast(DecimalType(38, 18)))
+                .cast(DecimalType(38, 18)))
+          if (spec.fn == "sum")
+            when(poison === 1, lit(null).cast(TermRow.schema))
+              .when(n === 0, intView(lit(0)))
+              .when(maxRank === 0, intView(sumL))
+              .when(maxRank === 1, graft.engine.NativeExpr.decTerm(sumDec))
+              .when(maxRank === 2, graft.engine.NativeExpr.fltTerm(sumD.cast(FloatType)))
+              .otherwise(numView(sumD))
+          else
+            when(poison === 1, lit(null).cast(TermRow.schema))
+              .when(n === 0, intView(lit(0)))
+              .when(maxRank === 0, graft.engine.NativeExpr.decTerm(decDivW(sumL, n)))
+              .when(maxRank === 1, graft.engine.NativeExpr.decTerm(decDivW(sumDec, n)))
+              .when(maxRank === 2, graft.engine.NativeExpr.fltTerm((sumD / n).cast(FloatType)))
+              .otherwise(numView(sumD / n))
         case "min" => min_by(inOpt.get, when(inOpt.get.isNotNull, struct(
           inOpt.get.getField("kind"), inOpt.get.getField("num"), inOpt.get.getField("lex"),
           inOpt.get.getField("dt"), inOpt.get.getField("lang")))).over(framed)

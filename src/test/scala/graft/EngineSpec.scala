@@ -298,6 +298,19 @@ class EngineSpec extends AnyFunSuite {
     assert(ds.getString(2) == Term.xsdDecimal && ds.getString(1) == "3.25")
   }
 
+  test("typed window SUM over integers stays xsd:integer") {
+    val ex = "http://example.org/"
+    val w = AWindow(
+      BGP(Seq(QuadPattern(V("s"), T(Iri(ex + "age")), V("a")))),
+      Seq(WinSpec("running", "sum", Some(EVar("a")), Seq.empty,
+        Seq(SortKey(EVar("a"))), frame = Some((Long.MinValue, 0L)))))
+    val rows = Results.materialize(tcomp, tcomp.compile(w))
+      .select(col("running.lex"), col("running.dt")).collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(rows.forall(_._2 == Term.xsdInteger), rows.mkString(","))
+    assert(rows.map(_._1).toSet == Set("25", "55")) // 25, then 25+30
+  }
+
   test("BNODE(label) co-refers within a row, differs across rows (tiny store)") {
     // two separate BINDs of BNODE("x") on the same solution row must produce the
     // SAME blank node (per-row label scope); different rows different nodes

@@ -64,6 +64,17 @@ final class GraftEngine(val store: RdfStore,
   def solutions(sparql: String): Sol =
     compiler.compile(Rewriter.rewrite(SparqlParser.parse(sparql).algebra))
 
+  /** CONSTRUCT results as term structs (kind/datatype/lang preserved) — the
+    * lossless form used by the W3C conformance comparison; `query` returns the
+    * lexical (s,p,o) strings form. */
+  def constructQuads(sparql: String): DataFrame = {
+    val pq0 = SparqlParser.parse(sparql)
+    require(pq0.form == "construct", s"not a CONSTRUCT query: ${pq0.form}")
+    val pq = pq0.copy(algebra = Rewriter.rewrite(pq0.algebra))
+    val c = compilerFor(pq)
+    Results.constructTerms(c, c.compile(pq.algebra), pq.constructTemplates)
+  }
+
   /** Explain: rewritten algebra tree + Catalyst's formatted physical plan
     * (reference kineo-cli explain, kineo-cli/main.swift:275-334). */
   def explain(sparql: String): String = {

@@ -93,6 +93,36 @@ object Results {
     dfs.reduce(_ unionByName _).dropDuplicates()
   }
 
+  /** CONSTRUCT in term space: one term-struct column per position — the
+    * lossless form (kind/datatype/lang preserved) used by the W3C conformance
+    * compare; [[construct]] above is the lexical driver-contract form. Same
+    * scale shape: per-template dedup in native rep before materialization.
+    */
+  def constructTerms(c: Compiler, sol0: Sol,
+      templates: Seq[(Node, Node, Node)]): DataFrame = {
+    val dfs = templates.map { case (s, p, o) =>
+      val tvars = Seq(s, p, o).collect { case V(v) if sol0.reps.contains(v) => v }.distinct
+      val deduped = Sol(
+        sol0.df.select(tvars.map(v => col(s"`$v`")): _*).dropDuplicates(),
+        sol0.reps.filter(kv => tvars.contains(kv._1)),
+        sol0.certain intersect tvars.toSet, Set.empty,
+        sol0.inl intersect tvars.toSet, Set.empty)
+      var sol = deduped
+      def colOf(n: Node): Column = n match {
+        case T(t) => NativeExpr.constTerm(t)
+        case V(v) if sol.reps.contains(v) =>
+          val (s2, vc) = c.withView(sol, v)
+          sol = s2
+          vc
+        case _ => lit(null).cast(TermRow.schema)
+      }
+      val (cs, cp, co) = (colOf(s), colOf(p), colOf(o))
+      sol.df.select(cs.as("s"), cp.as("p"), co.as("o"))
+        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+    }
+    dfs.reduce(_ unionByName _).dropDuplicates()
+  }
+
   /** DESCRIBE: all quads whose subject is one of the described terms
     * (reference SimpleQueryEvaluation.swift:1305-1319). */
   def describe(c: Compiler, sol: Sol, v: String): DataFrame = {

@@ -66,6 +66,15 @@ object W3CRunner {
       tc.data.map(read).getOrElse(""), graph = "urn:g:w3c")
     val eng = new GraftEngine(store)
     val queryText = read(tc.query)
+    if (tc.result.getName.endsWith(".ttl")) { // CONSTRUCT: graph isomorphism
+      val got: Seq[(Term, Term, Term)] = eng.constructQuads(queryText)
+        .collect().toSeq.map(r => (TermRow.fromRow(r.getStruct(0)),
+          TermRow.fromRow(r.getStruct(1)), TermRow.fromRow(r.getStruct(2))))
+      val want = RdfIO.parseTurtle(read(tc.result))
+      return if (Isomorphism.isomorphic(got, want)) None
+      else Some(s"${tc.name}: graphs differ\n  got:  ${got.sortBy(_.toString).mkString("; ")}\n" +
+        s"  want: ${want.sortBy(_.toString).mkString("; ")}")
+    }
     val df = eng.query(queryText)
     val expectedText = read(tc.result)
 

@@ -23,10 +23,11 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: property-path manifest") { runArea("property-path") }
   test("w3c: optional manifest") { runArea("optional") }
   test("w3c: functions manifest") { runArea("functions") }
+  test("w3c: construct manifest") { runArea("construct") }
 
   test("w3c: manifest loader finds every vendored test") {
-    val n = Seq("aggregates", "negation", "property-path", "optional", "functions")
+    val n = Seq("aggregates", "negation", "property-path", "optional", "functions", "construct")
       .map(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")).size).sum
-    assert(n == 31, s"expected 31 vendored tests, found $n")
+    assert(n == 34, s"expected 34 vendored tests, found $n")
   }
 }

@@ -36,6 +36,12 @@ object Demo {
       eng.query("""SELECT ?node WHERE {
         <urn:t:orders:1> (<urn:fk:customer>|<urn:fk:nation>|<urn:fk:region>)+ ?node
       }""").show(truncate = false)
+
+      println("== explain ==")
+      println(eng.explain(
+        """SELECT ?nm WHERE { ?c <urn:p:customer:c_name> ?nm .
+          |  FILTER(STRSTARTS(?nm, "Customer")) } LIMIT 5""".stripMargin)
+        .linesIterator.take(25).mkString("\n"))
     }
     spark.stop()
   }

@@ -59,7 +59,11 @@ final case class Sol(df: DataFrame, reps: Map[String, Rep], certain: Set[String]
       * is an inline xsd:integer (exact long aggregation from the id payload);
       * FAM_DBL = int/float/double mix promoting to xsd:double (companion-exact).
       * Absent = unknown → typed aggregation uses the generic view path. */
-    fam: Map[String, Int] = Map.empty) {
+    fam: Map[String, Int] = Map.empty,
+    /** EXACT upper bound on the row count, from per-predicate statistics
+      * (bound-predicate scans; filters/projections only shrink it). Drives
+      * statistics-based broadcast hints in joins. None = unbounded. */
+    card: Option[Long] = None) {
   def vars: Set[String] = reps.keySet
   def numCol(v: String): String = "__n_" + v
 }
@@ -366,8 +370,14 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           Some(n -> Sol.FAM_DBL)
         else None
     }.flatten.toMap
+    // exact cardinality upper bound: a bound-predicate scan returns at most
+    // that predicate's quad count (further bound terms only shrink it)
+    val card: Option[Long] = qp.p match {
+      case T(t) => store.idOf(t).flatMap(store.predProfiles.get).map(_.count)
+      case _ => None
+    }
     Sol(out, firstPos.keys.map(_ -> (IdRep: Rep)).toMap, firstPos.keySet.toSet, nums,
-      inl, numAll, fam = fam)
+      inl, numAll, fam = fam, card = card)
   }
 
   /** BGP join-order heuristic: bound-position selectivity weights from the
@@ -454,19 +464,34 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         looseShared.map(v =>
           (col(bt(v)) <=> col(bt("__r_" + v))) || col(bt(v)).isNull || col(bt("__r_" + v)).isNull) ++
         extra.toSeq
+    // statistics-driven broadcast: per-predicate counts give EXACT row-count
+    // upper bounds for pattern scans, so small sides can be declared
+    // broadcastable instead of waiting for AQE to discover it (cached-table
+    // size stats reflect the whole store, not the filtered scan). ~30 B/row
+    // in id space → 200k rows ≈ 6 MB.
+    val bcastRows = 200000L
+    def small(c: Option[Long]) = c.exists(_ <= bcastRows)
+    val rdfH = if (small(r.card)) broadcast(rdf) else rdf
+    val ldfH =
+      if (kind == "inner" && small(l.card) && !small(r.card)) broadcast(l.df)
+      else l.df
     val joined =
       if (conds.isEmpty) {
         // CartesianProduct schedules |left| × |right| partition-product tasks —
         // with 32-partition cached scans that is 1024 tasks of pure overhead
-        // for small outputs. Cap the partition product; SPARQL cross joins come
-        // from disconnected groups (usually small dimension patterns), and a
-        // genuinely huge×huge cartesian is unrunnable at any partitioning.
-        if (kind == "inner") l.df.coalesce(8).crossJoin(rdf.coalesce(4))
+        // for small outputs. Broadcast a provably-small side (nested-loop with
+        // |big| tasks); otherwise cap the partition product. A genuinely
+        // huge×huge cartesian is unrunnable at any partitioning anyway.
+        if (small(r.card))
+          (if (kind == "inner") l.df.crossJoin(broadcast(rdf))
+           else l.df.join(broadcast(rdf), lit(true), kind))
+        else if (kind == "inner") l.df.coalesce(8).crossJoin(rdf.coalesce(4))
         else l.df.coalesce(8).join(rdf.coalesce(4), lit(true), kind)
-      } else l.df.join(rdf, conds.reduce(_ && _), kind)
+      } else ldfH.join(rdfH, conds.reduce(_ && _), kind)
 
     if (kind == "left_semi" || kind == "left_anti")
-      return Sol(joined, l.reps, l.certain, l.nums, l.inl, l.numAll)
+      return Sol(joined, l.reps, l.certain, l.nums, l.inl, l.numAll,
+        fam = l.fam, card = l.card) // semi/anti output ⊆ left
 
     // merge shared columns, surface right-only vars
     var out = joined
@@ -509,7 +534,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     }.toMap
     Sol(out.select((reps.keySet.toSeq.sorted.map(v => col(bt(v))) ++
       nums.toSeq.sorted.map(v => col(bt("__n_" + v)))): _*), reps, certain, nums,
-      inl, numAll, fam = fam)
+      inl, numAll, fam = fam) // inner/outer joins can multiply rows → card unknown
   }
 
   // ---- main compile ---------------------------------------------------------
@@ -535,7 +560,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           val sol = compile(c)
           val (s2, ec) = exprColumn(sol, e)
           Sol(s2.df.withColumn(v, ec), s2.reps + (v -> TermRep), s2.certain, s2.nums,
-            s2.inl, s2.numAll, fam = s2.fam)
+            s2.inl, s2.numAll, fam = s2.fam, card = s2.card)
       }
 
     case AProject(c, vs) =>
@@ -546,7 +571,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       Sol(sol.df.select(cols: _*), sol.reps.filter(kv => keep.contains(kv._1)),
         sol.certain intersect vs.toSet, sol.nums intersect keep.toSet,
         sol.inl intersect keep.toSet, sol.numAll intersect keep.toSet,
-        fam = sol.fam.filter(kv => keep.contains(kv._1)))
+        fam = sol.fam.filter(kv => keep.contains(kv._1)), card = sol.card)
 
     case ADistinct(c) =>
       val sol = dropCompanions(compile(c))
@@ -598,7 +623,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           v -> rows.flatMap(r => r.lift(i).flatten).distinct
         }.toMap
       Sol(df, vs.map(_ -> (TermRep: Rep)).toMap,
-        Algebra.certain(ATable(vs, rows)), Set.empty, consts = consts)
+        Algebra.certain(ATable(vs, rows)), Set.empty, consts = consts,
+        card = Some(rows.size.toLong))
 
     case AService(endpoint, child, silent) =>
       val ep = endpoint match {
@@ -815,7 +841,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       }
     }.toMap
     Sol(pad(l).unionByName(pad(r)), reps, l.certain intersect r.certain,
-      sharedNums.toSet, inl, numAll, fam = fam)
+      sharedNums.toSet, inl, numAll, fam = fam,
+      card = for (a <- l.card; b <- r.card) yield a + b)
   }
 
   // ---- order by -------------------------------------------------------------
@@ -1001,7 +1028,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       Set.empty,
       (sol.inl intersect keptKeys.toSet) ++ idOuts,
       Set.empty,
-      fam = sol.fam.filter(kv => keptKeys.contains(kv._1)))
+      fam = sol.fam.filter(kv => keptKeys.contains(kv._1)),
+      card = sol.card) // group count ≤ input rows
   }
 
   // ---- windows --------------------------------------------------------------

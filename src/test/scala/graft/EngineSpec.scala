@@ -298,6 +298,20 @@ class EngineSpec extends AnyFunSuite {
     assert(ds.getString(2) == Term.xsdDecimal && ds.getString(1) == "3.25")
   }
 
+  test("statistics-driven broadcast: small predicate scans hash-broadcast in joins") {
+    // customer c_name (150 rows at sf0.001) joins nation n_name (25 rows):
+    // per-predicate counts prove both sides tiny → BroadcastHashJoin, no SMJ
+    val a = BGP(Seq(
+      QuadPattern(V("c"), p("customer", "c_name"), V("cn")),
+      QuadPattern(V("c"), fk("nation"), V("n")),
+      QuadPattern(V("n"), p("nation", "n_name"), V("nn"))))
+    val sol = comp.compile(a)
+    val plan = sol.df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected statistics-driven broadcast join:\n${plan.take(3000)}")
+    assert(sol.df.count() == 150)
+  }
+
   test("typed window SUM over integers stays xsd:integer") {
     val ex = "http://example.org/"
     val w = AWindow(

@@ -783,7 +783,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         for (v <- shared if ll.reps(v) != pp.reps(v)) { ll = toTermRep(ll, v); pp = toTermRep(pp, v) }
         val dist = pp.df.select(shared.map(v => col(bt(v))): _*).dropDuplicates()
           .withColumn(flag, lit(true))
-        val renamed = shared.foldLeft(dist)((d, v) => d.withColumnRenamed(v, "__r_" + v))
+        val renamed0 = shared.foldLeft(dist)((d, v) => d.withColumnRenamed(v, "__r_" + v))
+        val renamed = // distinct key set ≤ pattern's statistics bound
+          if (p.card.exists(_ <= 200000L)) broadcast(renamed0) else renamed0
         val cond = shared.map(v => col(bt(v)) === col(bt("__r_" + v))).reduce(_ && _)
         val joined = ll.df.join(renamed, cond, "left_outer")
           .withColumn(flag, coalesce(col(bt(flag)), lit(false)))
@@ -1194,11 +1196,13 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   private var pathCounter = 0
   private def freshId(): Int = { pathCounter += 1; pathCounter }
 
-  /** Edge pairs (a,b) for an inner path, as a 2-column DataFrame of ids. */
-  private def pathEdges(p: PathE, g: Node): DataFrame = {
+  /** Edge pairs (a,b) for an inner path, as a 2-column DataFrame of ids,
+    * plus the statistics upper bound on the edge count. */
+  private def pathEdges(p: PathE, g: Node): (DataFrame, Option[Long]) = {
     val a = V("__pa"); val b = V("__pb")
     val sol = compilePath(a, p, b, g)
-    sol.df.select(col("__pa").as("a"), col("__pb").as("b")).dropDuplicates()
+    (sol.df.select(col("__pa").as("a"), col("__pb").as("b")).dropDuplicates(),
+      sol.card)
   }
 
   /** All graph terms (for zero-length path over unbound endpoints — reference
@@ -1236,8 +1240,13 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     * quadratic (same in the reference, MaterializedQueryPlan.swift:2036-2068).
     */
   private def closure(s: Node, p: PathE, o: Node, g: Node, includeZero: Boolean): Sol = {
-    val edges = graft.pipeline.ScratchCache.persist(pathEdges(p, g))
-    edges.count()
+    val (edges0, edgeCard) = pathEdges(p, g)
+    var edges = graft.pipeline.ScratchCache.persist(edges0)
+    // small edge sets broadcast into every fixpoint iteration (the frontier
+    // join then needs no shuffle). With a statistics bound the materializing
+    // count() pass is unnecessary; without one, count to decide
+    if (edgeCard.exists(_ <= 200000L)) edges = broadcast(edges)
+    else if (edgeCard.isEmpty && edges.count() <= 200000L) edges = broadcast(edges)
 
     def fix(seed: DataFrame): DataFrame = {
       // seed: (a, b) one-step pairs from the seeds

@@ -75,6 +75,40 @@ final class GraftEngine(val store: RdfStore,
     Results.constructTerms(c, c.compile(pq.algebra), pq.constructTemplates)
   }
 
+  /** Explain-analyze: execute the query, then render the physical plan with
+    * per-operator runtime metrics (rows, spill, build sizes) — the Spark
+    * analogue of the reference's metrics-wrapped plan nodes
+    * (SPARQL/QueryPlan.swift:11-111). */
+  def explainAnalyze(sparql: String): String = {
+    val pq = SparqlParser.parse(sparql)
+    val alg = Rewriter.rewrite(pq.algebra)
+    val sol = compilerFor(pq).compile(alg)
+    // execute THIS plan instance (df.count() would build a separate one and
+    // leave these operators' metrics empty)
+    val n = sol.df.queryExecution.executedPlan.execute().count()
+    val sb = new StringBuilder
+    sb.append(s"== SPARQL algebra (rewritten) ==\n")
+    sb.append(graft.algebra.AlgebraPrint.pretty(alg))
+    sb.append(s"\n== Executed plan with metrics (result rows: $n) ==\n")
+    def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+      val ms = p.metrics.toSeq.sortBy(_._1).collect {
+        case (k, m) if m.value > 0 => s"$k=${m.value}"
+      }
+      sb.append("  " * depth).append(p.nodeName)
+      if (ms.nonEmpty) sb.append(ms.mkString(" [", ", ", "]"))
+      sb.append('\n')
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      kids.foreach(walk(_, depth + 1))
+    }
+    walk(sol.df.queryExecution.executedPlan, 0)
+    sb.toString
+  }
+
   /** Explain: rewritten algebra tree + Catalyst's formatted physical plan
     * (reference kineo-cli explain, kineo-cli/main.swift:275-334). */
   def explain(sparql: String): String = {

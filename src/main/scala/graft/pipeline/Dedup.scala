@@ -29,6 +29,30 @@ object Dedup {
       threshold: Double = 0.5): DataFrame =
     minhashLsh(spark, dir, threshold = threshold)
 
+  /** End-to-end near-dup deduplication: candidate pairs → transitive clusters
+    * (GraphX connected components over the pair graph) → one representative
+    * (min doc_id) per cluster. Output: (doc_id, keep) for every clustered doc —
+    * the drop set is `doc_id != keep`. Pairs from any detector (minhashLsh by
+    * default); components run on the pair graph only (≪ corpus), so the
+    * expensive step stays the bucketed candidate generation.
+    */
+  def dedupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    clustersOf(nearDuplicates(spark, dir, threshold))
+
+  /** Connected-component clustering of an (a, b, …) pair frame. */
+  def clustersOf(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edgeRdd = pairs.select(col("a").cast(LongType), col("b").cast(LongType))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val g = Graph.fromEdges(edgeRdd, defaultValue = 0)
+    val comps = g.connectedComponents().vertices.toDF("doc_id", "component")
+    val reps = comps.groupBy("component").agg(min("doc_id").as("keep"))
+    comps.join(reps, "component").select(col("doc_id"), col("keep"))
+  }
+
   /** Exact dedup: clusters of byte-identical texts. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

@@ -80,6 +80,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall") // random gaussian corpus: neighbors are weak
   }
 
+  test("dedup clustering: near-dup pairs collapse to one representative per cluster") {
+    val clusters = Dedup.dedupClusters(spark, plantedDir, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 9001/9002 are base+tail variants of 9005(=9006), so all four form ONE
+    // transitive component (that's the point of clustering over pairs);
+    // 9003/9004 are unrelated and stay out
+    assert(Set(9001L, 9002L, 9005L, 9006L).forall(d => clusters(d) == 9001L),
+      clusters.toString)
+    assert(!clusters.contains(9003L) && !clusters.contains(9004L),
+      "unrelated docs must not join any cluster")
+    // drop set = clustered docs that are not their cluster's representative
+    val drop = clusters.collect { case (d, k) if d != k => d }.toSet
+    assert(drop == Set(9002L, 9005L, 9006L))
+  }
+
   test("ivf similarity recalls most of brute-force top-5") {
     val brute = Similarity.bruteTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

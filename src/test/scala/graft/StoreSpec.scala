@@ -170,6 +170,14 @@ class StoreSpec extends AnyFunSuite {
     assert(total == 3L)
   }
 
+  test("explainAnalyze reports per-operator runtime metrics") {
+    val eng = new GraftEngine(store)
+    val out = eng.explainAnalyze(
+      "SELECT ?nm WHERE { ?c <urn:p:customer:c_name> ?nm }")
+    assert(out.contains("result rows: 150"))
+    assert(out.contains("numOutputRows="), s"metrics missing:\n${out.take(1500)}")
+  }
+
   test("explain renders the algebra tree and the Catalyst physical plan") {
     val eng = new GraftEngine(store)
     val out = eng.explain(

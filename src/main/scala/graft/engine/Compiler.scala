@@ -63,7 +63,12 @@ final case class Sol(df: DataFrame, reps: Map[String, Rep], certain: Set[String]
     /** EXACT upper bound on the row count, from per-predicate statistics
       * (bound-predicate scans; filters/projections only shrink it). Drives
       * statistics-based broadcast hints in joins. None = unbounded. */
-    card: Option[Long] = None) {
+    card: Option[Long] = None,
+    /** Pending ORDER BY, as materialized hidden `__sort_*` columns + asc
+      * flags: the result edge re-applies the sort AFTER late-materialization
+      * joins (which destroy row order) and after projection (which may drop
+      * the sort variables themselves). Reset by order-destroying operators. */
+    sortCols: Seq[(String, Boolean)] = Nil) {
   def vars: Set[String] = reps.keySet
   def numCol(v: String): String = "__n_" + v
 }
@@ -102,6 +107,12 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   private def decodeInlineUdf(c: Column): Column =
     graft.functions.DecodeInlineTerm(c, scheme)
 
+  /** Dictionary side of a materialization join — broadcast when the whole
+    * dictionary is provably small (one count per store), so late
+    * materialization never shuffles the big solution side. */
+  private def dictSide(df: DataFrame): DataFrame =
+    if (store.termsBroadcastable) broadcast(df) else df
+
   /** Ensure variable `v` has a materialized view column; returns (sol, viewCol).
     * All-inline vars decode in place (no dictionary join).
     */
@@ -114,8 +125,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         val df = sol.df.withColumn(tcol, decodeInlineUdf(col(bt(v))))
         (sol.copy(df = df), col(bt(tcol)))
       } else {
-        val t = store.terms.select(col("id").as("__tid"),
-          struct(col("kind"), col("lex"), col("dt"), col("lang"), col("num")).as("__tv"))
+        val t = dictSide(store.terms.select(col("id").as("__tid"),
+          struct(col("kind"), col("lex"), col("dt"), col("lang"), col("num")).as("__tv")))
         val joined = sol.df.join(t, col(bt(v)) === col("__tid"), "left")
           .withColumn(tcol,
             when(col("__tid").isNotNull, col("__tv")).otherwise(decodeInlineUdf(col(bt(v)))))
@@ -166,9 +177,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
             if (r == null) None else schemeL.tryInline(TV.toTerm(r)).map(Long.box)
           }
           val df0 = sol.df.withColumn("__iid", inlUdf(col(bt(v))))
-          val d = store.terms.select(
+          val d = dictSide(store.terms.select(
             struct(col("kind"), col("lex"), col("dt"), col("lang"), col("num")).as("__dt"),
-            col("id").as("__did"))
+            col("id").as("__did")))
           df0.join(d, col(bt(v)) <=> col("__dt") && col("__iid").isNull, "left")
             .withColumn(v, coalesce(col("__iid"), col("__did")))
             .drop("__iid", "__dt", "__did")
@@ -567,19 +578,16 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       val sol = compile(c)
       val keep = vs.filter(sol.reps.contains)
       val cols = keep.map(v => col(bt(v))) ++
-        keep.filter(sol.nums.contains).map(v => col(bt("__n_" + v)))
+        keep.filter(sol.nums.contains).map(v => col(bt("__n_" + v))) ++
+        sol.sortCols.map { case (n, _) => col(bt(n)) } // projection keeps the order
       Sol(sol.df.select(cols: _*), sol.reps.filter(kv => keep.contains(kv._1)),
         sol.certain intersect vs.toSet, sol.nums intersect keep.toSet,
         sol.inl intersect keep.toSet, sol.numAll intersect keep.toSet,
-        fam = sol.fam.filter(kv => keep.contains(kv._1)), card = sol.card)
+        fam = sol.fam.filter(kv => keep.contains(kv._1)), card = sol.card,
+        sortCols = sol.sortCols)
 
-    case ADistinct(c) =>
-      val sol = dropCompanions(compile(c))
-      sol.copy(df = sol.df.dropDuplicates())
-
-    case AReduced(c) => // REDUCED permits any dedup degree; full dedup is legal
-      val sol = dropCompanions(compile(c))
-      sol.copy(df = sol.df.dropDuplicates())
+    case ADistinct(c) => compileDistinct(c)
+    case AReduced(c) => compileDistinct(c) // REDUCED: any dedup degree is legal
 
     case ASlice(c, off, lim) =>
       val sol = compile(c)
@@ -591,12 +599,20 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     case AOrderBy(c, keys) =>
       val sol0 = compile(c)
       var sol = sol0
-      val sortCols = keys.flatMap { k =>
+      // materialize sort components as hidden columns: plain column refs
+      // survive downstream joins/projections, so the result edge can restore
+      // the order after late materialization
+      val named = keys.flatMap { k =>
         val (s2, comps) = sortComponents(sol, k.e)
         sol = s2
-        comps.map(cc => if (k.asc) cc.asc_nulls_first else cc.desc_nulls_last)
+        comps.map(cc => (cc, k.asc))
+      }.zipWithIndex.map { case ((cc, asc), i) =>
+        (s"__sort_${freshId()}_$i", cc, asc)
       }
-      sol.copy(df = sol.df.orderBy(sortCols: _*))
+      val df = named.foldLeft(sol.df) { case (d, (n, cc, _)) => d.withColumn(n, cc) }
+      val ordered = df.orderBy(named.map { case (n, _, asc) =>
+        if (asc) col(bt(n)).asc_nulls_first else col(bt(n)).desc_nulls_last }: _*)
+      sol.copy(df = ordered, sortCols = named.map { case (n, _, asc) => (n, asc) })
 
     // COUNT-statistics shortcut (reference: Diomede answers COUNT star queries
     // from Characteristic Sets statically, DiomedeQuadStore.swift:15-97): a
@@ -642,6 +658,15 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           if (silent) compile(ATable(Seq.empty, Seq(Seq.empty)))
           else throw new UnsupportedOperationException(s"no SERVICE client for <$ep>")
       }
+  }
+
+  /** DISTINCT/REDUCED: dedup on the solution variables only. A pending ORDER
+    * BY (hidden sort columns) must neither join the dedup key nor be lost —
+    * SPARQL applies DISTINCT after ORDER BY and keeps the ordering. */
+  private def compileDistinct(c: Algebra): Sol = {
+    val sol = dropCompanions(compile(c))
+    if (sol.sortCols.isEmpty) sol.copy(df = sol.df.dropDuplicates())
+    else sol.copy(df = sol.df.dropDuplicates(sol.reps.keySet.toSeq))
   }
 
   /** Exact count for a single quad pattern from per-predicate statistics (only
@@ -710,8 +735,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
             case IdRep =>
               val tcol = "__r___t_" + bare
               if (!rs.df.columns.contains(tcol)) {
-                val t = store.terms.select(col("id").as("__tid2"),
-                  struct(col("kind"), col("lex"), col("dt"), col("lang"), col("num")).as("__tv2"))
+                val t = dictSide(store.terms.select(col("id").as("__tid2"),
+                  struct(col("kind"), col("lex"), col("dt"), col("lang"), col("num")).as("__tv2")))
                 val joined = rs.df.join(t, col(bt("__r_" + bare)) === col("__tid2"), "left")
                   .withColumn(tcol,
                     when(col("__tid2").isNotNull, col("__tv2"))

@@ -13,6 +13,13 @@ import graft.model._
   */
 object Results {
 
+  /** Re-apply a pending ORDER BY after late-materialization joins (which
+    * destroy row order); the hidden sort columns survive projection. */
+  private def restoreOrder(sol: Sol): Sol =
+    if (sol.sortCols.isEmpty) sol
+    else sol.copy(df = sol.df.orderBy(sol.sortCols.map { case (n, asc) =>
+      if (asc) col(s"`$n`").asc_nulls_first else col(s"`$n`").desc_nulls_last }: _*))
+
   /** Materialize every variable as a term-view struct column. */
   def materialize(c: Compiler, sol0: Sol): DataFrame = {
     var sol = sol0
@@ -22,7 +29,7 @@ object Results {
       sol = s2
       (v, vc)
     }
-    sol.df.select(cols.map { case (v, vc) => vc.as(v) }: _*)
+    restoreOrder(sol).df.select(cols.map { case (v, vc) => vc.as(v) }: _*)
   }
 
   /** Cast variables to native Spark types. Supported casts: long, double, string,
@@ -48,7 +55,7 @@ object Results {
         out.as(v)
       }
     }
-    sol.df.select(cols: _*)
+    restoreOrder(sol).df.select(cols: _*)
   }
 
   /** ASK → single-row DataFrame with one boolean column. */

@@ -39,6 +39,10 @@ final case class RdfStore(
   lazy val graphIds: Seq[Long] =
     quads.select("g").distinct().collect().map(_.getLong(0)).toSeq
 
+  /** Dictionary small enough to broadcast into materialization joins
+    * (computed once per store; ~60 B/term → 500k ≈ 30 MB). */
+  lazy val termsBroadcastable: Boolean = terms.count() <= 500000L
+
   @transient private lazy val idCache =
     new java.util.concurrent.ConcurrentHashMap[Term, Option[Long]]()
 

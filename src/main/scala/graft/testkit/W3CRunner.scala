@@ -91,9 +91,14 @@ object W3CRunner {
           else Option(TermRow.fromRow(r.getStruct(i))).map(c -> _)
         }.toMap
       }
-      if (Isomorphism.solutionsEqual(gotRows, expRows)) None
-      else Some(s"${tc.name}: results differ\n  got:  ${fmt(gotRows)}\n" +
-        s"  want: ${fmt(expRows)}")
+      // a top-level ORDER BY makes the result a SEQUENCE: compare positionally
+      val ordered = "(?is).*ORDER\\s+BY.*".r.matches(queryText)
+      val ok =
+        if (ordered) gotRows == expRows // sort tests are authored bnode-free
+        else Isomorphism.solutionsEqual(gotRows, expRows)
+      if (ok) None
+      else Some(s"${tc.name}: results differ (${if (ordered) "ordered" else "multiset"})\n" +
+        s"  got:  ${fmt(gotRows)}\n  want: ${fmt(expRows)}")
     }
   }
 

@@ -24,10 +24,11 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: optional manifest") { runArea("optional") }
   test("w3c: functions manifest") { runArea("functions") }
   test("w3c: construct manifest") { runArea("construct") }
+  test("w3c: sort manifest (ordered compare)") { runArea("sort") }
 
   test("w3c: manifest loader finds every vendored test") {
-    val n = Seq("aggregates", "negation", "property-path", "optional", "functions", "construct")
+    val n = Seq("aggregates", "negation", "property-path", "optional", "functions", "construct", "sort")
       .map(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")).size).sum
-    assert(n == 34, s"expected 34 vendored tests, found $n")
+    assert(n == 37, s"expected 37 vendored tests, found $n")
   }
 }

@@ -91,8 +91,18 @@ object W3CRunner {
           else Option(TermRow.fromRow(r.getStruct(i))).map(c -> _)
         }.toMap
       }
-      // a top-level ORDER BY makes the result a SEQUENCE: compare positionally
-      val ordered = "(?is).*ORDER\\s+BY.*".r.matches(queryText)
+      // a TOP-LEVEL ORDER BY makes the result a SEQUENCE: compare positionally.
+      // (An ORDER BY inside a subselect orders only the subquery — walk the
+      // modifier stack of the parsed algebra, don't grep the text.)
+      def topOrdered(a: graft.algebra.Algebra): Boolean = a match {
+        case graft.algebra.AOrderBy(_, _) => true
+        case graft.algebra.ASlice(c, _, _) => topOrdered(c)
+        case graft.algebra.ADistinct(c) => topOrdered(c)
+        case graft.algebra.AReduced(c) => topOrdered(c)
+        case graft.algebra.AProject(c, _) => topOrdered(c)
+        case _ => false
+      }
+      val ordered = topOrdered(graft.parser.SparqlParser.parse(queryText).algebra)
       val ok =
         if (ordered) gotRows == expRows // sort tests are authored bnode-free
         else Isomorphism.solutionsEqual(gotRows, expRows)

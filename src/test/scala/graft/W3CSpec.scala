@@ -25,10 +25,11 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: functions manifest") { runArea("functions") }
   test("w3c: construct manifest") { runArea("construct") }
   test("w3c: sort manifest (ordered compare)") { runArea("sort") }
+  test("w3c: subquery manifest") { runArea("subquery") }
 
   test("w3c: manifest loader finds every vendored test") {
-    val n = Seq("aggregates", "negation", "property-path", "optional", "functions", "construct", "sort")
+    val n = Seq("aggregates", "negation", "property-path", "optional", "functions", "construct", "sort", "subquery")
       .map(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")).size).sum
-    assert(n == 37, s"expected 37 vendored tests, found $n")
+    assert(n == 40, s"expected 40 vendored tests, found $n")
   }
 }

@@ -51,6 +51,10 @@ object AlgebraText {
       val data = rows.map(r =>
         r.map(_.map(term).getOrElse("UNDEF")).mkString("(", " ", ")")).mkString(" ")
       s"VALUES $head { $data }"
+    case AGroup(c, keys, aggs) =>
+      val sel = keys.map("?" + _) ++ aggs.map(a => s"(${aggText(a)} AS ?${a.out})")
+      val grp = if (keys.isEmpty) "" else s" GROUP BY ${keys.map("?" + _).mkString(" ")}"
+      s"{ SELECT ${sel.mkString(" ")} WHERE { ${pattern(c)} }$grp }"
     case other =>
       throw new UnsupportedOperationException(s"SERVICE pattern: ${other.getClass.getSimpleName}")
   }
@@ -82,6 +86,16 @@ object AlgebraText {
     case PPlus(x) => s"(${path(x)})+"
     case PStar(x) => s"(${path(x)})*"
     case PZeroOne(x) => s"(${path(x)})?"
+  }
+
+  private def aggText(a: AggSpec): String = {
+    val d = if (a.distinct) "DISTINCT " else ""
+    a.fn match {
+      case "count" if a.e.isEmpty => s"COUNT($d*)"
+      case "group_concat" =>
+        s"""GROUP_CONCAT($d${a.e.map(expr).getOrElse("*")}; SEPARATOR="${a.sep}")"""
+      case fn => s"${fn.toUpperCase}($d${a.e.map(expr).getOrElse("*")})"
+    }
   }
 
   private val infix = Set("=", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/", "&&", "||")

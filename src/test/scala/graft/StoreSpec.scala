@@ -170,6 +170,28 @@ class StoreSpec extends AnyFunSuite {
     assert(total == 3L)
   }
 
+  test("store persistence: save + open round-trips data, statistics, and queries") {
+    import graft.store.StorePersist
+    val dir = "/tmp/graft_store_persist_" + System.nanoTime()
+    StorePersist.save(store, dir)
+    val reopened = StorePersist.open(spark, dir)
+    assert(reopened.quads.count() == store.quads.count())
+    assert(reopened.terms.count() == store.terms.count())
+    // statistics persisted — no ANALYZE on open, COUNT shortcut still exact
+    assert(reopened.predProfiles == store.predProfiles)
+    assert(reopened.spgAllInline == store.spgAllInline)
+    assert(reopened.defaultGraphs.toSet == store.defaultGraphs.toSet)
+    val eng = new GraftEngine(reopened)
+    val n = eng.query("SELECT (COUNT(?o) AS ?n) WHERE { ?s <urn:p:customer:c_name> ?o }")
+      .collect().head.getStruct(0).getString(1).toLong
+    assert(n == 150L)
+    // full query equivalence on a join
+    val got = eng.query(
+      """SELECT ?nm ?rn WHERE { ?c <urn:p:customer:c_name> ?nm ; <urn:fk:nation> ?n .
+        |  ?n <urn:fk:region> ?r . ?r <urn:p:region:r_name> ?rn }""".stripMargin).count()
+    assert(got == 150)
+  }
+
   test("explainAnalyze reports per-operator runtime metrics") {
     val eng = new GraftEngine(store)
     val out = eng.explainAnalyze(

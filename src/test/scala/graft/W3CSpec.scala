@@ -27,6 +27,43 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: sort manifest (ordered compare)") { runArea("sort") }
   test("w3c: subquery manifest") { runArea("subquery") }
 
+  test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
+    // the HTTP SERVICE client ships patterns as AlgebraText-serialized SPARQL:
+    // for every vendored SELECT test, re-serializing the parsed algebra and
+    // re-running it must produce the same solution multiset
+    import graft.parser.{AlgebraText, SparqlParser}
+    import graft.engine.Rewriter
+    import graft.model.TermRow
+    val areas = Seq("aggregates", "negation", "property-path", "optional",
+      "functions", "sort", "subquery")
+    var checked = 0
+    for (area <- areas; tc <- W3CRunner.loadManifest(new java.io.File(s"$root/$area"))) {
+      val q = new String(java.nio.file.Files.readAllBytes(tc.query.toPath), "UTF-8")
+      val pq = SparqlParser.parse(q)
+      if (pq.form == "select") {
+        val data = new String(java.nio.file.Files.readAllBytes(tc.data.get.toPath), "UTF-8")
+        val store = graft.sources.RdfIO.loadTurtle(spark, data, graph = "urn:g:w3c")
+        val eng = new GraftEngine(store)
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[Map[String, graft.model.Term]] = {
+          val cols = df.columns
+          df.collect().toSeq.map(r => cols.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(i)) None
+            else Option(TermRow.fromRow(r.getStruct(i))).map(c -> _)
+          }.toMap)
+        }
+        val direct = rows(eng.query(q))
+        val shipped = AlgebraText.selectQuery(pq.algebra, Nil)
+        val viaText = rows(eng.query(shipped))
+        assert(graft.testkit.Isomorphism.solutionsEqual(
+          direct.map(_.filter(kv => pq.projection.contains(kv._1))),
+          viaText.map(_.filter(kv => pq.projection.contains(kv._1)))),
+          s"${tc.name}: round-trip through AlgebraText changed results\n  query: $shipped")
+        checked += 1
+      }
+    }
+    assert(checked >= 25, s"only $checked SELECT tests round-tripped")
+  }
+
   test("w3c: manifest loader finds every vendored test") {
     val n = Seq("aggregates", "negation", "property-path", "optional", "functions", "construct", "sort", "subquery")
       .map(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")).size).sum

@@ -25,7 +25,9 @@ object W3CRunner {
   val RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
   final case class TestCase(name: String, query: java.io.File,
-      data: Option[java.io.File], result: java.io.File)
+      data: Option[java.io.File], result: java.io.File,
+      /** qt:graphData: named graphs, named by their file IRI (W3C convention). */
+      graphData: Seq[java.io.File] = Nil)
 
   private def read(f: java.io.File): String =
     new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
@@ -53,17 +55,20 @@ object W3CRunner {
       val name = obj(e, MF + "name").map(_.lex).getOrElse(e.lex)
       val action = obj(e, MF + "action")
         .getOrElse(throw new IllegalArgumentException(s"$name: no mf:action"))
+      val graphData = bySubj.getOrElse(action, Nil).collect {
+        case (_, Iri(p), o) if p == QT + "graphData" => fileOf(o)
+      }
       TestCase(name,
         fileOf(obj(action, QT + "query").get),
         obj(action, QT + "data").map(fileOf),
-        fileOf(obj(e, MF + "result").get))
+        fileOf(obj(e, MF + "result").get),
+        graphData)
     }
   }
 
   /** Run one test; None = pass, Some(message) = failure. */
   def run(spark: SparkSession, tc: TestCase): Option[String] = {
-    val store = RdfIO.loadTurtle(spark,
-      tc.data.map(read).getOrElse(""), graph = "urn:g:w3c")
+    val store = buildDataset(spark, tc)
     val eng = new GraftEngine(store)
     val queryText = read(tc.query)
     if (tc.result.getName.endsWith(".ttl")) { // CONSTRUCT: graph isomorphism
@@ -110,6 +115,29 @@ object W3CRunner {
       else Some(s"${tc.name}: results differ (${if (ordered) "ordered" else "multiset"})\n" +
         s"  got:  ${fmt(gotRows)}\n  want: ${fmt(expRows)}")
     }
+  }
+
+  /** Build the test dataset: qt:data → the default graph, each qt:graphData →
+    * a named graph whose name is the file IRI (W3C convention). */
+  private def buildDataset(spark: SparkSession,
+      tc: TestCase): graft.store.RdfStore = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq("s", "p", "o", "g").map(n =>
+      StructField(n, TermRow.schema, nullable = true)))
+    def quadsOf(f: java.io.File, g: Term): Seq[Row] =
+      RdfIO.parseTurtle(read(f)).map { case (s, p, o) =>
+        Row(TermRow.toRow(s), TermRow.toRow(p), TermRow.toRow(o), TermRow.toRow(g))
+      }
+    val defG = Iri("urn:g:w3c-default")
+    val rows = tc.data.toSeq.flatMap(quadsOf(_, defG)) ++
+      tc.graphData.flatMap(f => quadsOf(f, Iri(f.toURI.toString)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val st = graft.store.StoreEncoder.encode(df, graft.model.IriScheme.default)
+    if (tc.graphData.isEmpty) st
+    else st.copy(
+      defaultGraphs = st.idOf(defG).toSeq,
+      namedGraphs = Some(tc.graphData.flatMap(f => st.idOf(Iri(f.toURI.toString)))))
   }
 
   /** Run every test of a manifest directory; returns failures. */

@@ -26,6 +26,7 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: construct manifest") { runArea("construct") }
   test("w3c: sort manifest (ordered compare)") { runArea("sort") }
   test("w3c: subquery manifest") { runArea("subquery") }
+  test("w3c: graph/dataset manifest") { runArea("graph") }
 
   test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
     // the HTTP SERVICE client ships patterns as AlgebraText-serialized SPARQL:
@@ -65,8 +66,8 @@ class W3CSpec extends AnyFunSuite {
   }
 
   test("w3c: manifest loader finds every vendored test") {
-    val n = Seq("aggregates", "negation", "property-path", "optional", "functions", "construct", "sort", "subquery")
+    val n = Seq("aggregates", "negation", "property-path", "optional", "functions", "construct", "sort", "subquery", "graph")
       .map(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")).size).sum
-    assert(n == 40, s"expected 40 vendored tests, found $n")
+    assert(n == 43, s"expected 43 vendored tests, found $n")
   }
 }

@@ -96,7 +96,9 @@ final class SparqlParser(input: String) {
     if (pos >= input.length) fail("unterminated IRI")
     val iri = input.substring(start, pos)
     pos += 1
-    if (iri.contains("://") || iri.startsWith("urn:") || base.isEmpty) iri else base + iri
+    // RFC 3986 resolution against BASE (absolute IRIs pass through unchanged;
+    // relative paths, ./.., and #fragments resolve properly)
+    if (base.isEmpty) iri else graft.sources.RdfXml.resolve(base, iri)
   }
 
   private def parsePrefixedOrIri(): String = {

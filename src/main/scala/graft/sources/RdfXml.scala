@@ -42,7 +42,10 @@ object RdfXml {
     handler.out.toSeq
   }
 
-  private[sources] def resolve(base: String, ref: String): String = {
+  /** RFC 3986 relative-reference resolution (shared by Turtle, RDF/XML and the
+    * SPARQL parser's BASE handling). Empty ref = the base document sans
+    * fragment. */
+  def resolve(base: String, ref: String): String = {
     if (ref.isEmpty) return base.takeWhile(_ != '#')
     try {
       if (base.isEmpty) ref

@@ -199,4 +199,23 @@ class ParserSpec extends AnyFunSuite {
     assert(rows.forall(r => lex(r, 2) != null))
     assert(rows.forall(r => Set("ok", "neg").contains(lex(r, 3))))
   }
+
+  test("BASE declaration resolves relative IRIs per RFC 3986") {
+    import graft.parser.SparqlParser
+    import graft.algebra._
+    import graft.model.Iri
+    val pq = SparqlParser.parse(
+      """BASE <http://ex.org/dir/doc>
+        |SELECT ?o WHERE { <sibling> <#frag> ?o . <../up> <http://abs.org/p> <> }""".stripMargin)
+    val pats = pq.algebra match {
+      case AProject(BGP(ps), _) => ps
+      case BGP(ps) => ps
+      case other => fail(s"unexpected: $other")
+    }
+    assert(pats(0).s == T(Iri("http://ex.org/dir/sibling")))
+    assert(pats(0).p == T(Iri("http://ex.org/dir/doc#frag")))
+    assert(pats(1).s == T(Iri("http://ex.org/up")))
+    assert(pats(1).p == T(Iri("http://abs.org/p")), "absolute IRIs pass through")
+    assert(pats(1).o == T(Iri("http://ex.org/dir/doc")), "<> is the base document")
+  }
 }

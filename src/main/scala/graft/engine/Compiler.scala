@@ -592,6 +592,13 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     case ASlice(c, off, lim) =>
       val sol = compile(c)
       var df = sol.df
+      // A pending ORDER BY (e.g. DISTINCT between the sort and the slice
+      // destroyed physical order via dropDuplicates) must be re-applied
+      // BEFORE offset/limit pick rows, or the slice selects an arbitrary
+      // subset that merely LOOKS ordered after the result-edge re-sort.
+      if (sol.sortCols.nonEmpty)
+        df = df.orderBy(sol.sortCols.map { case (n, asc) =>
+          if (asc) col(bt(n)).asc_nulls_first else col(bt(n)).desc_nulls_last }: _*)
       if (off > 0) df = df.offset(off.toInt)
       if (lim >= 0) df = df.limit(lim.toInt)
       sol.copy(df = df)

@@ -249,7 +249,7 @@ object Battery {
       Some("SELECT l_returnflag AS rf, count(DISTINCT l_partkey) AS nparts " +
         "FROM lineitem GROUP BY 1")),
 
-    ("q_agg_sum_typed", // exact integer-typed SUM — oracle compares UNROUNDED, uncast
+    ("q_agg_sum_typed", // exact integer-typed SUM — oracle CASTs DuckDB HUGEINT to BIGINT to match Spark
       (s: SparkSession, d: String) => run(s, d,
         AGroup(
           BGP(Seq(
@@ -258,7 +258,7 @@ object Battery {
           Seq("rf"),
           Seq(AggSpec("s_ln", "sum", Some(EVar("ln"))))),
         "rf" -> "string", "s_ln" -> "long"),
-      Some("SELECT l_returnflag AS rf, sum(l_linenumber) AS s_ln " +
+      Some("SELECT l_returnflag AS rf, CAST(sum(l_linenumber) AS BIGINT) AS s_ln " +
         "FROM lineitem GROUP BY 1")),
 
     ("q_agg_sumd_typed", // SUM(DISTINCT) over integers, exact compare
@@ -270,7 +270,7 @@ object Battery {
           Seq("rf"),
           Seq(AggSpec("s_ln", "sum", Some(EVar("ln")), distinct = true))),
         "rf" -> "string", "s_ln" -> "long"),
-      Some("SELECT l_returnflag AS rf, sum(DISTINCT l_linenumber) AS s_ln " +
+      Some("SELECT l_returnflag AS rf, CAST(sum(DISTINCT l_linenumber) AS BIGINT) AS s_ln " +
         "FROM lineitem GROUP BY 1")),
 
     ("q_agg_concat_distinct", // GROUP_CONCAT(DISTINCT; SEPARATOR) sorted output

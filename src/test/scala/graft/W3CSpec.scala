@@ -68,6 +68,6 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: manifest loader finds every vendored test") {
     val n = Seq("aggregates", "negation", "property-path", "optional", "functions", "construct", "sort", "subquery", "graph")
       .map(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")).size).sum
-    assert(n == 43, s"expected 43 vendored tests, found $n")
+    assert(n == 45, s"expected 45 vendored tests, found $n")
   }
 }

@@ -456,8 +456,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       } else { l = toTermRep(l, v); r = toTermRep(r, v) }
     }
 
-    // rename ALL right columns
-    val rdf0 = r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, "__r_" + c))
+    // rename ALL right columns — toDF renames in ONE analysis pass (a
+    // withColumnRenamed fold re-analyzes the plan per column: quadratic)
+    val rdf0 = r.df.toDF(r.df.columns.map("__r_" + _).toIndexedSeq: _*)
 
     val (lx, rx, extra) = extraFilter match {
       case Some(f) =>
@@ -504,19 +505,22 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       return Sol(joined, l.reps, l.certain, l.nums, l.inl, l.numAll,
         fam = l.fam, card = l.card) // semi/anti output ⊆ left
 
-    // merge shared columns, surface right-only vars
-    var out = joined
-    for (v <- looseShared) {
-      out = out.withColumn(v, coalesce(col(bt(v)), col(bt("__r_" + v))))
-      if (l.nums.contains(v) && r.nums.contains(v))
-        out = out.withColumn(l.numCol(v), coalesce(col(bt(l.numCol(v))), col(bt("__r_" + r.numCol(v)))))
-    }
+    // merge shared columns, surface right-only vars — all merge columns read
+    // only `joined` attributes (independent of one another), so they land in a
+    // single withColumns projection: one analysis pass instead of one per var
     val rOnly = (r.vars -- l.vars).toSeq
-    for (v <- rOnly) {
-      out = out.withColumn(v, col(bt("__r_" + v)))
-      if (r.nums.contains(v)) out = out.withColumn("__n_" + v, col(bt("__r___n_" + v)))
+    val merge = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    for (v <- looseShared) {
+      merge(v) = coalesce(col(bt(v)), col(bt("__r_" + v)))
+      if (l.nums.contains(v) && r.nums.contains(v))
+        merge(l.numCol(v)) = coalesce(col(bt(l.numCol(v))), col(bt("__r_" + r.numCol(v))))
     }
-    out = out.drop(rdf.columns.filter(_.startsWith("__r_")).toSeq: _*)
+    for (v <- rOnly) {
+      merge(v) = col(bt("__r_" + v))
+      if (r.nums.contains(v)) merge("__n_" + v) = col(bt("__r___n_" + v))
+    }
+    val out = (if (merge.isEmpty) joined else joined.withColumns(merge.toMap))
+      .drop(rdf.columns.filter(_.startsWith("__r_")).toSeq: _*)
 
     val reps = l.reps ++ rOnly.map(v => v -> r.reps(v))
     val certain = kind match {
@@ -616,7 +620,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       }.zipWithIndex.map { case ((cc, asc), i) =>
         (s"__sort_${freshId()}_$i", cc, asc)
       }
-      val df = named.foldLeft(sol.df) { case (d, (n, cc, _)) => d.withColumn(n, cc) }
+      val df = if (named.isEmpty) sol.df
+        else sol.df.withColumns(named.map { case (n, cc, _) => n -> cc }.toMap)
       val ordered = df.orderBy(named.map { case (n, _, asc) =>
         if (asc) col(bt(n)).asc_nulls_first else col(bt(n)).desc_nulls_last }: _*)
       sol.copy(df = ordered, sortCols = named.map { case (n, _, asc) => (n, asc) })
@@ -785,7 +790,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     else {
       var ll = l; var rr = r
       for (v <- shared if ll.reps(v) != rr.reps(v)) { ll = toTermRep(ll, v); rr = toTermRep(rr, v) }
-      val rdf = rr.df.columns.foldLeft(rr.df)((d, c) => d.withColumnRenamed(c, "__r_" + c))
+      val rdf = rr.df.toDF(rr.df.columns.map("__r_" + _).toIndexedSeq: _*)
       val compat = shared.map(v =>
         (col(bt(v)) <=> col(bt("__r_" + v))) || col(bt(v)).isNull || col(bt("__r_" + v)).isNull)
         .reduce(_ && _)
@@ -813,9 +818,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       } else {
         var pp = pKeys0; var ll = l
         for (v <- shared if ll.reps(v) != pp.reps(v)) { ll = toTermRep(ll, v); pp = toTermRep(pp, v) }
-        val dist = pp.df.select(shared.map(v => col(bt(v))): _*).dropDuplicates()
-          .withColumn(flag, lit(true))
-        val renamed0 = shared.foldLeft(dist)((d, v) => d.withColumnRenamed(v, "__r_" + v))
+        val renamed0 = pp.df
+          .select(shared.map(v => col(bt(v)).as("__r_" + v)) :+ lit(true).as(flag): _*)
+          .dropDuplicates(shared.map("__r_" + _))
         val renamed = // distinct key set ≤ pattern's statistics bound
           if (p.card.exists(_ <= 200000L)) broadcast(renamed0) else renamed0
         val cond = shared.map(v => col(bt(v)) === col(bt("__r_" + v))).reduce(_ && _)
@@ -1005,8 +1010,10 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       else pre.groupBy(keys.filter(sol.reps.contains).map(v => col(bt(v))): _*)
         .agg(aggCols.head, aggCols.tail: _*)
 
-    // wrap raw aggregate outputs into term views
+    // wrap raw aggregate outputs into term views — batched into one
+    // withColumns projection (one analysis pass, not one per aggregate)
     var out = grouped
+    val wraps = scala.collection.mutable.LinkedHashMap.empty[String, Column]
     val numView: (Column, String) => Column = (c, dt) => when(c.isNotNull, struct(
       lit(TermRow.KIND_LITERAL).as("kind"), c.cast(StringType).as("lex"),
       lit(dt).as("dt"), lit(null).cast(StringType).as("lang"),
@@ -1048,9 +1055,11 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         case ("min" | "max" | "sample", _) => raw(0)
         case ("group_concat", _) => strView(raw(0))
       }
-      val dropCols = (0 until 6).map(j => s"__agg_out_${i}_$j")
-      out = out.withColumn(a.out, v).drop(dropCols: _*)
+      wraps(a.out) = v
     }
+    out = out
+      .withColumns(wraps.toMap)
+      .drop(inputs.indices.flatMap(i => (0 until 6).map(j => s"__agg_out_${i}_$j")): _*)
     val keptKeys = keys.filter(sol.reps.contains)
     Sol(out,
       keptKeys.map(v => v -> sol.reps(v)).toMap ++

@@ -42,9 +42,35 @@ object NativeExpr {
     * projection, so codegen evaluates each once per row).
     */
   final case class Compiled(temps: Seq[(String, Column)], result: Column) {
-    /** Apply the intermediate columns to a frame. */
-    def applyTo(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      temps.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    /** Apply the intermediate columns to a frame.
+      *
+      * NOT one `withColumn` per temp: every `withColumn` re-analyzes the whole
+      * plan, so a fold is quadratic in expression size — measured as the
+      * dominant cost on expression-heavy queries (driver-side, single-threaded,
+      * so it never parallelizes away). Temps reference earlier temps by name,
+      * so they can't all land in one projection either; batching by dependency
+      * level gives one analysis pass per expression *depth* instead of per
+      * *node* (a flat CONCAT of 20 args is 1 pass, not 21).
+      */
+    def applyTo(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      if (temps.isEmpty) return df
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val level = scala.collection.mutable.Map.empty[String, Int]
+      val batches = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.LinkedHashMap[String, Column]]
+      temps.foreach { case (n, c) =>
+        val deps = ColumnBridge.expression(c).collect {
+          case a: UnresolvedAttribute if level.contains(a.name) => level(a.name)
+        }
+        val lv = if (deps.isEmpty) 0 else deps.max + 1
+        level(n) = lv
+        while (batches.size <= lv)
+          batches += scala.collection.mutable.LinkedHashMap.empty[String, Column]
+        batches(lv)(n) = c
+      }
+      batches.foldLeft(df)((d, b) => d.withColumns(b.toMap))
+    }
   }
 
   private val tempId = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -68,13 +68,21 @@ final case class Sol(df: DataFrame, reps: Map[String, Rep], certain: Set[String]
       * flags: the result edge re-applies the sort AFTER late-materialization
       * joins (which destroy row order) and after projection (which may drop
       * the sort variables themselves). Reset by order-destroying operators. */
-    sortCols: Seq[(String, Boolean)] = Nil) {
+    sortCols: Seq[(String, Boolean)] = Nil,
+    /** vars carrying a `__d_<var>` exact-decimal companion (DECIMAL(38,18),
+      * the engine's xsd:decimal working precision), set only when predicate
+      * statistics prove every value is exactly representable
+      * (PredProfile.decExact). Conservatively dropped by operators that don't
+      * forward the column — downstream falls back to the generic typed path. */
+    decs: Set[String] = Set.empty) {
   def vars: Set[String] = reps.keySet
   def numCol(v: String): String = "__n_" + v
+  def decCol(v: String): String = "__d_" + v
 }
 
 object Sol {
   val FAM_INT = 1
+  val FAM_DEC = 2
   val FAM_DBL = 3
 }
 
@@ -208,8 +216,13 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     Expr.freeVars(e).forall(v =>
       !sol.nums.contains(v) || sol.fam.get(v).contains(Sol.FAM_DBL))
 
+  /** Pure-column DOUBLE value of an expression when every participating var is
+    * double-family — the precondition that makes stamping xsd:double correct. */
+  private def fastNumChecked(sol: Sol, e: Expr): Option[Column] =
+    if (allDblFamily(sol, e)) fastNum(sol, e) else None
+
   private def exprColumnComputed(sol0: Sol, e: Expr): (Sol, Column) =
-    (if (allDblFamily(sol0, e)) fastNum(sol0, e) else None) match {
+    fastNumChecked(sol0, e) match {
     case Some(c) => // numeric fast path: build the view struct natively
       (sol0, when(c.isNotNull, struct(
         lit(TermRow.KIND_LITERAL).as("kind"),
@@ -355,9 +368,6 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       if (firstPos.contains(n)) df = df.filter(col(firstPos(n)) === col(pos))
       else firstPos(n) = pos
     }
-    val outCols = firstPos.toSeq.map { case (n, pos) => col(pos).as(n) } ++
-      firstPos.toSeq.collect { case (n, "o") => col("onum").as("__n_" + n) }
-    val out = df.select(outCols: _*)
     val nums = firstPos.collect { case (n, "o") => n }.toSet
     // type-profile fast-path flags: s/p/g vars inline when the whole store is;
     // o vars per bound-predicate profile
@@ -374,13 +384,25 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     }.toSet
     val fam: Map[String, Int] = firstPos.collect {
       case (n, "o") if oProfile.exists(p => p.allNumeric && p.oTags.nonEmpty) =>
-        val tags = oProfile.get.oTags
+        val prof = oProfile.get
+        val tags = prof.oTags
         if (tags == Set(TermId.TAG_INTEGER)) Some(n -> Sol.FAM_INT)
         else if (tags.contains(TermId.TAG_DOUBLE) &&
           tags.subsetOf(Set(TermId.TAG_INTEGER, TermId.TAG_DOUBLE, TermId.TAG_FLOAT)))
           Some(n -> Sol.FAM_DBL)
+        else if (tags.contains(TermId.TAG_DECIMAL) && prof.decExact &&
+          tags.subsetOf(Set(TermId.TAG_INTEGER, TermId.TAG_DECIMAL)))
+          Some(n -> Sol.FAM_DEC)
         else None
     }.flatten.toMap
+    // decimal-family o vars additionally carry the exact-decimal companion
+    val decVars = fam.collect { case (n, Sol.FAM_DEC) => n }.toSet
+    val outCols = firstPos.toSeq.map { case (n, pos) => col(pos).as(n) } ++
+      firstPos.toSeq.collect { case (n, "o") => col("onum").as("__n_" + n) } ++
+      firstPos.toSeq.collect {
+        case (n, "o") if decVars.contains(n) => col("odec").as("__d_" + n)
+      }
+    val out = df.select(outCols: _*)
     // exact cardinality upper bound: a bound-predicate scan returns at most
     // that predicate's quad count (further bound terms only shrink it)
     val card: Option[Long] = qp.p match {
@@ -388,7 +410,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       case _ => None
     }
     Sol(out, firstPos.keys.map(_ -> (IdRep: Rep)).toMap, firstPos.keySet.toSet, nums,
-      inl, numAll, fam = fam, card = card)
+      inl, numAll, fam = fam, card = card, decs = decVars)
   }
 
   /** BGP join-order heuristic: bound-position selectivity weights from the
@@ -503,7 +525,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
 
     if (kind == "left_semi" || kind == "left_anti")
       return Sol(joined, l.reps, l.certain, l.nums, l.inl, l.numAll,
-        fam = l.fam, card = l.card) // semi/anti output ⊆ left
+        fam = l.fam, card = l.card, decs = l.decs) // semi/anti output ⊆ left
 
     // merge shared columns, surface right-only vars — all merge columns read
     // only `joined` attributes (independent of one another), so they land in a
@@ -514,11 +536,19 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       merge(v) = coalesce(col(bt(v)), col(bt("__r_" + v)))
       if (l.nums.contains(v) && r.nums.contains(v))
         merge(l.numCol(v)) = coalesce(col(bt(l.numCol(v))), col(bt("__r_" + r.numCol(v))))
+      if (l.decs.contains(v) && r.decs.contains(v))
+        merge(l.decCol(v)) = coalesce(col(bt(l.decCol(v))), col(bt("__r___d_" + v)))
     }
     for (v <- rOnly) {
       merge(v) = col(bt("__r_" + v))
       if (r.nums.contains(v)) merge("__n_" + v) = col(bt("__r___n_" + v))
+      if (r.decs.contains(v)) merge("__d_" + v) = col(bt("__r___d_" + v))
     }
+    // certain shared vars are equal-valued on matched rows, so on an inner
+    // join the right side's decimal companion can stand in for a missing left
+    for (v <- certainShared
+         if kind == "inner" && !l.decs.contains(v) && r.decs.contains(v))
+      merge("__d_" + v) = col(bt("__r___d_" + v))
     val out = (if (merge.isEmpty) joined else joined.withColumns(merge.toMap))
       .drop(rdf.columns.filter(_.startsWith("__r_")).toSeq: _*)
 
@@ -547,9 +577,18 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         else l.fam.get(v)
       f.map(v -> _)
     }.toMap
+    // decimal companions stay valid where the value provably survives: left's
+    // own vars (minus loose-shared coalesces the right side must also cover),
+    // right-only vars, and inner-join certain-shared vars covered by either side
+    val decs: Set[String] =
+      (l.decs -- looseShared.filterNot(r.decs.contains)) ++
+        rOnly.filter(r.decs.contains) ++
+        (if (kind == "inner") certainShared.filter(r.decs.contains).toSet
+         else Set.empty[String])
     Sol(out.select((reps.keySet.toSeq.sorted.map(v => col(bt(v))) ++
-      nums.toSeq.sorted.map(v => col(bt("__n_" + v)))): _*), reps, certain, nums,
-      inl, numAll, fam = fam) // inner/outer joins can multiply rows → card unknown
+      nums.toSeq.sorted.map(v => col(bt("__n_" + v))) ++
+      decs.toSeq.sorted.map(v => col(bt("__d_" + v)))): _*), reps, certain, nums,
+      inl, numAll, fam = fam, decs = decs) // joins can multiply rows → card unknown
   }
 
   // ---- main compile ---------------------------------------------------------
@@ -573,9 +612,28 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         case EExists(p, neg) => existsFlag(compile(c), compile(p), v, neg)
         case _ =>
           val sol = compile(c)
-          val (s2, ec) = exprColumn(sol, e)
-          Sol(s2.df.withColumn(v, ec), s2.reps + (v -> TermRep), s2.certain, s2.nums,
-            s2.inl, s2.numAll, fam = s2.fam, card = s2.card)
+          fastNumChecked(sol, e) match {
+            case Some(nc) if !e.isInstanceOf[EVar] =>
+              // double-family computed value: bind the numeric companion next
+              // to the view so downstream aggregation/filtering stays columnar
+              // (a typed SUM over this var is one sum(__n_v), not the generic
+              // 6-aggregate struct path with a per-row lexical parse)
+              val view = when(nc.isNotNull, struct(
+                lit(TermRow.KIND_LITERAL).as("kind"),
+                nc.cast(StringType).as("lex"),
+                lit(Term.xsdDouble).as("dt"),
+                lit(null).cast(StringType).as("lang"),
+                nc.as("num"))).otherwise(lit(null).cast(TermRow.schema))
+              Sol(sol.df.withColumns(Map(v -> view, ("__n_" + v) -> nc)),
+                sol.reps + (v -> TermRep), sol.certain, sol.nums + v,
+                sol.inl, sol.numAll + v, fam = sol.fam + (v -> Sol.FAM_DBL),
+                card = sol.card, decs = sol.decs)
+            case _ =>
+              val (s2, ec) = exprColumn(sol, e)
+              Sol(s2.df.withColumn(v, ec), s2.reps + (v -> TermRep), s2.certain,
+                s2.nums, s2.inl, s2.numAll, fam = s2.fam, card = s2.card,
+                decs = s2.decs)
+          }
       }
 
     case AProject(c, vs) =>
@@ -583,12 +641,13 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       val keep = vs.filter(sol.reps.contains)
       val cols = keep.map(v => col(bt(v))) ++
         keep.filter(sol.nums.contains).map(v => col(bt("__n_" + v))) ++
+        keep.filter(sol.decs.contains).map(v => col(bt("__d_" + v))) ++
         sol.sortCols.map { case (n, _) => col(bt(n)) } // projection keeps the order
       Sol(sol.df.select(cols: _*), sol.reps.filter(kv => keep.contains(kv._1)),
         sol.certain intersect vs.toSet, sol.nums intersect keep.toSet,
         sol.inl intersect keep.toSet, sol.numAll intersect keep.toSet,
         fam = sol.fam.filter(kv => keep.contains(kv._1)), card = sol.card,
-        sortCols = sol.sortCols)
+        sortCols = sol.sortCols, decs = sol.decs intersect keep.toSet)
 
     case ADistinct(c) => compileDistinct(c)
     case AReduced(c) => compileDistinct(c) // REDUCED: any dedup degree is legal
@@ -696,8 +755,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   private def dropCompanions(sol: Sol): Sol = {
     val scratch = sol.df.columns.filter(c =>
       c.startsWith("__ne_") || c == "__rownonce").toSeq
-    sol.copy(df = sol.df.drop(sol.nums.toSeq.map("__n_" + _) ++ scratch: _*),
-      nums = Set.empty, numAll = Set.empty)
+    sol.copy(df = sol.df.drop(sol.nums.toSeq.map("__n_" + _) ++
+        sol.decs.toSeq.map("__d_" + _) ++ scratch: _*),
+      nums = Set.empty, numAll = Set.empty, decs = Set.empty)
   }
 
   // ---- filter (incl. EXISTS rewrite) ---------------------------------------
@@ -929,12 +989,28 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         case Some(EVar(n)) if sol.nums.contains(n) && sol.numAll.contains(n) &&
             sol.fam.get(n).contains(Sol.FAM_DBL) && Seq("sum", "avg").contains(a.fn) =>
           (a, Some((col(bt(sol.numCol(n))), "num")))
+        case Some(EVar(n)) if sol.decs.contains(n) &&
+            sol.reps.get(n).contains(IdRep) &&
+            sol.fam.get(n).contains(Sol.FAM_DEC) && Seq("sum", "avg").contains(a.fn) =>
+          // exact decimal value from the scan companion; the id's type tag
+          // distinguishes xsd:integer from xsd:decimal for per-group promotion
+          (a, Some((struct(col(bt(sol.decCol(n))).as("d"),
+            (shiftright(col(bt(n)), TermId.PAYLOAD_BITS).bitwiseAND(0xFF) ===
+              TermId.TAG_DECIMAL).as("isdec")), "dec")))
         case Some(EVar(n)) if sol.reps.get(n).contains(IdRep) =>
           val (s2, vc) = withView(sol, n); sol = s2
           (a, Some((vc, "view")))
         case Some(expr) =>
-          val (s2, c) = exprColumn(sol, expr); sol = s2
-          (a, Some((c, "view")))
+          // double-family computed input to SUM/AVG: aggregate the raw numeric
+          // value directly — no term struct, no per-row lexical round-trip
+          fastNumChecked(sol, expr) match {
+            case Some(nc) if !expr.isInstanceOf[EVar] &&
+                Seq("sum", "avg").contains(a.fn) =>
+              (a, Some((nc, "num")))
+            case _ =>
+              val (s2, c) = exprColumn(sol, expr); sol = s2
+              (a, Some((c, "view")))
+          }
       }
     }
     val inCols = inputs.zipWithIndex.map { case ((a, c), i) =>
@@ -967,11 +1043,23 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         case ("count", _) if a.distinct => Seq(count_distinct(in))
         case ("count", _) => Seq(count(in))
         case ("sum" | "avg", "int") =>
-          val v = if (a.distinct) sum_distinct(in) else try_sum(in)
-          Seq(v, count(in))
+          // distinct sums accumulate in DECIMAL(38,0): sum_distinct has no
+          // try_ variant and silently wraps on Long overflow — the wrap step
+          // detects out-of-Long-range totals via try_cast instead
+          val v = if (a.distinct) sum_distinct(in.cast(DecimalType(38, 0)))
+            else try_sum(in)
+          Seq(v, if (a.distinct) count_distinct(in) else count(in))
         case ("sum" | "avg", "num") =>
           val v = if (a.distinct) sum_distinct(in) else sum(in)
-          Seq(v, count(in))
+          Seq(v, if (a.distinct) count_distinct(in) else count(in))
+        case ("sum" | "avg", "dec") =>
+          // one columnar exact-decimal aggregate — no dictionary join, no
+          // per-row lexical parse (reference exact accumulators,
+          // MaterializedQueryPlan.swift:2303-2354)
+          val d = in.getField("d")
+          Seq(if (a.distinct) sum_distinct(d) else try_sum(d),
+            if (a.distinct) count_distinct(d) else count(d),
+            max(in.getField("isdec").cast(IntegerType)))
         case ("sum" | "avg", _) =>
           // generic typed aggregation over term structs: per-family partial sums
           // + family promotion rank + non-numeric poison flag (reference typed
@@ -987,7 +1075,10 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
             else try_sum(longV), // _0: exact integer sum
             distinctable(decV), // _1: exact decimal sum (ints contribute)
             distinctable(dblV), // _2: double sum (all numerics)
-            count(when(rank.isNotNull, lit(1))), // _3: numeric count
+            // _3: numeric count — AVG(DISTINCT)'s divisor is the DISTINCT
+            // value count (distinct-by-double: full numeric coverage)
+            (if (a.distinct) count_distinct(dblV)
+             else count(when(rank.isNotNull, lit(1)))),
             max(rank), // _4: promoted family
             max(when(in.isNotNull && rank.isNull, 1).otherwise(0))) // _5: poison
         case ("min", "id") => Seq(min(in))
@@ -1028,7 +1119,11 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       val mode = cOpt.map(_._2).getOrElse("view")
       val v = (a.fn, mode) match {
         case ("count", _) => numView(raw(0), Term.xsdInteger)
-        case ("sum", "int") => numView(coalesce(raw(0), lit(0L)), Term.xsdInteger)
+        case ("sum", "int") =>
+          // empty group → 0; overflow (try_sum NULL, or a distinct total
+          // outside Long range) → SPARQL error → unbound, NOT 0
+          when(raw(1) === 0, numView(lit(0L), Term.xsdInteger))
+            .otherwise(numView(raw(0).try_cast(LongType), Term.xsdInteger))
         case ("avg", "int") =>
           // integer AVG → exact decimal (op:numeric-divide); empty group → 0
           when(raw(1) === 0, numView(lit(0), Term.xsdInteger))
@@ -1037,6 +1132,15 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         case ("avg", "num") =>
           when(raw(1) === 0, numView(lit(0), Term.xsdInteger))
             .otherwise(numView(raw(0) / raw(1), Term.xsdDouble))
+        case ("sum", "dec") =>
+          // all-integer group stays xsd:integer (out-of-Long total → error);
+          // any decimal input promotes the group to exact xsd:decimal
+          when(raw(1) === 0, numView(lit(0L), Term.xsdInteger))
+            .when(raw(2) === 0, numView(raw(0).try_cast(LongType), Term.xsdInteger))
+            .otherwise(NE.decTerm(raw(0)))
+        case ("avg", "dec") =>
+          when(raw(1) === 0, numView(lit(0L), Term.xsdInteger))
+            .otherwise(NE.decTerm(decDiv(raw(0), raw(1))))
         case ("sum", _) =>
           when(raw(5) === 1, lit(null).cast(TermRow.schema)) // poisoned group
             .when(raw(3) === 0, numView(lit(0), Term.xsdInteger)) // SUM({}) = 0

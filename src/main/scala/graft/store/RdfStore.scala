@@ -58,9 +58,13 @@ final case class RdfStore(
 /** Per-predicate statistics (the ANALYZE output; reference analogue: Diomede's
   * Characteristic Sets, kasei/kineo QuadStore/DiomedeQuadStore.swift:15-97).
   * `oTags`: the distinct id type tags observed in the object position — drives
-  * exactly-typed aggregation fast paths (integer vs double family). */
+  * exactly-typed aggregation fast paths (integer vs double family).
+  * `decExact`: every numeric object value is captured exactly by the quads'
+  * `odec` DECIMAL(38,18) companion — unlocks the exact-decimal aggregation
+  * fast path (reference exact decimal accumulators,
+  * MaterializedQueryPlan.swift:2303-2354). */
 final case class PredProfile(allInline: Boolean, allNumeric: Boolean, count: Long,
-    oTags: Set[Int] = Set.empty)
+    oTags: Set[Int] = Set.empty, decExact: Boolean = false)
 
 object RdfStore {
   import TermId._
@@ -75,17 +79,24 @@ object RdfStore {
     * the ANALYZE step persisted next to the data.
     */
   def computeProfiles(quads: DataFrame): (Map[Long, PredProfile], Boolean) = {
+    val hasDec = quads.columns.contains("odec")
+    val anyDecNull =
+      if (hasDec) max(when(col("onum").isNotNull && col("odec").isNull, 1)
+        .otherwise(0))
+      else max(lit(1)) // no companion column → never decimal-exact
     val perPred = quads.groupBy("p").agg(
       max(when(isDict(col("o")), 1).otherwise(0)).as("anyDict"),
       max(when(col("onum").isNull, 1).otherwise(0)).as("anyNonNum"),
       max(when(isDict(col("s")) || isDict(col("p")) || isDict(col("g")), 1)
         .otherwise(0)).as("anySpgDict"),
       count(lit(1)).as("n"),
-      collect_set(shiftright(col("o"), PAYLOAD_BITS).bitwiseAND(0xFF)).as("otags"))
+      collect_set(shiftright(col("o"), PAYLOAD_BITS).bitwiseAND(0xFF)).as("otags"),
+      anyDecNull.as("anyDecNull"))
       .collect()
     val m = perPred.map(r =>
       r.getLong(0) -> PredProfile(r.getInt(1) == 0, r.getInt(2) == 0, r.getLong(4),
-        r.getSeq[Long](5).map(_.toInt).toSet)).toMap
+        r.getSeq[Long](5).map(_.toInt).toSet,
+        decExact = r.getInt(2) == 0 && r.getInt(6) == 0)).toMap
     val spg = perPred.forall(_.getInt(3) == 0)
     (m, spg)
   }
@@ -130,7 +141,12 @@ object StoreEncoder {
     }
     val quads = q.select(
       col("sid").as("s"), col("pid").as("p"), col("oid").as("o"), col("gid").as("g"),
-      col("o.num").as("onum"))
+      col("o.num").as("onum"),
+      // exact-decimal companion: the lexical form parsed at the engine's
+      // xsd:decimal working precision; NULL (unparseable / out of range)
+      // disables the predicate's decExact flag and with it the fast path
+      col("o.lex").try_cast(org.apache.spark.sql.types.DecimalType(38, 18))
+        .as("odec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val graphs = quads.select("g").distinct().collect().map(_.getLong(0)).toSeq
     val (profiles, spg) = RdfStore.computeProfiles(quads)
@@ -174,7 +190,9 @@ object StoreEncoder {
         .drop("t", "__did")
     }
     val newQuads = q.select(col("sid").as("s"), col("pid").as("p"),
-      col("oid").as("o"), col("gid").as("g"), col("o.num").as("onum"))
+      col("oid").as("o"), col("gid").as("g"), col("o.num").as("onum"),
+      col("o.lex").try_cast(org.apache.spark.sql.types.DecimalType(38, 18))
+        .as("odec"))
     val quads = store.quads.unionByName(newQuads)
     val graphs = quads.select("g").distinct().collect().map(_.getLong(0)).toSeq
     val (profiles, spg) = RdfStore.computeProfiles(quads)

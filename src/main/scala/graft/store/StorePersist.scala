@@ -9,7 +9,7 @@ import graft.model.IriScheme
   * Diomede): a directory of parquet tables plus a small JSON manifest.
   *
   * {{{
-  *   <dir>/quads/    parquet (s,p,o,g,onum), repartitioned by s and
+  *   <dir>/quads/    parquet (s,p,o,g,onum,odec), repartitioned by s and
   *                   sorted (s,p) within partitions → subject-locality scans
   *   <dir>/terms/    parquet dictionary, repartitioned+sorted by id
   *   <dir>/meta.json default graphs, per-predicate statistics, flags
@@ -29,7 +29,8 @@ object StorePersist {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/terms")
     val profiles = store.predProfiles.map { case (p, pr) =>
       s"""{"p":$p,"allInline":${pr.allInline},"allNumeric":${pr.allNumeric},""" +
-        s""""count":${pr.count},"oTags":[${pr.oTags.mkString(",")}]}"""
+        s""""count":${pr.count},"oTags":[${pr.oTags.mkString(",")}],""" +
+        s""""decExact":${pr.decExact}}"""
     }.mkString("[", ",", "]")
     val named = store.namedGraphs
       .map(ns => ns.mkString("[", ",", "]")).getOrElse("null")
@@ -70,11 +71,12 @@ object StorePersist {
       if (s.contains("\"namedGraphs\":null")) None else Some(arr("namedGraphs"))
     val profRe =
       ("""\{"p":(-?\d+),"allInline":(true|false),"allNumeric":(true|false),""" +
-        """"count":(\d+),"oTags":\[([^\]]*)\]\}""").r
+        """"count":(\d+),"oTags":\[([^\]]*)\](?:,"decExact":(true|false))?\}""").r
     val profiles = profRe.findAllMatchIn(s).map { m =>
       m.group(1).toLong -> PredProfile(m.group(2).toBoolean, m.group(3).toBoolean,
         m.group(4).toLong,
-        m.group(5).split(',').filter(_.trim.nonEmpty).map(_.trim.toInt).toSet)
+        m.group(5).split(',').filter(_.trim.nonEmpty).map(_.trim.toInt).toSet,
+        decExact = Option(m.group(6)).exists(_.toBoolean))
     }.toMap
     Meta(arr("defaultGraphs"), s.contains("\"spgAllInline\":true"), named, profiles)
   }

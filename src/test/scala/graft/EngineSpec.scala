@@ -298,6 +298,96 @@ class EngineSpec extends AnyFunSuite {
     assert(ds.getString(2) == Term.xsdDecimal && ds.getString(1) == "3.25")
   }
 
+  test("FAM_DEC: exact decimal SUM/AVG from the scan companion, no dictionary join") {
+    val ex = "http://example.org/"
+    def iri(s: String) = Iri(ex + s)
+    def dec(s: String) = Term.dec(BigDecimal(s))
+    // ten 0.1s — double accumulation yields 0.9999999999999999, exact decimal 1
+    val priceQuads = (0 until 10).map(i =>
+      (iri(s"s$i"), iri("price"), dec("0.1"), iri("g")))
+    // per-subject groups: an all-integer group stays xsd:integer, a mixed
+    // int+decimal group promotes to xsd:decimal
+    val mixQuads = Seq(
+      (iri("a"), iri("mix"), Term.int(2), iri("g")),
+      (iri("a"), iri("mix"), Term.int(3), iri("g")),
+      (iri("b"), iri("mix"), dec("0.5"), iri("g")),
+      (iri("b"), iri("mix"), Term.int(2), iri("g")))
+    val schema = StructType(Seq("s", "p", "o", "g").map(n =>
+      StructField(n, TermRow.schema, nullable = true)))
+    val rows = (priceQuads ++ mixQuads).map { case (s, pp, o, gg) =>
+      Row(TermRow.toRow(s), TermRow.toRow(pp), TermRow.toRow(o), TermRow.toRow(gg))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val st = StoreEncoder.encode(df, IriScheme.default)
+    val c = new Compiler(st, ExprEval.Ctx(nowEpochUs = 0L))
+
+    val scan = c.compile(BGP(Seq(QuadPattern(V("x"), T(iri("price")), V("v")))))
+    assert(scan.fam.get("v").contains(Sol.FAM_DEC), "price scan must be FAM_DEC")
+    assert(scan.decs.contains("v") && scan.df.columns.contains("__d_v"))
+
+    val sumA = AGroup(BGP(Seq(QuadPattern(V("x"), T(iri("price")), V("v")))),
+      Seq.empty, Seq(AggSpec("s", "sum", Some(EVar("v"))),
+        AggSpec("m", "avg", Some(EVar("v")))))
+    val sol = c.compile(sumA)
+    // the store-encode lineage below the persisted quads cache contains joins;
+    // the QUERY plan above it must not (no dictionary materialization)
+    val queryPlan = sol.df.queryExecution.executedPlan.toString
+      .split("InMemoryRelation").head
+    assert(!queryPlan.contains("Join"),
+      "decimal fast path must not join the dictionary")
+    val r = Results.materialize(c, sol).collect().head
+    val sStruct = r.getStruct(r.fieldIndex("s"))
+    assert(sStruct.getString(1) == "1" && sStruct.getString(2) == Term.xsdDecimal,
+      s"exact decimal SUM: got ${sStruct.getString(1)}^^${sStruct.getString(2)}")
+    val mStruct = r.getStruct(r.fieldIndex("m"))
+    assert(mStruct.getString(1) == "0.1" && mStruct.getString(2) == Term.xsdDecimal)
+
+    val byS = AGroup(BGP(Seq(QuadPattern(V("x"), T(iri("mix")), V("v")))),
+      Seq("x"), Seq(AggSpec("s", "sum", Some(EVar("v")))))
+    val rows2 = Results.materialize(c, c.compile(byS)).collect()
+      .map { row =>
+        val st0 = row.getStruct(row.fieldIndex("s"))
+        row.getStruct(row.fieldIndex("x")).getString(1) -> (st0.getString(1), st0.getString(2))
+      }.toMap
+    assert(rows2(ex + "a") == ("5", Term.xsdInteger), s"all-int group: ${rows2(ex + "a")}")
+    assert(rows2(ex + "b") == ("2.5", Term.xsdDecimal), s"mixed group: ${rows2(ex + "b")}")
+  }
+
+  test("integer SUM overflow is an error (unbound), not 0 — empty group stays 0") {
+    // 300 inline integers of ~3.6e16 sum past Long.MaxValue: the FAM_INT fast
+    // path must surface try_sum's overflow NULL as an unbound result instead
+    // of conflating it with the empty-group 0 (and SUM(DISTINCT)'s decimal
+    // accumulator must detect out-of-Long-range totals the same way)
+    val ex = "http://example.org/"
+    def iri(s: String) = Iri(ex + s)
+    val big = (1L << 55) - 1000
+    val quads = (0 until 300).map(i =>
+      (iri(s"s$i"), iri("huge"), Term.int(big - i), iri("g")))
+    val schema = StructType(Seq("s", "p", "o", "g").map(n =>
+      StructField(n, TermRow.schema, nullable = true)))
+    val rows = quads.map { case (s, pp, o, gg) =>
+      Row(TermRow.toRow(s), TermRow.toRow(pp), TermRow.toRow(o), TermRow.toRow(gg))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val st = StoreEncoder.encode(df, IriScheme.default)
+    val c = new Compiler(st, ExprEval.Ctx(nowEpochUs = 0L))
+    // the scan must have taken the FAM_INT path for the test to mean anything
+    assert(c.compile(BGP(Seq(QuadPattern(V("x"), T(iri("huge")), V("v")))))
+      .fam.get("v").contains(Sol.FAM_INT))
+    for (distinct <- Seq(false, true)) {
+      val a = AGroup(BGP(Seq(QuadPattern(V("x"), T(iri("huge")), V("v")))),
+        Seq.empty, Seq(AggSpec("s", "sum", Some(EVar("v")), distinct = distinct)))
+      val r = Results.materialize(c, c.compile(a)).collect().head
+      assert(r.isNullAt(r.fieldIndex("s")),
+        s"overflowed SUM(${if (distinct) "DISTINCT " else ""}?v) must be unbound")
+    }
+    // non-overflowing control: SUM of one value round-trips exactly
+    val one = AGroup(BGP(Seq(QuadPattern(T(iri("s0")), T(iri("huge")), V("v")))),
+      Seq.empty, Seq(AggSpec("s", "sum", Some(EVar("v")))))
+    val ok = Results.materialize(c, c.compile(one)).collect().head
+    assert(ok.getStruct(ok.fieldIndex("s")).getString(1) == big.toString)
+  }
+
   test("statistics-driven broadcast: small predicate scans hash-broadcast in joins") {
     // customer c_name (150 rows at sf0.001) joins nation n_name (25 rows):
     // per-predicate counts prove both sides tiny → BroadcastHashJoin, no SMJ

@@ -43,7 +43,11 @@ final class GraftEngine(val store: RdfStore,
       case "construct" =>
         Results.construct(compiler, compiler.compile(pq.algebra), pq.constructTemplates)
       case "describe" =>
-        Results.describe(compiler, compiler.compile(pq.algebra), pq.describeVar.get)
+        val sol = compiler.compile(pq.algebra)
+        val targets = // DESCRIBE * = every variable in scope
+          if (pq.describeVars == Seq("*")) sol.reps.keySet.toSeq.sorted
+          else pq.describeVars
+        Results.describe(compiler, sol, targets)
     }
   }
 

@@ -130,19 +130,35 @@ object Results {
     dfs.reduce(_ unionByName _).dropDuplicates()
   }
 
-  /** DESCRIBE: all quads whose subject is one of the described terms
-    * (reference SimpleQueryEvaluation.swift:1305-1319). */
-  def describe(c: Compiler, sol: Sol, v: String): DataFrame = {
-    val q = sol.reps(v) match {
-      case IdRep =>
-        val ids = sol.df.select(v).dropDuplicates()
-        c.store.quads.join(ids, c.store.quads("s") === ids(v), "left_semi")
-      case TermRep => // constant DESCRIBE targets: resolve ids driver-side (small set)
-        val ids = sol.df.select(v).dropDuplicates().collect()
-          .flatMap(r => Option(TV.toTerm(r.getStruct(0))).flatMap(c.store.idOf))
-        if (ids.isEmpty) c.store.quads.filter(lit(false))
-        else c.store.quads.filter(col("s").isin(ids.map(Long.box): _*))
+  /** DESCRIBE: all quads whose subject is one of the described terms — vars
+    * and constants alike, unioned into ONE distinct target-id set before a
+    * single semi-join against the store (reference describes a list of
+    * targets, SimpleQueryEvaluation.swift:1305-1319). */
+  def describe(c: Compiler, sol: Sol, vs: Seq[String]): DataFrame = {
+    val present = vs.filter(sol.reps.contains)
+    val idFrames = present.collect {
+      case v if sol.reps(v) == IdRep => sol.df.select(col(v).as("__tid"))
     }
+    // TermRep targets (constant lists, VALUES) resolve ids driver-side: tiny
+    val termIds: Seq[Long] = present.collect {
+      case v if sol.reps(v) == TermRep =>
+        sol.df.select(v).dropDuplicates().collect()
+          .flatMap(r => Option(TV.toTerm(r.getStruct(0))).flatMap(c.store.idOf)).toSeq
+    }.flatten
+    val constFrame =
+      if (termIds.isEmpty) None
+      else Some(c.store.spark.createDataFrame(
+        c.store.spark.sparkContext.parallelize(termIds.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__tid",
+            org.apache.spark.sql.types.LongType, nullable = false)))))
+    val frames = idFrames ++ constFrame
+    val q =
+      if (frames.isEmpty) c.store.quads.filter(lit(false))
+      else {
+        val ids = frames.reduce(_ unionByName _).dropDuplicates()
+        c.store.quads.join(ids, c.store.quads("s") === ids("__tid"), "left_semi")
+      }
     val dsol = Sol(
       q.select(col("s").as("ds"), col("p").as("dp"), col("o").as("dobj")),
       Map("ds" -> IdRep, "dp" -> IdRep, "dobj" -> IdRep),

@@ -25,7 +25,7 @@ final case class ParsedQuery(
     algebra: Algebra,
     projection: Seq[String],
     constructTemplates: Seq[(Node, Node, Node)],
-    describeVar: Option[String],
+    describeVars: Seq[String],
     defaultGraphs: Seq[String] = Seq.empty, // FROM <iri>
     namedGraphs: Seq[String] = Seq.empty)   // FROM NAMED <iri>
 
@@ -253,23 +253,51 @@ final class SparqlParser(input: String) {
     val (dg, ng) = parseDatasetClauses()
     if (peekKw("WHERE")) eatKw("WHERE")
     val g = parseGroupGraphPattern()
-    ParsedQuery("ask", g, Seq.empty, Seq.empty, None, dg, ng)
+    ParsedQuery("ask", g, Seq.empty, Seq.empty, Seq.empty, dg, ng)
   }
 
   private def parseDescribe(): ParsedQuery = {
     expectKw("DESCRIBE")
-    val v = tryVar() match {
-      case Some(name) => name
-      case None =>
-        val iri = parsePrefixedOrIri()
-        // DESCRIBE <iri>: synthesize ?__desc bound to the iri
-        val g = ATable(Seq("__desc"), Seq(Seq(Some(Iri(iri)))))
-        return ParsedQuery("describe", g, Seq.empty, Seq.empty, Some("__desc"))
+    // DESCRIBE ( VarOrIri+ | '*' ) DatasetClause* WhereClause?
+    // (reference describes a LIST of terms/vars,
+    // SimpleQueryEvaluation.swift:1305-1319)
+    if (eatCh('*')) {
+      val (dg, ng) = parseDatasetClauses()
+      if (peekKw("WHERE")) eatKw("WHERE")
+      val g = parseGroupGraphPattern()
+      return ParsedQuery("describe", g, Seq.empty, Seq.empty, Seq("*"), dg, ng)
     }
+    val vars = scala.collection.mutable.ListBuffer[String]()
+    val iris = scala.collection.mutable.ListBuffer[String]()
+    var more = true
+    while (more) {
+      tryVar() match {
+        case Some(name) => vars += name
+        case None =>
+          ws()
+          if (!peekKw("WHERE") && !peekKw("FROM") && !peekCh('{') &&
+              pos < input.length && (input(pos) == '<' || input(pos).isLetter))
+            iris += parsePrefixedOrIri()
+          else more = false
+      }
+    }
+    if (vars.isEmpty && iris.isEmpty) fail("DESCRIBE needs at least one target")
+    // constant targets: synthesize a fresh var bound to each IRI in a one-row
+    // table, cross-joined (1 row — broadcast-free) with any WHERE pattern
+    val iriVars = iris.indices.map(i => s"__desc$i")
+    val iriTable =
+      if (iris.isEmpty) None
+      else Some(ATable(iriVars, Seq(iris.map(i => Some(Iri(i): Term)).toSeq)))
     val (dg, ng) = parseDatasetClauses()
+    val hasWhere = peekKw("WHERE") || peekCh('{')
     if (peekKw("WHERE")) eatKw("WHERE")
-    val g = parseGroupGraphPattern()
-    ParsedQuery("describe", g, Seq.empty, Seq.empty, Some(v), dg, ng)
+    val g0: Algebra =
+      if (hasWhere) {
+        val w = parseGroupGraphPattern()
+        iriTable.map(t => AJoin(w, t): Algebra).getOrElse(w)
+      } else iriTable.getOrElse(fail("DESCRIBE with variables needs a WHERE clause"))
+    ParsedQuery("describe", g0, Seq.empty, Seq.empty,
+      vars.toSeq ++ iriVars, dg, ng)
   }
 
   private def parseConstruct(): ParsedQuery = {
@@ -294,7 +322,7 @@ final class SparqlParser(input: String) {
     if (peekKw("WHERE")) eatKw("WHERE")
     val g = parseGroupGraphPattern()
     val mod = parseSolutionModifiers(g, Seq.empty, distinct = false, reduced = false)
-    ParsedQuery("construct", mod._1, Seq.empty, templates.toSeq, None, dg, ng)
+    ParsedQuery("construct", mod._1, Seq.empty, templates.toSeq, Seq.empty, dg, ng)
   }
 
   private def parseVerbNode(): Node = {
@@ -415,7 +443,7 @@ final class SparqlParser(input: String) {
     val (g2, projected) = parseSolutionModifiersWithProject(g,
       if (star) Algebra.inscope(g).toSeq.sorted else rewrittenItems.map(_._1),
       distinct, reduced, rewriteAggs)
-    (ParsedQuery("select", g2, projected, Seq.empty, None, dsDefaults, dsNamed), projected)
+    (ParsedQuery("select", g2, projected, Seq.empty, Seq.empty, dsDefaults, dsNamed), projected)
   }
 
   private def isAggCall(e: Expr): Boolean = e match {

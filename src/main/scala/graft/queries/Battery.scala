@@ -588,7 +588,7 @@ object Battery {
         val c = compiler(s, d)
         val sol = c.compile(BGP(Seq(QuadPattern(V("x"),
           p("customer", "c_custkey"), T(Term.int(7))))))
-        Results.describe(c, sol, "x")
+        Results.describe(c, sol, Seq("x"))
       },
       Some("SELECT 'urn:t:customer:7' AS subject, p AS predicate, o AS object FROM (" +
         "SELECT 'urn:p:customer:c_custkey' AS p, CAST(c_custkey AS VARCHAR) AS o " +
@@ -602,6 +602,36 @@ object Battery {
         "FROM customer WHERE c_custkey = 7 " +
         "UNION ALL SELECT 'urn:fk:nation', 'urn:t:nation:' || c_nationkey " +
         "FROM customer WHERE c_custkey = 7)")),
+
+    ("q_describe_multi", // DESCRIBE ?x ?n — a var list, one unioned semi-join
+      (s: SparkSession, d: String) => {
+        val c = compiler(s, d)
+        val sol = c.compile(BGP(Seq(
+          QuadPattern(V("x"), p("customer", "c_custkey"), T(Term.int(7))),
+          QuadPattern(V("x"), fk("nation"), V("n")))))
+        Results.describe(c, sol, Seq("x", "n"))
+      },
+      Some("WITH c AS (SELECT * FROM customer WHERE c_custkey = 7), " +
+        "n AS (SELECT nation.* FROM nation, c WHERE n_nationkey = c.c_nationkey) " +
+        "SELECT 'urn:t:customer:7' AS subject, 'urn:p:customer:c_custkey' AS predicate, " +
+        "CAST(c_custkey AS VARCHAR) AS object FROM c " +
+        "UNION ALL SELECT 'urn:t:customer:7', 'urn:p:customer:c_name', c_name FROM c " +
+        "UNION ALL SELECT 'urn:t:customer:7', 'urn:p:customer:c_nationkey', " +
+        "CAST(c_nationkey AS VARCHAR) FROM c " +
+        "UNION ALL SELECT 'urn:t:customer:7', 'urn:p:customer:c_acctbal', " +
+        "CAST(c_acctbal AS VARCHAR) FROM c " +
+        "UNION ALL SELECT 'urn:t:customer:7', 'urn:p:customer:c_mktsegment', " +
+        "c_mktsegment FROM c " +
+        "UNION ALL SELECT 'urn:t:customer:7', 'urn:fk:nation', " +
+        "'urn:t:nation:' || c_nationkey FROM c " +
+        "UNION ALL SELECT 'urn:t:nation:' || n_nationkey, 'urn:p:nation:n_nationkey', " +
+        "CAST(n_nationkey AS VARCHAR) FROM n " +
+        "UNION ALL SELECT 'urn:t:nation:' || n_nationkey, 'urn:p:nation:n_name', " +
+        "n_name FROM n " +
+        "UNION ALL SELECT 'urn:t:nation:' || n_nationkey, 'urn:p:nation:n_regionkey', " +
+        "CAST(n_regionkey AS VARCHAR) FROM n " +
+        "UNION ALL SELECT 'urn:t:nation:' || n_nationkey, 'urn:fk:region', " +
+        "'urn:t:region:' || n_regionkey FROM n")),
 
     // ---- expression batteries ----
     ("q_expr_strings",

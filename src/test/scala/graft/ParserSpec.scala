@@ -148,6 +148,18 @@ class ParserSpec extends AnyFunSuite {
     assert(tri.columns.toSeq == Seq("subject", "predicate", "object"))
     val desc = eng.query("DESCRIBE <urn:t:customer:7>")
     assert(desc.count() == 6) // 5 columns + 1 fk
+
+    // multi-target: constant list and var list (reference describes a list,
+    // SimpleQueryEvaluation.swift:1305-1319)
+    val desc2 = eng.query("DESCRIBE <urn:t:customer:7> <urn:t:region:0>")
+    assert(desc2.count() == 6 + 2) // region row: r_regionkey, r_name
+    val desc3 = eng.query(
+      """DESCRIBE ?x ?n WHERE { ?x <urn:p:customer:c_custkey> 7 .
+        |?x <urn:fk:nation> ?n }""".stripMargin)
+    assert(desc3.count() == 6 + 4) // customer quads + nation's 3 cols + fk
+    val descStar = eng.query(
+      "DESCRIBE * WHERE { ?x <urn:p:customer:c_custkey> 7 }")
+    assert(descStar.count() == 6)
   }
 
   test("graph clause restricts to one graph") {

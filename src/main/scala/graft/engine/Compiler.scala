@@ -872,8 +872,12 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     val keyCols = shared.map(v => col(bt(v)))
     val marked =
       if (shared.isEmpty) {
-        val nonEmpty = !p.df.isEmpty
-        val base = l.df.withColumn(flag, lit(nonEmpty))
+        // no shared vars: the flag is the pattern's (non-)emptiness. Deferred
+        // into the plan as a broadcast 0/1-row marker joined to every row —
+        // compile() must not launch Spark jobs (callers may explain/discard)
+        val marker = broadcast(p.df.select(lit(true).as(flag)).limit(1))
+        val base = l.df.join(marker, lit(true), "left_outer")
+          .withColumns(Map(flag -> coalesce(col(bt(flag)), lit(false))))
         return boolVarFromFlag(Sol(base, l.reps, l.certain, l.nums), flag, outVar, negated)
       } else {
         var pp = pKeys0; var ll = l
@@ -1388,10 +1392,10 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     val (edges0, edgeCard) = pathEdges(p, g)
     var edges = graft.pipeline.ScratchCache.persist(edges0)
     // small edge sets broadcast into every fixpoint iteration (the frontier
-    // join then needs no shuffle). With a statistics bound the materializing
-    // count() pass is unnecessary; without one, count to decide
+    // join then needs no shuffle). Only a statistics bound earns the eager
+    // hint — without one, the persisted edge frame's observed size lets AQE
+    // make the same call per stage, and compile() stays job-free
     if (edgeCard.exists(_ <= 200000L)) edges = broadcast(edges)
-    else if (edgeCard.isEmpty && edges.count() <= 200000L) edges = broadcast(edges)
 
     def fix(seed: DataFrame): DataFrame = {
       // seed: (a, b) one-step pairs from the seeds

@@ -298,6 +298,34 @@ class EngineSpec extends AnyFunSuite {
     assert(ds.getString(2) == Term.xsdDecimal && ds.getString(1) == "3.25")
   }
 
+  test("compile() launches zero Spark jobs (plan construction is pure)") {
+    // warm the store's lazy driver-side statistics first — they legitimately
+    // run jobs once per store, not per compile
+    store.graphIds; store.termsBroadcastable
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // BIND(EXISTS) with no shared vars previously ran isEmpty at compile
+      comp.compile(AExtend(
+        BGP(Seq(QuadPattern(V("c"), p("customer", "c_name"), V("n")))),
+        "e", EExists(BGP(Seq(
+          QuadPattern(V("r"), p("region", "r_name"), V("rn")))), false)))
+      // aggregate + order + slice pipeline
+      comp.compile(ASlice(AOrderBy(AGroup(
+        BGP(Seq(QuadPattern(V("l"), p("lineitem", "l_returnflag"), V("rf")),
+          QuadPattern(V("l"), p("lineitem", "l_quantity"), V("q")))),
+        Seq("rf"), Seq(AggSpec("s", "sum", Some(EVar("q"))))),
+        Seq(SortKey(EVar("rf")))), 0, 5))
+      Thread.sleep(1000) // let any stray job-start events drain the bus
+      assert(jobs == 0, s"compile() ran $jobs Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("FAM_DEC: exact decimal SUM/AVG from the scan companion, no dictionary join") {
     val ex = "http://example.org/"
     def iri(s: String) = Iri(ex + s)

@@ -311,6 +311,83 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     case _ => None
   }
 
+  /** Exact-decimal working type (matches the scan companion `__d_*` columns). */
+  private val DEC = DecimalType(38, 18)
+
+  /** Exactness-preserving decimal arithmetic: try the op on narrowed operands
+    * first (DECIMAL(20,10) keeps Spark's result scale high), fall back to the
+    * full-range op (scale 6) for values the narrow type can't hold. try_cast
+    * turns any overflow into NULL = SPARQL error. */
+  private def decArith(op: String, a: Column, b: Column): Column = {
+    def apply2(x: Column, y: Column): Column = op match {
+      case "+" => try_add(x, y)
+      case "-" => try_subtract(x, y)
+      case "*" => try_multiply(x, y)
+    }
+    when(a.isNull || b.isNull, lit(null).cast(DEC)).otherwise(coalesce(
+      apply2(a.try_cast(DecimalType(20, 10)), b.try_cast(DecimalType(20, 10)))
+        .try_cast(DEC),
+      apply2(a, b).try_cast(DEC)))
+  }
+
+  /** 18-digit-scale exact decimal division (see NativeExpr.divide); operands
+    * beyond DECIMAL(20,10) fall back to full-range division at scale 6. */
+  private def decDiv(x: Column, y: Column): Column =
+    coalesce(
+      try_divide(x.try_cast(DecimalType(20, 10)), y.try_cast(DecimalType(20, 10)))
+        .cast(DEC),
+      try_divide(x.cast(DEC), y.cast(DEC)).cast(DEC))
+
+  /** Pure-column EXACT numeric value of an expression over the exact-family
+    * companions: (DECIMAL(38,18) value, per-row decimal flag). Applies when
+    * every variable is integer-family (id payload) or decimal-family (`__d_`
+    * companion), so `?price * (1 - ?disc)` compiles to decimal column
+    * arithmetic — no term structs, no dictionary join (reference exact
+    * accumulators, kasei/kineo MaterializedQueryPlan.swift:2303-2354).
+    *
+    * The flag tracks SPARQL numeric promotion: integer op integer stays
+    * integer, any decimal operand promotes, division always yields decimal
+    * (op:numeric-divide). SQL NULL propagation = SPARQL error propagation. */
+  private def fastDec(sol: Sol, e: Expr): Option[(Column, Column)] =
+    if (exprSize(e) > 16) None // value expr inlines ~6× into view+flag: cap codegen growth
+    else fastDecTree(sol, e)
+
+  private def exprSize(e: Expr): Int = e match {
+    case ECall(_, args) => 1 + args.map(exprSize).sum
+    case _ => 1
+  }
+
+  private def fastDecTree(sol: Sol, e: Expr): Option[(Column, Column)] = e match {
+    case EConst(Lit(lex, dt, _)) if dt == Term.xsdDecimal =>
+      scala.util.Try(new java.math.BigDecimal(lex.trim)).toOption
+        .map(bd => (lit(bd).cast(DEC), lit(true)))
+    case EConst(Lit(lex, dt, _)) if dt == Term.xsdInteger || dt == Term.xsdInt =>
+      scala.util.Try(lex.trim.toLong).toOption
+        .map(l => (lit(l).cast(DecimalType(20, 0)), lit(false)))
+    case EVar(n) if sol.decs.contains(n) && sol.fam.get(n).contains(Sol.FAM_DEC) =>
+      val isdec = sol.reps.get(n) match {
+        case Some(IdRep) =>
+          shiftright(col(bt(n)), TermId.PAYLOAD_BITS).bitwiseAND(0xFF) ===
+            TermId.TAG_DECIMAL
+        case _ => col(bt(n)).getField("dt") === Term.xsdDecimal
+      }
+      Some((col(bt(sol.decCol(n))), isdec))
+    case EVar(n) if sol.reps.get(n).contains(IdRep) &&
+        sol.fam.get(n).contains(Sol.FAM_INT) =>
+      Some(((col(bt(n)).bitwiseAND(TermId.PAYLOAD_MASK) - TermId.BIAS)
+        .cast(DecimalType(20, 0)), lit(false)))
+    case ECall(op @ ("+" | "-" | "*"), Seq(a, b)) =>
+      for ((ca, ia) <- fastDecTree(sol, a); (cb, ib) <- fastDecTree(sol, b))
+        yield (decArith(op, ca, cb), ia || ib)
+    case ECall("/", Seq(a, b)) =>
+      for ((ca, _) <- fastDecTree(sol, a); (cb, _) <- fastDecTree(sol, b))
+        yield (when(cb === 0, lit(null).cast(DEC)).otherwise(decDiv(ca, cb)),
+          lit(true))
+    case ECall("neg", Seq(a)) => fastDecTree(sol, a).map { case (c, i) => (-c, i) }
+    case ECall("abs", Seq(a)) => fastDecTree(sol, a).map { case (c, i) => (abs(c), i) }
+    case _ => None
+  }
+
   /** Pure-column boolean EBV, when derivable without a UDF. SQL 3-valued logic
     * matches SPARQL's error handling for these shapes (see AND/OR truth tables in
     * reference Expression.swift:484-507: false&&error=false, true||error=true,
@@ -628,11 +705,26 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
                 sol.reps + (v -> TermRep), sol.certain, sol.nums + v,
                 sol.inl, sol.numAll + v, fam = sol.fam + (v -> Sol.FAM_DBL),
                 card = sol.card, decs = sol.decs)
-            case _ =>
-              val (s2, ec) = exprColumn(sol, e)
-              Sol(s2.df.withColumn(v, ec), s2.reps + (v -> TermRep), s2.certain,
-                s2.nums, s2.inl, s2.numAll, fam = s2.fam, card = s2.card,
-                decs = s2.decs)
+            case _ => fastDec(sol, e) match {
+              case Some((dc, isdec)) if !e.isInstanceOf[EVar] =>
+                // exact-family computed value: the term view (decimal or
+                // integer per row) AND the `__d_` companion both build from
+                // the same decimal column, so downstream SUM/AVG compiles to
+                // one sum(DECIMAL) — no term structs, no dictionary join
+                val view = when(dc.isNull, lit(null).cast(TermRow.schema))
+                  .when(isdec, graft.engine.NativeExpr.decTerm(dc))
+                  .otherwise(graft.engine.NativeExpr.intTerm(dc.try_cast(LongType)))
+                Sol(sol.df.withColumns(Map(v -> view, ("__d_" + v) -> dc,
+                    ("__n_" + v) -> dc.cast(DoubleType))),
+                  sol.reps + (v -> TermRep), sol.certain, sol.nums + v,
+                  sol.inl, sol.numAll + v, fam = sol.fam + (v -> Sol.FAM_DEC),
+                  card = sol.card, decs = sol.decs + v)
+              case _ =>
+                val (s2, ec) = exprColumn(sol, e)
+                Sol(s2.df.withColumn(v, ec), s2.reps + (v -> TermRep), s2.certain,
+                  s2.nums, s2.inl, s2.numAll, fam = s2.fam, card = s2.card,
+                  decs = s2.decs)
+            }
           }
       }
 
@@ -1001,6 +1093,13 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           (a, Some((struct(col(bt(sol.decCol(n))).as("d"),
             (shiftright(col(bt(n)), TermId.PAYLOAD_BITS).bitwiseAND(0xFF) ===
               TermId.TAG_DECIMAL).as("isdec")), "dec")))
+        case Some(EVar(n)) if sol.decs.contains(n) &&
+            sol.reps.get(n).contains(TermRep) &&
+            sol.fam.get(n).contains(Sol.FAM_DEC) && Seq("sum", "avg").contains(a.fn) =>
+          // extend-bound exact value (fastDec companion); the view's datatype
+          // field distinguishes xsd:integer from xsd:decimal for promotion
+          (a, Some((struct(col(bt(sol.decCol(n))).as("d"),
+            (col(bt(n)).getField("dt") === Term.xsdDecimal).as("isdec")), "dec")))
         case Some(EVar(n)) if sol.reps.get(n).contains(IdRep) =>
           val (s2, vc) = withView(sol, n); sol = s2
           (a, Some((vc, "view")))
@@ -1011,9 +1110,16 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
             case Some(nc) if !expr.isInstanceOf[EVar] &&
                 Seq("sum", "avg").contains(a.fn) =>
               (a, Some((nc, "num")))
-            case _ =>
-              val (s2, c) = exprColumn(sol, expr); sol = s2
-              (a, Some((c, "view")))
+            case _ => fastDec(sol, expr) match {
+              // exact-family computed input to SUM/AVG: one decimal column,
+              // no term structs, no dictionary join
+              case Some((dc, isdec)) if !expr.isInstanceOf[EVar] &&
+                  Seq("sum", "avg").contains(a.fn) =>
+                (a, Some((struct(dc.as("d"), isdec.as("isdec")), "dec")))
+              case _ =>
+                val (s2, c) = exprColumn(sol, expr); sol = s2
+                (a, Some((c, "view")))
+            }
           }
       }
     }
@@ -1028,15 +1134,6 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       struct(v.getField("kind"), v.getField("num"), v.getField("lex"),
         v.getField("dt"), v.getField("lang"))
     }
-    // 18-digit-scale exact decimal division (see NativeExpr.divide); operands
-    // beyond DECIMAL(20,10) fall back to full-range division at scale 6
-    def decDiv(x: Column, y: Column): Column =
-      coalesce(
-        try_divide(x.try_cast(DecimalType(20, 10)), y.try_cast(DecimalType(20, 10)))
-          .cast(DecimalType(38, 18)),
-        try_divide(x.cast(DecimalType(38, 18)), y.cast(DecimalType(38, 18)))
-          .cast(DecimalType(38, 18)))
-
     // each AggSpec compiles to one or more physical aggregates, suffixed _0.._k
     val aggCols: Seq[Column] = inputs.zipWithIndex.flatMap { case ((a, cOpt), i) =>
       val in = col(s"__agg_in_$i")
@@ -1209,9 +1306,26 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           Some(col(bt(sol.numCol(n))))
         case _ => None
       }
-      val inOpt: Option[Column] = if (numFast.isDefined) None else spec.e.map { expr =>
-        val (s2, c) = exprColumn(sol, expr); sol = s2; c
+      // exact-family fast path: decimal companion + per-row decimal flag
+      // (same promotion logic as compileGroup's "dec" aggregation mode)
+      val decFast: Option[(Column, Column)] = spec.e match {
+        case Some(EVar(n)) if numFast.isEmpty && sol.decs.contains(n) &&
+            sol.fam.get(n).contains(Sol.FAM_DEC) &&
+            Seq("sum", "avg").contains(spec.fn) =>
+          val isdec = sol.reps.get(n) match {
+            case Some(IdRep) =>
+              shiftright(col(bt(n)), TermId.PAYLOAD_BITS).bitwiseAND(0xFF) ===
+                TermId.TAG_DECIMAL
+            case _ => col(bt(n)).getField("dt") === Term.xsdDecimal
+          }
+          Some((col(bt(sol.decCol(n))), isdec))
+        case _ => None
       }
+      val inOpt: Option[Column] =
+        if (numFast.isDefined || decFast.isDefined) None
+        else spec.e.map { expr =>
+          val (s2, c) = exprColumn(sol, expr); sol = s2; c
+        }
       val numView: Column => Column = c => when(c.isNotNull, struct(
         lit(TermRow.KIND_LITERAL).as("kind"), c.cast(StringType).as("lex"),
         lit(Term.xsdDouble).as("dt"), lit(null).cast(StringType).as("lang"),
@@ -1247,6 +1361,18 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           val c = numFast.get
           if (spec.fn == "sum") numView(sum(c).over(framed))
           else numView(avg(c).over(framed))
+        case "sum" | "avg" if decFast.isDefined => // exact-decimal fast path
+          val (d, isdec) = decFast.get
+          val sumD = try_sum(d).over(framed)
+          val n = count(d).over(framed)
+          val anyDec = max(isdec.cast(IntegerType)).over(framed)
+          if (spec.fn == "sum")
+            when(n === 0, intView(lit(0L)))
+              .when(anyDec === 0, intView(sumD.try_cast(LongType)))
+              .otherwise(graft.engine.NativeExpr.decTerm(sumD))
+          else
+            when(n === 0, intView(lit(0L)))
+              .otherwise(graft.engine.NativeExpr.decTerm(decDiv(sumD, n)))
         case "sum" | "avg" =>
           // typed frame aggregate: family promotion + poison, like compileGroup
           val in = inOpt.get

@@ -244,6 +244,7 @@ object NativeExpr {
   private[engine] def decVal(t: Column): Column = decOf(t)
   private[engine] def decTerm(d: Column): Column = decT(d)
   private[engine] def fltTerm(f: Column): Column = fltT(f)
+  private[engine] def intTerm(l: Column): Column = intT(l)
 
   // ---- the compiler ---------------------------------------------------------
 

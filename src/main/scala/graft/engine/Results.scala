@@ -50,6 +50,9 @@ object Results {
           case "boolean" => vc.getField("lex") === "true"
           case "timestamp" => to_timestamp(regexp_replace(vc.getField("lex"), "Z$", ""))
           case "date" => vc.getField("lex").cast(DateType)
+          // exact decimal output at a fixed scale (oracle casts to the same
+          // type): value-exact compares for decimal aggregates, no rounding
+          case "dec6" => vc.getField("lex").cast(DecimalType(38, 6))
           case other => throw new IllegalArgumentException(s"cast: $other")
         }
         out.as(v)

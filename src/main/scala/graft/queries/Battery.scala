@@ -231,11 +231,35 @@ object Battery {
         "rf" -> "string", "ls" -> "string", "sum_qty" -> "double",
         "sum_rev" -> "double", "avg_disc" -> "double", "n" -> "long"),
         "sum_qty", "sum_rev", "avg_disc"),
+      // money columns are xsd:decimal in the RDF mapping (exact aggregation);
+      // the oracle casts to DECIMAL too so both sides are exact before round4
       Some("SELECT l_returnflag AS rf, l_linestatus AS ls, " +
-        "round(sum(l_quantity), 4) AS sum_qty, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_rev, " +
-        "round(avg(l_discount), 4) AS avg_disc, count(*) AS n " +
-        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2")),
+        "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_qty, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE) AS sum_rev, " +
+        "CAST(round(avg(CAST(l_discount AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_disc, " +
+        "count(*) AS n FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    ("q_agg_rev_typed", // computed-decimal SUM — exact, unrounded compare:
+      // fastDec compiles ?price*(1-?disc) to decimal column arithmetic and the
+      // SUM to one sum(DECIMAL) over the companion (no term structs, no
+      // dictionary join); DuckDB aggregates the same values as DECIMAL
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(
+          AExtend(
+            BGP(Seq(
+              qp(V("l"), p("lineitem", "l_returnflag"), V("rf")),
+              qp(V("l"), p("lineitem", "l_extendedprice"), V("price")),
+              qp(V("l"), p("lineitem", "l_discount"), V("disc")))),
+            "rev", ECall("*", Seq(EVar("price"),
+              ECall("-", Seq(EConst(Term.int(1)), EVar("disc")))))),
+          Seq("rf"),
+          Seq(AggSpec("sum_rev", "sum", Some(EVar("rev"))))),
+        "rf" -> "string", "sum_rev" -> "dec6"),
+      Some("SELECT l_returnflag AS rf, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_rev " +
+        "FROM lineitem GROUP BY 1")),
 
     ("q_agg_countd",
       (s: SparkSession, d: String) => run(s, d,
@@ -719,8 +743,11 @@ object Battery {
             EConst(Term.int(2))))),
           "balstr", ECall("str", Seq(EVar("bal")))),
         "nm" -> "string", "keynum" -> "long", "balstr" -> "string"),
+      // STR(?bal) returns the xsd:decimal canonical lexical (trailing fraction
+      // zeros stripped); the oracle reproduces it from the DECIMAL(18,2) value
       Some("SELECT c_name AS nm, CAST(split_part(c_name, '#', 2) AS BIGINT) * 2 AS keynum, " +
-        "CAST(c_acctbal AS VARCHAR) AS balstr FROM customer")),
+        "regexp_replace(regexp_replace(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), " +
+        "'(\\.\\d*?)0+$', '\\1'), '\\.$', '') AS balstr FROM customer")),
 
     ("q_count_stat", // COUNT(*) answered from per-predicate statistics (no scan)
       (s: SparkSession, d: String) => run(s, d,

@@ -88,7 +88,8 @@ class RdfIOSpec extends AnyFunSuite {
     val (tv, tr) = SparqlResults.parseTsv(tsv)
     assert(tv == Seq("nm", "bal") && tr.size == 5)
     assert(tr.map(_("nm")) == jr.map(_("nm")))
-    assert(tr.head("bal").asInstanceOf[Lit].datatype == Term.xsdDouble)
+    // money columns map to xsd:decimal (TPC-H DECIMAL(x,2) semantics)
+    assert(tr.head("bal").asInstanceOf[Lit].datatype == Term.xsdDecimal)
   }
 
   test("rdf/xml: fixture parses isomorphic to its n-triples twin") {

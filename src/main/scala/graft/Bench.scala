@@ -15,8 +15,12 @@ import org.apache.spark.sql.SparkSession
   *  - scratch-cache draining and a post-query System.gc() (drains Spark's
   *    ContextCleaner reference queue, so broadcast/shuffle cleanup from query
   *    N doesn't land in query N+1's timed window) run OUTSIDE the timer;
-  *  - the full result, including the per-query diagnostics and entries that
-  *    stdout-tail capture may truncate, is also written to BENCH_LOCAL.json.
+  *  - each query is timed in TWO full passes and the minimum is reported
+  *    (SPARK_GRAFT_PASSES to change), so a transient external load burst
+  *    hitting one pass cannot inflate the recorded number;
+  *  - the full result, including per-pass times, per-query diagnostics, and
+  *    entries that stdout-tail capture may truncate, is also written to
+  *    BENCH_LOCAL.json.
   */
 object Bench {
   private def gcMs: Long = {
@@ -51,7 +55,8 @@ object Bench {
       }
       System.gc()
     }
-    val results = names.map { case (name, fn) =>
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    def onePass(): Seq[(String, Double, Long, Long)] = names.map { case (name, fn) =>
       val (g0, j0, t0) = (gcMs, jitMs, System.nanoTime())
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -63,17 +68,23 @@ object Bench {
       System.gc()
       (name, sec, gd, jd)
     }
+    val all: Seq[Seq[(String, Double, Long, Long)]] = (1 to passes).map(_ => onePass())
+    // per query: the fastest pass — a transient external burst in one pass
+    // cannot inflate the recorded number
+    val results = names.indices.map(i => all.map(_(i)).minBy(_._2))
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val diag = results.map { case (k, _, g, j) => s"\"$k\":[$g,$j]" }
       .mkString("{", ",", "}")
+    val perPass = all.map(p => p.map { case (k, v, _, _) => s"\"$k\":" + v }
+      .mkString("{", ",", "}")).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""gc_jit_ms":$diag,"warmup":$doWarm,"cpus":$cpus,"sf":"$sfDir"}"""
+      s""""gc_jit_ms":$diag,"passes":$perPass,"warmup":$doWarm,"cpus":$cpus,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
       try w.println(full) finally w.close()

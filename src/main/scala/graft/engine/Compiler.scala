@@ -74,7 +74,12 @@ final case class Sol(df: DataFrame, reps: Map[String, Rep], certain: Set[String]
       * statistics prove every value is exactly representable
       * (PredProfile.decExact). Conservatively dropped by operators that don't
       * forward the column — downstream falls back to the generic typed path. */
-    decs: Set[String] = Set.empty) {
+    decs: Set[String] = Set.empty,
+    /** vars carried from the SUBJECT position of a bucketed-table scan: the
+      * DataFrame is hash-partitioned (and per-partition sorted) on them, so an
+      * equi-join between two such sols on a bucketed var is co-located —
+      * shuffle-free, sort-free — and must NOT be broadcast-hinted away. */
+    bucketS: Set[String] = Set.empty) {
   def vars: Set[String] = reps.keySet
   def numCol(v: String): String = "__n_" + v
   def decCol(v: String): String = "__d_" + v
@@ -487,7 +492,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       case _ => None
     }
     Sol(out, firstPos.keys.map(_ -> (IdRep: Rep)).toMap, firstPos.keySet.toSet, nums,
-      inl, numAll, fam = fam, card = card, decs = decVars)
+      inl, numAll, fam = fam, card = card, decs = decVars,
+      bucketS = if (store.bucketedS)
+        firstPos.collect { case (n, "s") => n }.toSet else Set.empty)
   }
 
   /** BGP join-order heuristic: bound-position selectivity weights from the
@@ -582,9 +589,16 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     // in id space → 200k rows ≈ 6 MB.
     val bcastRows = 200000L
     def small(c: Option[Long]) = c.exists(_ <= bcastRows)
-    val rdfH = if (small(r.card)) broadcast(rdf) else rdf
+    // bucket-aligned join: both sides carry the same bucketed-scan subject var
+    // as a certain equi-key, so Catalyst plans a co-located merge join with no
+    // exchange and no sort — strictly cheaper than materializing a broadcast.
+    // Leave such joins unhinted.
+    val bucketAligned = certainShared.exists(v =>
+      l.bucketS.contains(v) && r0.bucketS.contains(v))
+    val rdfH = if (small(r.card) && !bucketAligned) broadcast(rdf) else rdf
     val ldfH =
-      if (kind == "inner" && small(l.card) && !small(r.card)) broadcast(l.df)
+      if (kind == "inner" && small(l.card) && !small(r.card) && !bucketAligned)
+        broadcast(l.df)
       else l.df
     val joined =
       if (conds.isEmpty) {
@@ -602,7 +616,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
 
     if (kind == "left_semi" || kind == "left_anti")
       return Sol(joined, l.reps, l.certain, l.nums, l.inl, l.numAll,
-        fam = l.fam, card = l.card, decs = l.decs) // semi/anti output ⊆ left
+        fam = l.fam, card = l.card, decs = l.decs, // semi/anti output ⊆ left
+        bucketS = l.bucketS)
 
     // merge shared columns, surface right-only vars — all merge columns read
     // only `joined` attributes (independent of one another), so they land in a
@@ -665,7 +680,10 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     Sol(out.select((reps.keySet.toSeq.sorted.map(v => col(bt(v))) ++
       nums.toSeq.sorted.map(v => col(bt("__n_" + v))) ++
       decs.toSeq.sorted.map(v => col(bt("__d_" + v)))): _*), reps, certain, nums,
-      inl, numAll, fam = fam, decs = decs) // joins can multiply rows → card unknown
+      inl, numAll, fam = fam, decs = decs, // joins can multiply rows → card unknown
+      // the join output keeps the left side's hash partitioning; loose-shared
+      // coalesces synthesize a new column → partitioning no longer applies
+      bucketS = (l.bucketS ++ (r.bucketS -- l.vars)) -- looseShared)
   }
 
   // ---- main compile ---------------------------------------------------------
@@ -739,7 +757,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         sol.certain intersect vs.toSet, sol.nums intersect keep.toSet,
         sol.inl intersect keep.toSet, sol.numAll intersect keep.toSet,
         fam = sol.fam.filter(kv => keep.contains(kv._1)), card = sol.card,
-        sortCols = sol.sortCols, decs = sol.decs intersect keep.toSet)
+        sortCols = sol.sortCols, decs = sol.decs intersect keep.toSet,
+        bucketS = sol.bucketS intersect keep.toSet)
 
     case ADistinct(c) => compileDistinct(c)
     case AReduced(c) => compileDistinct(c) // REDUCED: any dedup degree is legal

@@ -31,7 +31,13 @@ final case class RdfStore(
     spgAllInline: Boolean = false,
     /** FROM NAMED restriction: None = every graph is named (reference
       * StoreDefaultDataset, Query.swift:196-219). */
-    namedGraphs: Option[Seq[Long]] = None) {
+    namedGraphs: Option[Seq[Long]] = None,
+    /** true when `quads` reads a subject-bucketed table (StorePersist.save
+      * bucketBy(s) + per-bucket (s,p) sort): scans report
+      * HashPartitioning(s)/sorted output, so same-subject BGP joins plan
+      * shuffle-free and sort-free — the Spark analogue of the reference's
+      * index-ordered merge joins (IDQueryPlan.swift:183-225). */
+    bucketedS: Boolean = false) {
 
   def spark: SparkSession = quads.sparkSession
 

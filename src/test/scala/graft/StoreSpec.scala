@@ -192,6 +192,37 @@ class StoreSpec extends AnyFunSuite {
     assert(got == 150)
   }
 
+  test("bucketed store: same-subject star join plans with no shuffle exchange") {
+    import graft.store.StorePersist
+    import graft.algebra._
+    import graft.engine.{Compiler, ExprEval, Rewriter}
+    val dir = "/tmp/graft_store_bucketed_" + System.nanoTime()
+    StorePersist.save(store, dir)
+    val reopened = StorePersist.open(spark, dir)
+    assert(reopened.bucketedS)
+    val comp = new Compiler(reopened, ExprEval.Ctx(nowEpochUs = 0L))
+    def p(t: String, c: String) = N.iri(s"urn:p:$t:$c")
+    val star = BGP(Seq(
+      QuadPattern(V("c"), p("customer", "c_name"), V("nm")),
+      QuadPattern(V("c"), p("customer", "c_acctbal"), V("bal")),
+      QuadPattern(V("c"), p("customer", "c_mktsegment"), V("seg"))))
+    // disable size-based broadcast so the plan shows what survives at scale:
+    // co-partitioned, co-sorted scans -> merge join, no exchange, no sort
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sol = comp.compile(Rewriter.rewrite(star))
+      val plan = sol.df.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"star join over bucketed store should not shuffle:\n$plan")
+      assert(sol.df.count() == 150)
+      // and the in-memory (non-bucketed) store gives the same rows
+      val mem = new Compiler(store, ExprEval.Ctx(nowEpochUs = 0L))
+        .compile(Rewriter.rewrite(star))
+      assert(mem.df.count() == 150)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("explainAnalyze reports per-operator runtime metrics") {
     val eng = new GraftEngine(store)
     val out = eng.explainAnalyze(

@@ -248,11 +248,11 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       if (Expr.hasBnode(e)) {
         // per-row bnode label scope: all expressions of a row share the nonce
         // column, so BNODE("x") co-refers across BINDs of the same solution row
-        val (sol, nonceCol) = withRowNonce(sol1)
+        val (sol, nonceCol, scopeId) = withRowNonce(sol1)
         val exprId = freshId()
         val u = udf { (nonce: Long, vals: Seq[Row]) =>
           val m = fv.zip(vals.map(TV.toTerm)).toMap
-          val scope = new ExprEval.BnodeScope(nonce, exprId)
+          val scope = new ExprEval.BnodeScope(nonce, scopeId, exprId)
           try Option(TV.of(ExprEval.eval(e, m.getOrElse(_, null), theCtx, scope)))
           catch { case _: EvalError => None }
         }.asNondeterministic()
@@ -269,10 +269,22 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   }
 
   /** Ensure the solution carries a per-row unique nonce column (bnode scoping). */
-  private def withRowNonce(sol: Sol): (Sol, Column) =
-    if (sol.df.columns.contains("__rownonce")) (sol, col("`__rownonce`"))
-    else (sol.copy(df = sol.df.withColumn("__rownonce", monotonically_increasing_id())),
-      col("`__rownonce`"))
+  /** Per-row nonce column for BNODE scoping. The scope id lives in the column
+    * NAME (`__rownonce_<id>`): expressions that share one surviving nonce
+    * column share the scope — so BNODE("x") co-refers across BINDs of the same
+    * solution row (SPARQL 17.4.2.9) — while a nonce column re-created after a
+    * join (which drops it) gets a fresh scope id, so its
+    * monotonically_increasing_id values can never alias labels minted under an
+    * earlier scope for DIFFERENT rows. */
+  private def withRowNonce(sol: Sol): (Sol, Column, Int) =
+    sol.df.columns.find(_.startsWith("__rownonce_")) match {
+      case Some(c) => (sol, col(bt(c)), c.stripPrefix("__rownonce_").toInt)
+      case None =>
+        val id = freshId()
+        val name = s"__rownonce_$id"
+        (sol.copy(df = sol.df.withColumn(name, monotonically_increasing_id())),
+          col(bt(name)), id)
+    }
 
   /** Compile an expression to a Boolean EBV Column (null → row dropped by filter). */
   def ebvColumn(sol0: Sol, e: Expr): (Sol, Column) = fastBool(sol0, e) match {
@@ -399,7 +411,14 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     * error otherwise → NULL drops the row, same as error).
     */
   private def fastBool(sol: Sol, e: Expr): Option[Column] = e match {
-    case ECall(op @ ("<" | "<=" | ">" | ">=" | "=" | "!="), Seq(a, b)) =>
+    // Companion-column comparison is only VALUE-complete when every
+    // participating var is all-numeric (numAll): a var with non-numeric values
+    // has a NULL companion on those rows, which would wrongly drop them —
+    // '='/'!=' fall back to RDFterm-equal for IRIs/bnodes, '<' compares
+    // strings — so any such var must take the general path instead.
+    case ECall(op @ ("<" | "<=" | ">" | ">=" | "=" | "!="), Seq(a, b))
+        if Expr.freeVars(e).forall(v =>
+          !sol.nums.contains(v) || sol.numAll.contains(v)) =>
       for (ca <- fastNum(sol, a); cb <- fastNum(sol, b)) yield op match {
         case "<" => ca < cb
         case "<=" => ca <= cb
@@ -597,9 +616,17 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       l.bucketS.contains(v) && r0.bucketS.contains(v))
     val rdfH = if (small(r.card) && !bucketAligned) broadcast(rdf) else rdf
     val ldfH =
-      if (kind == "inner" && small(l.card) && !small(r.card) && !bucketAligned)
-        broadcast(l.df)
-      else l.df
+      if (small(l.card) && !small(r.card) && !bucketAligned) {
+        if (kind == "inner") broadcast(l.df)
+        // OPTIONAL cannot broadcast its left (the preserved side must stream),
+        // but Spark ≥3.5 can hash-BUILD the left of a left-outer shuffled hash
+        // join (SPARK-36612). Hinting the provably-small left flips the build
+        // side: the huge right is probed, not sorted — the cost-based
+        // OPTIONAL placement the reference gets from candidate enumeration
+        // (QueryPlanner.swift:399-408).
+        else if (kind == "left_outer") l.df.hint("shuffle_hash")
+        else l.df
+      } else l.df
     val joined =
       if (conds.isEmpty) {
         // CartesianProduct schedules |left| × |right| partition-product tasks —
@@ -610,8 +637,15 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         if (small(r.card))
           (if (kind == "inner") l.df.crossJoin(broadcast(rdf))
            else l.df.join(broadcast(rdf), lit(true), kind))
-        else if (kind == "inner") l.df.coalesce(8).crossJoin(rdf.coalesce(4))
-        else l.df.coalesce(8).join(rdf.coalesce(4), lit(true), kind)
+        else {
+          // Cap the product via the right side only; coalesce the left only
+          // when its exact bound is known and modest. An unknown-card left
+          // (join/group-derived intermediate) keeps its parallelism rather
+          // than being collapsed to 8 tasks on no evidence.
+          val lc = if (l.card.exists(_ <= 1000000L)) l.df.coalesce(8) else l.df
+          if (kind == "inner") lc.crossJoin(rdf.coalesce(4))
+          else lc.join(rdf.coalesce(4), lit(true), kind)
+        }
       } else ldfH.join(rdfH, conds.reduce(_ && _), kind)
 
     if (kind == "left_semi" || kind == "left_anti")
@@ -760,8 +794,31 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         sortCols = sol.sortCols, decs = sol.decs intersect keep.toSet,
         bucketS = sol.bucketS intersect keep.toSet)
 
-    case ADistinct(c) => compileDistinct(c)
-    case AReduced(c) => compileDistinct(c) // REDUCED: any dedup degree is legal
+    case ADistinct(c) => compileDistinct(dropCompanions(compile(c)))
+
+    // REDUCED: any dedup degree is legal (reference treats it as DISTINCT,
+    // QueryPlanner.swift — but its iterator pays no shuffle). We still emit
+    // exact-DISTINCT output (the oracle demands it) and pick the plan by
+    // scale using the exact cardinality bound from statistics:
+    //  - card ≤ cap: partition-local hash dedup, then a single-task merge
+    //    dedup — NO Exchange anywhere. coalesce(1) folds the upstream into
+    //    the merge task, which is acceptable only because card bounds the
+    //    total work that task can see (hence the gate).
+    //  - unknown/large card: dropDuplicates. Its partial HashAggregate
+    //    already dedups map-side, so the Exchange moves only per-partition
+    //    distinct sets — the scale-correct REDUCED at 100 TB.
+    case AReduced(c) =>
+      val sol = dropCompanions(compile(c))
+      if (sol.sortCols.nonEmpty || !sol.card.exists(_ <= Compiler.ReducedLocalCap))
+        compileDistinct(sol)
+      else {
+        val enc = org.apache.spark.sql.Encoders.row(sol.df.schema)
+        def localDedup(df: DataFrame): DataFrame = df.mapPartitions { it =>
+          val seen = scala.collection.mutable.HashSet.empty[Row]
+          it.filter(seen.add) // card ≤ cap bounds the set
+        }(enc)
+        sol.copy(df = localDedup(localDedup(sol.df).coalesce(1)))
+      }
 
     case ASlice(c, off, lim) =>
       val sol = compile(c)
@@ -844,9 +901,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
 
   /** DISTINCT/REDUCED: dedup on the solution variables only. A pending ORDER
     * BY (hidden sort columns) must neither join the dedup key nor be lost —
-    * SPARQL applies DISTINCT after ORDER BY and keeps the ordering. */
-  private def compileDistinct(c: Algebra): Sol = {
-    val sol = dropCompanions(compile(c))
+    * SPARQL applies DISTINCT after ORDER BY and keeps the ordering. Takes the
+    * compiled (companion-dropped) child so callers never compile twice. */
+  private def compileDistinct(sol: Sol): Sol = {
     if (sol.sortCols.isEmpty) sol.copy(df = sol.df.dropDuplicates())
     else sol.copy(df = sol.df.dropDuplicates(sol.reps.keySet.toSeq))
   }
@@ -865,7 +922,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
 
   private def dropCompanions(sol: Sol): Sol = {
     val scratch = sol.df.columns.filter(c =>
-      c.startsWith("__ne_") || c == "__rownonce").toSeq
+      c.startsWith("__ne_") || c.startsWith("__rownonce")).toSeq
     sol.copy(df = sol.df.drop(sol.nums.toSeq.map("__n_" + _) ++
         sol.decs.toSeq.map("__d_" + _) ++ scratch: _*),
       nums = Set.empty, numAll = Set.empty, decs = Set.empty)
@@ -1612,4 +1669,11 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     }
     Sol(df, reps, reps.keySet, Set.empty)
   }
+}
+
+object Compiler {
+  /** Max exact-cardinality bound for which REDUCED takes the no-Exchange
+    * local-dedup + single-task-merge plan; larger/unknown inputs use
+    * dropDuplicates (map-side partial dedup, Exchange of shrunk sets). */
+  val ReducedLocalCap = 1000000L
 }

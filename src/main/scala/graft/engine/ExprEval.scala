@@ -33,27 +33,34 @@ object ExprEval {
     * (the compiler passes a monotonic row id); `exprId` disambiguates argless
     * BNODE() across distinct compiled expressions sharing a row.
     */
-  final class BnodeScope(nonce: Long, exprId: Int) {
+  final class BnodeScope(nonce: Long, scopeId: Int, exprId: Int) {
     private var n = 0
-    private def hex(s: String): String = {
-      // bnode labels must stay in a safe charset; hash arbitrary user labels
-      if (s.forall(ch => ch.isLetterOrDigit && ch < 128)) s
-      else java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s))
+    private def safe(s: String): String = {
+      // bnode labels must stay in a safe charset; hash arbitrary user labels.
+      // Distinct prefixes keep the plain and hashed namespaces disjoint (a
+      // plain alphanumeric label can otherwise collide with another label's
+      // hex hash).
+      if (s.forall(ch => ch.isLetterOrDigit && ch < 128)) "p" + s
+      else "h" + java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s))
     }
-    /** Deterministic per (row, label): same-row coreference holds across all
-      * expressions of the row (they share the nonce). */
+    /** Deterministic per (scope, row, label): BNODE("x") co-refers across all
+      * expressions sharing the nonce column (SPARQL 17.4.2.9 — same solution
+      * mapping, same simple literal, same blank node). scopeId is the nonce
+      * COLUMN's creation id: a nonce column re-created after a join gets a new
+      * scope, so its monotonically_increasing_id values can never alias labels
+      * minted under another scope for different rows. */
     def labeled(label: String): BNode =
-      BNode("rb" + java.lang.Long.toHexString(nonce) + "x" + hex(label))
+      BNode("rb" + java.lang.Long.toHexString(nonce) + "s" + scopeId + "x" + safe(label))
     /** Fresh per evaluation; unique across a row's expressions via exprId. */
     def fresh(): BNode = {
       n += 1
-      BNode("rf" + java.lang.Long.toHexString(nonce) + "e" + exprId + "n" + n)
+      BNode("rf" + java.lang.Long.toHexString(nonce) + "s" + scopeId + "e" + exprId + "n" + n)
     }
   }
 
   /** Driver-side fallback scope (one-off evals outside a row context). */
   def freshScope(): BnodeScope =
-    new BnodeScope(java.util.concurrent.ThreadLocalRandom.current().nextLong(), 0)
+    new BnodeScope(java.util.concurrent.ThreadLocalRandom.current().nextLong(), -1, 0)
 
   // ---- numeric tower (reference NumericValue, MaterializedQueryPlan.swift:1380-1434)
   sealed trait Num { def d: Double }

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** All k MinHash components in ONE aggregate: state is a packed `Array[Long]`
+  * of running minima, updated with a tight loop of splitmix64 re-hashes per
+  * input shingle hash.
+  *
+  * Replaces k separate `min(xxhash64(h, seed+i))` aggregate expressions: the
+  * hash-aggregate state shrinks from k independent agg buffers to one array,
+  * and the per-row work is one function call instead of k expression
+  * evaluations. Same candidate-generation quality (splitmix64 is a bijective
+  * 64-bit finalizer, so each lane is an independent uniform hash family), and
+  * downstream LSH banding + exact-Jaccard verification are unchanged.
+  */
+case class MinHashAgg(child: Expression, k: Int, seed: Long,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < k) {
+        val m = MinHashAgg.mix(h + (seed + i) * MinHashAgg.GOLDEN)
+        if (m < buf(i)) buf(i) = m
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf.forall(_ == Long.MaxValue)) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(k * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashAgg =
+    copy(child = newChild)
+}
+
+object MinHashAgg {
+  private[functions] final val GOLDEN = 0x9E3779B97F4A7C15L
+
+  /** splitmix64 finalizer: bijective 64-bit mix. */
+  private[functions] def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Column API: `minhash(hashCol, k, seed)` → array<long> of k minima. */
+  def apply(h: Column, k: Int, seed: Long): Column =
+    ColumnBridge.column(
+      MinHashAgg(ColumnBridge.expression(h), k, seed).toAggregateExpression())
+}

@@ -79,18 +79,16 @@ object Dedup {
     val sh = shingles(docs(spark, dir), shingleW)
       .transform(ScratchCache.persist)
 
-    // k min-aggregates in ONE groupBy: minhash_i = min over shingles of a seeded
-    // re-hash (xxhash64(h, seed+i) — overflow-free under ANSI mode, same quality
-    // as an affine family)
-    val aggs = (0 until k).map { i =>
-      min(xxhash64(col("h"), lit(seed + i))).as(s"m$i")
-    }
-    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // all k minhash lanes in ONE array-state aggregate (custom Catalyst
+    // TypedImperativeAggregate): one agg buffer and one tight splitmix64 loop
+    // per shingle, not k independent min(xxhash64) aggregates
+    val sigs = sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg(col("h"), k, seed).as("sig"))
 
     // band key = hash of the band's signature slice
     val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
     }
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))

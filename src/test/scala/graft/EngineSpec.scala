@@ -458,4 +458,45 @@ class EngineSpec extends AnyFunSuite {
     rows.foreach { case (b1, b2) => assert(b1 == b2, "same row must co-refer") }
     assert(rows.map(_._1).distinct.length == 3, "different rows must differ")
   }
+
+  test("OPTIONAL build side flips on skewed stats: small left hash-builds, huge right probes") {
+    // cost input for OPTIONAL placement (reference candidate enumeration,
+    // QueryPlanner.swift:399-408): a left-outer join can't broadcast its
+    // preserved side, but with a provably-small left and a huge right the
+    // compiler hints SHUFFLE_HASH so Spark builds the hash table on the LEFT
+    // (SPARK-36612) instead of sort-merging both sides
+    val small = comp.compile(BGP(Seq(QuadPattern(V("s"), p("region", "r_name"), V("rn")))))
+      .copy(card = Some(5L))
+    val huge = comp.compile(BGP(Seq(QuadPattern(V("s"), p("lineitem", "l_quantity"), V("q")))))
+      .copy(card = Some(500000000L)) // pretend 100 TB-scale fact side
+    val joined = comp.joinSols(small, huge, "left_outer")
+    val phys = joined.df.queryExecution.executedPlan.toString
+    assert(phys.contains("ShuffledHashJoin") && phys.contains("BuildLeft"),
+      s"expected build-left shuffled hash join, got:\n$phys")
+    // and the default (no stats skew) keeps whatever Catalyst picks — sanity:
+    // results are unaffected by the hint
+    assert(joined.df.count() ==
+      comp.joinSols(small.copy(card = None), huge.copy(card = None), "left_outer").df.count())
+  }
+
+  test("reference geo example end-to-end: geo.ttl + geo.rq reproduce the README result") {
+    // the reference's own acceptance demo (README.md:17-60): load
+    // examples/geo-data/geo.ttl, run geo.rq through the full text parser, and
+    // expect the documented 10 ordered rows; coords.rq must parse and return
+    // one (lat,long) row per feature
+    val dir = "/root/reference/examples/geo-data"
+    def read(f: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/$f")), "UTF-8")
+    val geoStore = graft.sources.RdfIO.loadTurtle(spark, read("geo.ttl"), graph = "urn:g:geo")
+    val eng = new GraftEngine(geoStore)
+    val rows = eng.query(read("geo.rq")).collect()
+      .map(r => TermRow.fromRow(r.getStruct(0)).asInstanceOf[Iri].value)
+    val want = Seq("Buellton,_California", "Lompoc,_California",
+      "Los_Alamos,_California", "Mission_Hills,_California", "Orcutt,_California",
+      "Santa_Barbara_County,_California", "Santa_Maria,_California",
+      "Santa_Ynez,_California", "Solvang,_California", "Vandenberg_Air_Force_Base")
+      .map("http://dbpedia.org/resource/" + _)
+    assert(rows.toSeq == want, s"got ${rows.mkString(", ")}") // ORDER BY ?s → exact order
+    assert(eng.query(read("coords.rq")).count() == 764) // one row per feature
+  }
 }

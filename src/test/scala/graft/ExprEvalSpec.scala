@@ -192,7 +192,7 @@ class ExprEvalSpec extends AnyFunSuite {
 
   test("BNODE per-row label scoping (NextRowPlan semantics)") {
     // same scope (= same solution row): BNODE("x") co-refers; BNODE() stays fresh
-    val row1 = new ExprEval.BnodeScope(7L, 1)
+    val row1 = new ExprEval.BnodeScope(7L, 1, 1)
     val a = ExprEval.eval(call("bnode", s("x")), Map.empty[String, Term].getOrElse(_, null), ctx, row1)
     val b = ExprEval.eval(call("bnode", s("x")), Map.empty[String, Term].getOrElse(_, null), ctx, row1)
     assert(a == b, "same row, same label → same bnode")
@@ -200,7 +200,7 @@ class ExprEvalSpec extends AnyFunSuite {
     val f2 = ExprEval.eval(call("bnode"), Map.empty[String, Term].getOrElse(_, null), ctx, row1)
     assert(f1 != f2, "argless BNODE is fresh per call")
     // different scope (= different row): different bnodes for the same label
-    val row2 = new ExprEval.BnodeScope(8L, 1)
+    val row2 = new ExprEval.BnodeScope(8L, 1, 1)
     val a2 = ExprEval.eval(call("bnode", s("x")), Map.empty[String, Term].getOrElse(_, null), ctx, row2)
     assert(a != a2, "different rows → different bnodes")
     // distinct labels in one row stay distinct

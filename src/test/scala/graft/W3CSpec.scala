@@ -27,6 +27,11 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: sort manifest (ordered compare)") { runArea("sort") }
   test("w3c: subquery manifest") { runArea("subquery") }
   test("w3c: graph/dataset manifest") { runArea("graph") }
+  test("w3c: open-world manifest") { runArea("open-world") }
+  test("w3c: type-promotion manifest") { runArea("type-promotion") }
+  test("w3c: cast manifest") { runArea("cast") }
+  test("w3c: bnode-coreference manifest") { runArea("bnode-coreference") }
+  test("w3c: i18n manifest") { runArea("i18n") }
 
   test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
     // the HTTP SERVICE client ships patterns as AlgebraText-serialized SPARQL:
@@ -36,7 +41,8 @@ class W3CSpec extends AnyFunSuite {
     import graft.engine.Rewriter
     import graft.model.TermRow
     val areas = Seq("aggregates", "negation", "property-path", "optional",
-      "functions", "sort", "subquery")
+      "functions", "sort", "subquery", "open-world", "type-promotion", "cast",
+      "bnode-coreference", "i18n")
     var checked = 0
     for (area <- areas; tc <- W3CRunner.loadManifest(new java.io.File(s"$root/$area"))) {
       val q = new String(java.nio.file.Files.readAllBytes(tc.query.toPath), "UTF-8")
@@ -66,8 +72,10 @@ class W3CSpec extends AnyFunSuite {
   }
 
   test("w3c: manifest loader finds every vendored test") {
-    val n = Seq("aggregates", "negation", "property-path", "optional", "functions", "construct", "sort", "subquery", "graph")
+    val n = Seq("aggregates", "negation", "property-path", "optional", "functions",
+        "construct", "sort", "subquery", "graph", "open-world", "type-promotion",
+        "cast", "bnode-coreference", "i18n")
       .map(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")).size).sum
-    assert(n == 45, s"expected 45 vendored tests, found $n")
+    assert(n == 66, s"expected 66 vendored tests, found $n")
   }
 }

@@ -53,6 +53,12 @@ object Results {
           // exact decimal output at a fixed scale (oracle casts to the same
           // type): value-exact compares for decimal aggregates, no rounding
           case "dec6" => vc.getField("lex").cast(DecimalType(38, 6))
+          // representation-robust decimal compare: exact decimal → round(4) →
+          // DOUBLE. The engine still aggregates exactly; only the comparison
+          // representation changes (decimal scale normalization differs
+          // between parquet readers, so a raw DECIMAL hash is fragile).
+          case "decr4" =>
+            round(vc.getField("lex").cast(DecimalType(38, 6)), 4).cast(DoubleType)
           case other => throw new IllegalArgumentException(s"cast: $other")
         }
         out.as(v)

@@ -272,7 +272,7 @@ object Battery {
         "CAST(round(avg(CAST(l_discount AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_disc, " +
         "count(*) AS n FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2")),
 
-    ("q_agg_rev_typed", // computed-decimal SUM — exact, unrounded compare:
+    ("q_agg_rev_typed", // computed-decimal SUM, exact engine path:
       // fastDec compiles ?price*(1-?disc) to decimal column arithmetic and the
       // SUM to one sum(DECIMAL) over the companion (no term structs, no
       // dictionary join); DuckDB aggregates the same values as DECIMAL
@@ -287,10 +287,13 @@ object Battery {
               ECall("-", Seq(EConst(Term.int(1)), EVar("disc")))))),
           Seq("rf"),
           Seq(AggSpec("sum_rev", "sum", Some(EVar("rev"))))),
-        "rf" -> "string", "sum_rev" -> "dec6"),
+        "rf" -> "string", "sum_rev" -> "decr4"),
+      // both sides aggregate exactly in DECIMAL, then compare as round(,4)
+      // DOUBLE — representation-robust against decimal-scale hash drift
+      // (same class of fix as q_agg_sum_typed's HUGEINT→BIGINT cast in r3)
       Some("SELECT l_returnflag AS rf, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
-        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_rev " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE) AS sum_rev " +
         "FROM lineitem GROUP BY 1")),
 
     ("q_agg_countd",

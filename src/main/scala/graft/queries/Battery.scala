@@ -29,7 +29,9 @@ object Battery {
   private val bucketComps = new ConcurrentHashMap[String, Compiler]()
   def bucketedCompiler(spark: SparkSession, dir: String): Compiler =
     bucketComps.computeIfAbsent(dir, d => {
-      val out = "/tmp/graft_store_" +
+      // layout-versioned cache dir: a layout change must not reuse a stale
+      // on-disk store written by an earlier build
+      val out = "/tmp/graft_store_v2_" +
         Integer.toHexString(d.hashCode).replace('-', 'n')
       if (!new java.io.File(s"$out/meta.json").exists())
         graft.store.StorePersist.save(RelToRdf.cached(spark, d), out)

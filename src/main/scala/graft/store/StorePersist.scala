@@ -9,11 +9,19 @@ import graft.model.IriScheme
   * Diomede): a directory of parquet tables plus a small JSON manifest.
   *
   * {{{
-  *   <dir>/quads/    parquet (s,p,o,g,onum,odec), repartitioned by s and
-  *                   sorted (s,p) within partitions → subject-locality scans
+  *   <dir>/quads/    parquet, directory-partitioned by p and subject-bucketed:
+  *                   partitionBy("p") + bucketBy(n,"s") + sortBy("s","o")
   *   <dir>/terms/    parquet dictionary, repartitioned+sorted by id
-  *   <dir>/meta.json default graphs, per-predicate statistics, flags
+  *   <dir>/meta.json default graphs, per-predicate statistics, layout + schema
   * }}}
+  *
+  * The layout is the Spark analogue of the reference's index orders
+  * (`availableOrders`, QuadStore.swift:69-88; SQLite keeps a (g,p,o,s) index,
+  * SQLiteQuadStore.swift:100-116): a bound-predicate scan prunes to its
+  * `p=<id>/` partition directory instead of reading the whole table — at
+  * cluster scale a triple-pattern scan touches only that predicate's bytes —
+  * while the per-directory subject bucketing keeps same-subject star joins
+  * shuffle-free and sort-free across predicates.
   *
   * Statistics persist with the data, so `open` needs no ANALYZE pass — the
   * cluster-scale contract: encode once, reopen cheaply everywhere.
@@ -21,21 +29,34 @@ import graft.model.IriScheme
 object StorePersist {
 
   /** Catalog table name for a store directory (bucket metadata lives in the
-    * session catalog; the data files live under `dir`). */
-  def quadsTable(dir: String): String =
-    "graft_quads_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
+    * session catalog; the data files live under `dir`). Derived from the FULL
+    * path (sanitized) plus a content hash of the path, so two distinct dirs
+    * can never collide onto one catalog entry and drop each other's bucket
+    * spec (a 32-bit `dir.hashCode` could). */
+  def quadsTable(dir: String): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val san = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "").takeRight(40)
+    s"graft_quads_${san}_$sha"
+  }
+
+  /** Data columns in written order; `p` is the partition column and therefore
+    * lands last in the on-disk schema. */
+  private val PartitionCol = "p"
 
   def save(store: RdfStore, dir: String, buckets: Int = 32): Unit = {
     val spark = store.spark
     val tbl = quadsTable(dir)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    // subject-bucketed layout: repartition by the SAME hash the bucketing
-    // uses so each bucket is exactly one file — scans then report both
-    // HashPartitioning(s, n) AND per-bucket (s,p) sortedness, and
-    // same-subject joins (BGP stars) run shuffle-free and sort-free
+    // p-partitioned, subject-bucketed layout: repartition by the SAME hash the
+    // bucketing uses so each (predicate-dir, bucket) is exactly one file —
+    // bound-p scans prune to their directory AND still report
+    // HashPartitioning(s, n) + per-file s-sortedness, so star joins stay
+    // shuffle-free after pruning
     store.quads
       .repartition(buckets, col("s"))
-      .write.bucketBy(buckets, "s").sortBy("s", "p")
+      .write.partitionBy(PartitionCol).bucketBy(buckets, "s").sortBy("s", "o")
       .option("path", s"$dir/quads")
       .mode(SaveMode.Overwrite).saveAsTable(tbl)
     store.terms
@@ -48,36 +69,61 @@ object StorePersist {
     }.mkString("[", ",", "]")
     val named = store.namedGraphs
       .map(ns => ns.mkString("[", ",", "]")).getOrElse("null")
+    // reopen DDL is generated from the actual quads schema (captured here, not
+    // hardcoded at open) so a future schema change cannot silently diverge
+    val dataCols = store.quads.schema.fields
+      .filter(_.name != PartitionCol)
+      .map(f => s"${f.name} ${f.dataType.sql}")
+      .mkString(", ")
     val meta =
       s"""{"defaultGraphs":${store.defaultGraphs.mkString("[", ",", "]")},
          |"spgAllInline":${store.spgAllInline},
          |"namedGraphs":$named,
          |"buckets":$buckets,
+         |"layout":"ps",
+         |"schemaDDL":"$dataCols",
          |"profiles":$profiles}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "meta.json"), meta)
   }
 
+  /** Reopen a saved store. `cache` persists both tables in memory (right for
+    * repeated-query benchmarks at small SF); pass false at cluster scale so
+    * scans keep file-level partition pruning + pushed filters. */
   def open(spark: SparkSession, dir: String,
-      scheme: IriScheme = IriScheme.default): RdfStore = {
+      scheme: IriScheme = IriScheme.default, cache: Boolean = true): RdfStore = {
     val meta = ujsonLite(java.nio.file.Files.readString(
       java.nio.file.Paths.get(dir, "meta.json")))
     // bucketed layouts re-register the bucket spec in this session's catalog
     // (the files carry it implicitly; the DDL tells Spark to trust it), so a
-    // fresh session reopens with shuffle-free same-subject joins intact
+    // fresh session reopens with pruned scans + shuffle-free subject joins
     val quads0 = if (meta.buckets > 0) {
       val tbl = quadsTable(dir)
-      if (!spark.catalog.tableExists(tbl))
-        spark.sql(
-          s"""CREATE TABLE $tbl (s BIGINT, p BIGINT, o BIGINT, g BIGINT,
-             |onum DOUBLE, odec DECIMAL(38,18)) USING parquet
-             |CLUSTERED BY (s) SORTED BY (s, p) INTO ${meta.buckets} BUCKETS
-             |LOCATION '$dir/quads'""".stripMargin)
+      if (!spark.catalog.tableExists(tbl)) {
+        if (meta.layout == "ps") {
+          spark.sql(
+            s"""CREATE TABLE $tbl (${meta.schemaDDL}, $PartitionCol BIGINT)
+               |USING parquet
+               |PARTITIONED BY ($PartitionCol)
+               |CLUSTERED BY (s) SORTED BY (s, o) INTO ${meta.buckets} BUCKETS
+               |LOCATION '$dir/quads'""".stripMargin)
+          // external partitioned table: discover the p=<id> directories
+          spark.sql(s"MSCK REPAIR TABLE $tbl")
+        } else // pre-"ps" stores: single-dir layout, (s,p)-sorted buckets
+          spark.sql(
+            s"""CREATE TABLE $tbl (s BIGINT, p BIGINT, o BIGINT, g BIGINT,
+               |onum DOUBLE, odec DECIMAL(38,18)) USING parquet
+               |CLUSTERED BY (s) SORTED BY (s, p) INTO ${meta.buckets} BUCKETS
+               |LOCATION '$dir/quads'""".stripMargin)
+      }
       spark.table(tbl)
     } else spark.read.parquet(s"$dir/quads")
-    val quads = quads0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val terms = spark.read.parquet(s"$dir/terms")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val quads =
+      if (cache) quads0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else quads0
+    val terms0 = spark.read.parquet(s"$dir/terms")
+    val terms =
+      if (cache) terms0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else terms0
     RdfStore(quads, terms, scheme,
       defaultGraphs = meta.defaultGraphs,
       predProfiles = meta.profiles,
@@ -89,7 +135,7 @@ object StorePersist {
   // minimal hand-rolled JSON decode for the manifest (no extra dependencies)
   private final case class Meta(defaultGraphs: Seq[Long], spg: Boolean,
       namedGraphs: Option[Seq[Long]], profiles: Map[Long, PredProfile],
-      buckets: Int = 0)
+      buckets: Int = 0, layout: String = "", schemaDDL: String = "")
 
   private def ujsonLite(s: String): Meta = {
     def arr(name: String): Seq[Long] = {
@@ -101,6 +147,10 @@ object StorePersist {
       if (s.contains("\"namedGraphs\":null")) None else Some(arr("namedGraphs"))
     val buckets = "\"buckets\":(\\d+)".r.findFirstMatchIn(s)
       .map(_.group(1).toInt).getOrElse(0)
+    val layout = "\"layout\":\"([^\"]*)\"".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+    val schemaDDL = "\"schemaDDL\":\"([^\"]*)\"".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
     val profRe =
       ("""\{"p":(-?\d+),"allInline":(true|false),"allNumeric":(true|false),""" +
         """"count":(\d+),"oTags":\[([^\]]*)\](?:,"decExact":(true|false))?\}""").r
@@ -111,6 +161,6 @@ object StorePersist {
         decExact = Option(m.group(6)).exists(_.toBoolean))
     }.toMap
     Meta(arr("defaultGraphs"), s.contains("\"spgAllInline\":true"), named, profiles,
-      buckets)
+      buckets, layout, schemaDDL)
   }
 }

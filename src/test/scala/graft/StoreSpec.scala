@@ -223,6 +223,26 @@ class StoreSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("persisted store: bound-predicate scan prunes to its p= partition directory") {
+    import graft.store.StorePersist
+    val dir = "/tmp/graft_store_pruned_" + System.nanoTime()
+    StorePersist.save(store, dir)
+    val reopened = StorePersist.open(spark, dir, cache = false)
+    val pid = reopened.idOf(graft.algebra.N.iri("urn:p:customer:c_name").term).get
+    // file-level pruning: the physical scan must carry a PartitionFilters
+    // entry on p (directory pruning), not a row-level Filter over a full scan
+    val scan = reopened.quads.filter(col("p") === pid)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p#"),
+      s"bound-p scan should prune partitions:\n$plan")
+    // the pruned read returns exactly the predicate's rows (count from stats)
+    assert(scan.count() == reopened.predProfiles(pid).count)
+    // and the engine end-to-end still answers over the uncached pruned store
+    val eng = new GraftEngine(reopened)
+    assert(eng.query(
+      "SELECT ?nm WHERE { ?c <urn:p:customer:c_name> ?nm }").count() == 150)
+  }
+
   test("explainAnalyze reports per-operator runtime metrics") {
     val eng = new GraftEngine(store)
     val out = eng.explainAnalyze(

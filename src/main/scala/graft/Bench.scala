@@ -44,7 +44,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local-iteration subset: SPARK_GRAFT_ONLY=q_a,q_b times only those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
     // pay the store load once up front so per-query numbers measure the queries
     graft.queries.Battery.compiler(spark, sfDir)
     if (doWarm && new java.io.File(warmDir).exists()) {

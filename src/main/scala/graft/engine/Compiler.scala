@@ -496,8 +496,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           Some(n -> Sol.FAM_DEC)
         else None
     }.flatten.toMap
-    // decimal-family o vars additionally carry the exact-decimal companion
-    val decVars = fam.collect { case (n, Sol.FAM_DEC) => n }.toSet
+    // decimal-family o vars additionally carry the exact-decimal companion —
+    // but only when some downstream aggregate/arithmetic can consume it
+    val decVars = fam.collect { case (n, Sol.FAM_DEC) => n }.toSet.filter(decNeeded)
     val outCols = firstPos.toSeq.map { case (n, pos) => col(pos).as(n) } ++
       firstPos.toSeq.collect { case (n, "o") => col("onum").as("__n_" + n) } ++
       firstPos.toSeq.collect {
@@ -722,7 +723,23 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
 
   // ---- main compile ---------------------------------------------------------
 
-  def compile(a: Algebra): Sol = a match {
+  /** Per-query set of variables whose `__d_` exact-decimal companion can be
+    * consumed downstream (None = unknown → build all, e.g. direct
+    * [[compilePattern]] calls from tests). Computed once at the outermost
+    * [[compile]] and read by scans/extends: a companion no aggregate or
+    * arithmetic expression ever consumes would only widen every join,
+    * projection and window between the scan and the result edge (the round-4
+    * regression pattern — e.g. `q_fk_join` carrying an unused `__d_qty`
+    * DECIMAL(38,18) through its 60k-row join). DynamicVariable because
+    * compilers are cached and shared across queries. */
+  private val decNeedsVar = new scala.util.DynamicVariable[Option[Set[String]]](None)
+  private def decNeeded(v: String): Boolean = decNeedsVar.value.forall(_.contains(v))
+
+  def compile(a: Algebra): Sol =
+    if (decNeedsVar.value.isDefined) compile0(a)
+    else decNeedsVar.withValue(Some(Compiler.decNeeds(a)))(compile0(a))
+
+  private def compile0(a: Algebra): Sol = a match {
     case BGP(ps) => compileBGP(ps)
     case APath(s, p, o, g) => compilePath(s, p, o, g)
     case AJoin(l, r) => joinSols(compile(l), compile(r), "inner")
@@ -766,11 +783,13 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
                 val view = when(dc.isNull, lit(null).cast(TermRow.schema))
                   .when(isdec, graft.engine.NativeExpr.decTerm(dc))
                   .otherwise(graft.engine.NativeExpr.intTerm(dc.try_cast(LongType)))
-                Sol(sol.df.withColumns(Map(v -> view, ("__d_" + v) -> dc,
-                    ("__n_" + v) -> dc.cast(DoubleType))),
+                val base = Map(v -> view, ("__n_" + v) -> dc.cast(DoubleType))
+                val cols = if (decNeeded(v)) base + (("__d_" + v) -> dc) else base
+                Sol(sol.df.withColumns(cols),
                   sol.reps + (v -> TermRep), sol.certain, sol.nums + v,
                   sol.inl, sol.numAll + v, fam = sol.fam + (v -> Sol.FAM_DEC),
-                  card = sol.card, decs = sol.decs + v)
+                  card = sol.card,
+                  decs = if (decNeeded(v)) sol.decs + v else sol.decs)
               case _ =>
                 val (s2, ec) = exprColumn(sol, e)
                 Sol(s2.df.withColumn(v, ec), s2.reps + (v -> TermRep), s2.certain,
@@ -1676,4 +1695,56 @@ object Compiler {
     * local-dedup + single-task-merge plan; larger/unknown inputs use
     * dropDuplicates (map-side partial dedup, Exchange of shrunk sets). */
   val ReducedLocalCap = 1000000L
+
+  /** Variables whose exact-decimal `__d_` companion can actually be consumed
+    * somewhere in the query: free vars of SUM/AVG arguments (group and
+    * window — the `dec` aggregation fast path) and any var appearing inside
+    * an arithmetic expression (the [[Compiler.fastDecTree]] shapes — this
+    * also keeps the companions a computed-decimal BIND needs to build its
+    * view). Everything else skips companion creation at the scan: the column
+    * would only widen rows through every operator in between. Conservative in
+    * one direction only — over-inclusion costs a spare column; omission just
+    * falls back to the generic typed path (still correct). */
+  def decNeeds(root: Algebra): Set[String] = {
+    val need = scala.collection.mutable.Set[String]()
+    def expr(e: Expr, inArith: Boolean): Unit = e match {
+      case EVar(n) => if (inArith) need += n
+      case EConst(_) => ()
+      case ECall(fn, args) =>
+        val arith = fn match {
+          case "+" | "-" | "*" | "/" | "neg" | "abs" => true
+          case _ => false
+        }
+        args.foreach(expr(_, inArith || arith))
+      case EExists(p, _) => walk(p)
+    }
+    def aggArg(fn: String, eo: Option[Expr]): Unit = eo.foreach { e =>
+      if (fn == "sum" || fn == "avg") need ++= Expr.freeVars(e)
+      expr(e, inArith = false)
+    }
+    def walk(a: Algebra): Unit = a match {
+      case BGP(_) | ATable(_, _) | APath(_, _, _, _) => ()
+      case AJoin(l, r) => walk(l); walk(r)
+      case ALeftJoin(l, r, eo) => walk(l); walk(r); eo.foreach(expr(_, inArith = false))
+      case AMinus(l, r) => walk(l); walk(r)
+      case AUnion(l, r) => walk(l); walk(r)
+      case AFilter(e, c) => expr(e, inArith = false); walk(c)
+      case AExtend(c, _, e) => expr(e, inArith = false); walk(c)
+      case AProject(c, _) => walk(c)
+      case ADistinct(c) => walk(c)
+      case AReduced(c) => walk(c)
+      case ASlice(c, _, _) => walk(c)
+      case AOrderBy(c, ks) => ks.foreach(k => expr(k.e, inArith = false)); walk(c)
+      case AGroup(c, _, aggs) => aggs.foreach(s => aggArg(s.fn, s.e)); walk(c)
+      case AWindow(c, fns) =>
+        fns.foreach { w =>
+          aggArg(w.fn, w.e)
+          w.ordBy.foreach(k => expr(k.e, inArith = false))
+        }
+        walk(c)
+      case AService(_, c, _) => walk(c)
+    }
+    walk(root)
+    need.toSet
+  }
 }

@@ -50,15 +50,17 @@ object Results {
           case "boolean" => vc.getField("lex") === "true"
           case "timestamp" => to_timestamp(regexp_replace(vc.getField("lex"), "Z$", ""))
           case "date" => vc.getField("lex").cast(DateType)
-          // exact decimal output at a fixed scale (oracle casts to the same
-          // type): value-exact compares for decimal aggregates, no rounding
-          case "dec6" => vc.getField("lex").cast(DecimalType(38, 6))
           // representation-robust decimal compare: exact decimal → round(4) →
           // DOUBLE. The engine still aggregates exactly; only the comparison
           // representation changes (decimal scale normalization differs
           // between parquet readers, so a raw DECIMAL hash is fragile).
+          // Scale 12 on the intermediate cast so values whose lexical scale
+          // exceeds 4 are rounded once (a narrower cast would round twice:
+          // first HALF_UP to the cast scale, then round(,4)). Exact while the
+          // scale-4 integer representation fits in 2^53 — far beyond any SF
+          // the battery runs at.
           case "decr4" =>
-            round(vc.getField("lex").cast(DecimalType(38, 6)), 4).cast(DoubleType)
+            round(vc.getField("lex").cast(DecimalType(38, 12)), 4).cast(DoubleType)
           case other => throw new IllegalArgumentException(s"cast: $other")
         }
         out.as(v)

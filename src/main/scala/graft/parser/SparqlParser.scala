@@ -470,7 +470,8 @@ final class SparqlParser(input: String) {
       distinct: Boolean, reduced: Boolean, rewriteAggs: Expr => Expr)
       : (Algebra, Seq[String]) = {
     var g = g0
-    // ORDER BY
+    // ORDER BY (grammar requires at least one OrderCondition)
+    var orderKeys: Seq[SortKey] = Nil
     if (peekKw("ORDER")) {
       expectKw("ORDER"); expectKw("BY")
       val keys = scala.collection.mutable.ListBuffer[SortKey]()
@@ -489,12 +490,10 @@ final class SparqlParser(input: String) {
         if (!(peekKw("ASC") || peekKw("DESC") || peekCh('(') ||
           (pos < input.length && (input(pos) == '?' || input(pos) == '$')))) go = false
       }
-      g = AOrderBy(g, keys.toSeq)
+      if (keys.isEmpty) fail("ORDER BY requires at least one order condition")
+      orderKeys = keys.toSeq
     }
-    if (proj.nonEmpty) g = AProject(g, proj) // CONSTRUCT keeps all template vars
-    if (distinct) g = ADistinct(g)
-    if (reduced) g = AReduced(g)
-    // LIMIT / OFFSET in either order
+    // LIMIT / OFFSET in either order (lexically before a trailing VALUES)
     var limit = -1L; var offset = 0L; var sliced = false
     var go = true
     while (go) {
@@ -502,6 +501,14 @@ final class SparqlParser(input: String) {
       else if (eatKw("OFFSET")) { ws(); offset = parseLong(); sliced = true }
       else go = false
     }
+    // trailing ValuesClause (grammar rules [7]/[8]): joins the WHERE-clause
+    // algebra BEFORE ordering/projection/slice (SPARQL 1.1 §18.2.4.5)
+    ws()
+    if (eatKw("VALUES")) g = AJoin(g, parseValues())
+    if (orderKeys.nonEmpty) g = AOrderBy(g, orderKeys)
+    if (proj.nonEmpty) g = AProject(g, proj) // CONSTRUCT keeps all template vars
+    if (distinct) g = ADistinct(g)
+    if (reduced) g = AReduced(g)
     if (sliced) g = ASlice(g, offset, limit)
     (g, proj)
   }

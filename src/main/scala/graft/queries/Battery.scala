@@ -292,7 +292,10 @@ object Battery {
         "rf" -> "string", "sum_rev" -> "decr4"),
       // both sides aggregate exactly in DECIMAL, then compare as round(,4)
       // DOUBLE — representation-robust against decimal-scale hash drift
-      // (same class of fix as q_agg_sum_typed's HUGEINT→BIGINT cast in r3)
+      // (same class of fix as q_agg_sum_typed's HUGEINT→BIGINT cast in r2).
+      // DuckDB (C++) and Spark (BigDecimal.doubleValue) both round the
+      // DECIMAL→DOUBLE conversion correctly while the scale-4 integer fits
+      // in 2^53; at far larger SFs compare a canonical string instead.
       Some("SELECT l_returnflag AS rf, " +
         "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
         "(1 - CAST(l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE) AS sum_rev " +

@@ -25,9 +25,14 @@ object W3CRunner {
   val RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
   final case class TestCase(name: String, query: java.io.File,
-      data: Option[java.io.File], result: java.io.File,
+      data: Option[java.io.File], result: Option[java.io.File],
       /** qt:graphData: named graphs, named by their file IRI (W3C convention). */
-      graphData: Seq[java.io.File] = Nil)
+      graphData: Seq[java.io.File] = Nil,
+      /** `eval` (QueryEvaluationTest), `syntax-pos` (PositiveSyntaxTest11 —
+        * must parse), or `syntax-neg` (NegativeSyntaxTest11 — must be
+        * rejected). Syntax tests carry no data/result; their mf:action is the
+        * query file itself (W3C sparql11 manifest convention). */
+      kind: String = "eval")
 
   private def read(f: java.io.File): String =
     new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
@@ -53,35 +58,53 @@ object W3CRunner {
     }
     walk(entriesHead).map { e =>
       val name = obj(e, MF + "name").map(_.lex).getOrElse(e.lex)
+      val kind = obj(e, RDFNS + "type").collect {
+        case Iri(t) if t == MF + "PositiveSyntaxTest11" => "syntax-pos"
+        case Iri(t) if t == MF + "NegativeSyntaxTest11" => "syntax-neg"
+      }.getOrElse("eval")
       val action = obj(e, MF + "action")
         .getOrElse(throw new IllegalArgumentException(s"$name: no mf:action"))
-      val graphData = bySubj.getOrElse(action, Nil).collect {
-        case (_, Iri(p), o) if p == QT + "graphData" => fileOf(o)
+      if (kind != "eval") // syntax test: the action IS the query file
+        TestCase(name, fileOf(action), None, None, Nil, kind)
+      else {
+        val graphData = bySubj.getOrElse(action, Nil).collect {
+          case (_, Iri(p), o) if p == QT + "graphData" => fileOf(o)
+        }
+        TestCase(name,
+          fileOf(obj(action, QT + "query").get),
+          obj(action, QT + "data").map(fileOf),
+          Some(fileOf(obj(e, MF + "result").get)),
+          graphData)
       }
-      TestCase(name,
-        fileOf(obj(action, QT + "query").get),
-        obj(action, QT + "data").map(fileOf),
-        fileOf(obj(e, MF + "result").get),
-        graphData)
     }
   }
 
   /** Run one test; None = pass, Some(message) = failure. */
   def run(spark: SparkSession, tc: TestCase): Option[String] = {
+    if (tc.kind == "syntax-pos")
+      return try { graft.parser.SparqlParser.parse(read(tc.query)); None }
+        catch { case e: Exception =>
+          Some(s"${tc.name}: positive syntax test rejected: ${e.getMessage}") }
+    if (tc.kind == "syntax-neg")
+      return try {
+        graft.parser.SparqlParser.parse(read(tc.query))
+        Some(s"${tc.name}: negative syntax test parsed — must be rejected")
+      } catch { case _: Exception => None }
     val store = buildDataset(spark, tc)
     val eng = new GraftEngine(store)
     val queryText = read(tc.query)
-    if (tc.result.getName.endsWith(".ttl")) { // CONSTRUCT: graph isomorphism
+    val resultFile = tc.result.get
+    if (resultFile.getName.endsWith(".ttl")) { // CONSTRUCT: graph isomorphism
       val got: Seq[(Term, Term, Term)] = eng.constructQuads(queryText)
         .collect().toSeq.map(r => (TermRow.fromRow(r.getStruct(0)),
           TermRow.fromRow(r.getStruct(1)), TermRow.fromRow(r.getStruct(2))))
-      val want = RdfIO.parseTurtle(read(tc.result))
+      val want = RdfIO.parseTurtle(read(resultFile))
       return if (Isomorphism.isomorphic(got, want)) None
       else Some(s"${tc.name}: graphs differ\n  got:  ${got.sortBy(_.toString).mkString("; ")}\n" +
         s"  want: ${want.sortBy(_.toString).mkString("; ")}")
     }
     val df = eng.query(queryText)
-    val expectedText = read(tc.result)
+    val expectedText = read(resultFile)
 
     if (expectedText.contains("<boolean>")) { // ASK
       val want = expectedText.contains("<boolean>true</boolean>")

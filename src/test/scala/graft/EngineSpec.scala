@@ -349,9 +349,15 @@ class EngineSpec extends AnyFunSuite {
     val st = StoreEncoder.encode(df, IriScheme.default)
     val c = new Compiler(st, ExprEval.Ctx(nowEpochUs = 0L))
 
-    val scan = c.compile(BGP(Seq(QuadPattern(V("x"), T(iri("price")), V("v")))))
+    // compilePattern outside a query context attaches the companion; a full
+    // compile() prunes it unless some downstream aggregate/arithmetic consumes
+    // it (per-query decNeeds analysis)
+    val scan = c.compilePattern(QuadPattern(V("x"), T(iri("price")), V("v")))
     assert(scan.fam.get("v").contains(Sol.FAM_DEC), "price scan must be FAM_DEC")
     assert(scan.decs.contains("v") && scan.df.columns.contains("__d_v"))
+    val bare = c.compile(BGP(Seq(QuadPattern(V("x"), T(iri("price")), V("v")))))
+    assert(!bare.df.columns.contains("__d_v"),
+      "no aggregate/arithmetic consumes ?v — the companion must be pruned")
 
     val sumA = AGroup(BGP(Seq(QuadPattern(V("x"), T(iri("price")), V("v")))),
       Seq.empty, Seq(AggSpec("s", "sum", Some(EVar("v"))),

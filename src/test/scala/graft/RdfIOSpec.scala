@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.model._
-import graft.sources.{RdfIO, SparqlResults}
+import graft.sources.{RdfIO, SparqlResults, TurtleWriter}
 import graft.engine._
 
 class RdfIOSpec extends AnyFunSuite {
@@ -206,5 +206,44 @@ class RdfIOSpec extends AnyFunSuite {
     assert(ts.size == 3056, s"got ${ts.size}")
     assert(ts.count(_._2 ==
       Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")) == 764)
+  }
+
+  test("turtle writer: geo.ttl round-trips isomorphically (parse → serialize → reparse)") {
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/geo-data/geo.ttl")), "UTF-8")
+    val ts = RdfIO.parseTurtle(doc)
+    val out = TurtleWriter.serialize(ts)
+    val ts2 = RdfIO.parseTurtle(out)
+    // explicit _:label bnodes survive serialization unchanged, so plain set
+    // equality IS graph isomorphism here
+    assert(ts2.toSet == ts.toSet,
+      s"round-trip diverged: ${(ts.toSet -- ts2.toSet).take(3)} / ${(ts2.toSet -- ts.toSet).take(3)}")
+    assert(ts2.size == ts.size)
+    // prefix compression actually happened (geo.ttl uses the wgs84 vocab)
+    assert(out.contains("@prefix geo: <http://www.w3.org/2003/01/geo/wgs84_pos#> ."), out.take(200))
+  }
+
+  test("turtle writer: literals, lang tags, datatypes, bnodes, rdf:type round-trip") {
+    val ts: Seq[(Term, Term, Term)] = Seq(
+      (Iri("http://ex.org/a"), Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+        Iri("http://ex.org/Thing")),
+      (Iri("http://ex.org/a"), Iri("http://ex.org/name"), Term.str("Alice \"quoted\"\nline")),
+      (Iri("http://ex.org/a"), Iri("http://ex.org/label"), Term.langStr("chat", "fr")),
+      (Iri("http://ex.org/a"), Iri("http://ex.org/n"), Term.int(42)),
+      (Iri("http://ex.org/a"), Iri("http://ex.org/d"), Lit("3.14", Term.xsdDecimal, null)),
+      (Iri("http://ex.org/a"), Iri("http://ex.org/e"), Lit("1.0E6", Term.xsdDouble, null)),
+      (Iri("http://ex.org/a"), Iri("http://ex.org/b"), Term.bool(true)),
+      (Iri("http://ex.org/a"), Iri("http://ex.org/t"),
+        Lit("2024-01-01T00:00:00Z", Term.xsdDateTime, null)),
+      (BNode("b1"), Iri("http://ex.org/p"), BNode("b2")),
+      // IRI with a local part no PNAME can express stays a full IRIREF
+      (Iri("http://ex.org/weird/path?q=1"), Iri("http://ex.org/p"), Term.str("x")))
+    val out = TurtleWriter.serialize(ts)
+    val back = RdfIO.parseTurtle(out)
+    assert(back.toSet == ts.toSet,
+      s"diff: ${(ts.toSet -- back.toSet)} / ${(back.toSet -- ts.toSet)}\n$out")
+    // rdf:type rendered as `a`, typed literal carries its datatype
+    assert(out.contains(" a "), out)
+    assert(out.contains("^^xsd:dateTime") || out.contains("^^<http://www.w3.org/2001/XMLSchema#dateTime>"), out)
   }
 }

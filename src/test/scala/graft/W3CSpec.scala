@@ -32,6 +32,8 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: cast manifest") { runArea("cast") }
   test("w3c: bnode-coreference manifest") { runArea("bnode-coreference") }
   test("w3c: i18n manifest") { runArea("i18n") }
+  test("w3c: syntax manifest (positive + negative parse-only)") { runArea("syntax-query") }
+  test("w3c: solution-seq manifest (distinct/reduced/slice, ordered)") { runArea("solution-seq") }
 
   test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
     // the HTTP SERVICE client ships patterns as AlgebraText-serialized SPARQL:
@@ -72,10 +74,12 @@ class W3CSpec extends AnyFunSuite {
   }
 
   test("w3c: manifest loader finds every vendored test") {
-    val n = Seq("aggregates", "negation", "property-path", "optional", "functions",
-        "construct", "sort", "subquery", "graph", "open-world", "type-promotion",
-        "cast", "bnode-coreference", "i18n")
-      .map(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")).size).sum
-    assert(n == 66, s"expected 66 vendored tests, found $n")
+    val areas = Seq("aggregates", "negation", "property-path", "optional", "functions",
+      "construct", "sort", "subquery", "graph", "open-world", "type-promotion",
+      "cast", "bnode-coreference", "i18n", "syntax-query", "solution-seq")
+    val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
+    assert(cases.size == 94, s"expected 94 vendored tests, found ${cases.size}")
+    val syntax = cases.count(_.kind != "eval")
+    assert(syntax == 22, s"expected 22 syntax (parse-only) tests, found $syntax")
   }
 }

@@ -1566,12 +1566,14 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   private var pathCounter = 0
   private def freshId(): Int = { pathCounter += 1; pathCounter }
 
-  /** Edge pairs (a,b) for an inner path, as a 2-column DataFrame of ids,
-    * plus the statistics upper bound on the edge count. */
+  /** Edge pairs (__ca, __cb) for an inner path, as a 2-column DataFrame of
+    * ids, plus the statistics upper bound on the edge count. RESERVED column
+    * names — a user variable literally named `a`/`b` must not collide when
+    * the closure binds endpoints. */
   private def pathEdges(p: PathE, g: Node): (DataFrame, Option[Long]) = {
     val a = V("__pa"); val b = V("__pb")
     val sol = compilePath(a, p, b, g)
-    (sol.df.select(col("__pa").as("a"), col("__pb").as("b")).dropDuplicates(),
+    (sol.df.select(col("__pa").as("__ca"), col("__pb").as("__cb")).dropDuplicates(),
       sol.card)
   }
 
@@ -1616,20 +1618,45 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     // join then needs no shuffle). Only a statistics bound earns the eager
     // hint — without one, the persisted edge frame's observed size lets AQE
     // make the same call per stage, and compile() stays job-free
-    if (edgeCard.exists(_ <= 200000L)) edges = broadcast(edges)
+    val broadcastSmall = edgeCard.exists(_ <= 200000L)
+    if (broadcastSmall) edges = broadcast(edges)
+    // Adaptive double-stepping: once a fixpoint has survived a few
+    // iterations it is a DEEP closure, and the sequential driver-loop
+    // latency (~2 small Spark jobs per iteration) dominates — from then on
+    // the frontier advances by {1,2} steps over a once-computed E ∪ E²,
+    // halving the remaining iterations (any path decomposes into steps of 1
+    // or 2, so BFS over E ∪ E² reaches exactly the E-closure). Shallow
+    // closures — the common case — never pay for the E⋈E join; an eager
+    // precompute measured SLOWER on a depth-3 closure than the iterations
+    // it saved. Only a statistics-bounded edge set escalates (E⋈E over an
+    // unbounded set could explode).
+    lazy val doubledStep: DataFrame = {
+      val e2 = edges.join(
+          edges.withColumnRenamed("__ca", "__cb0").withColumnRenamed("__cb", "__cc"),
+          col("__cb") === col("__cb0"))
+        .select(col("__ca"), col("__cc").as("__cb"))
+      broadcast(graft.pipeline.ScratchCache.persist(
+        edges.union(e2).dropDuplicates()))
+    }
 
-    def fix(seed: DataFrame): DataFrame = {
-      // seed: (a, b) one-step pairs from the seeds
+    // `base` is the step relation the frontier extends with — forward edges,
+    // or their reversal when the closure runs backwards from a bound object
+    // (extending a reversed frontier with FORWARD edges would walk the wrong
+    // direction). `rev` flips the doubled step to match on escalation.
+    def fix(seed: DataFrame, base: DataFrame, rev: Boolean): DataFrame = {
+      var st = base
+      // seed: (__ca, __cb) one-step pairs from the seeds
       var acc = seed.dropDuplicates().localCheckpoint()
       var frontier = acc
       var done = false
       var iter = 0
       while (!done) {
-        val next = frontier.join(edges.withColumnRenamed("a", "b0").withColumnRenamed("b", "c"),
-            frontier("b") === col("b0"))
-          .select(frontier("a"), col("c").as("b")).dropDuplicates()
-          .join(acc.withColumnRenamed("a", "xa").withColumnRenamed("b", "xb"),
-            col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+        val next = frontier.join(
+            st.withColumnRenamed("__ca", "__cb0").withColumnRenamed("__cb", "__cc"),
+            frontier("__cb") === col("__cb0"))
+          .select(frontier("__ca"), col("__cc").as("__cb")).dropDuplicates()
+          .join(acc.withColumnRenamed("__ca", "__cxa").withColumnRenamed("__cb", "__cxb"),
+            col("__ca") === col("__cxa") && col("__cb") === col("__cxb"), "left_anti")
           .localCheckpoint()
         if (next.isEmpty) done = true
         else {
@@ -1641,6 +1668,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           acc = acc.union(next)
           if (iter % 8 == 0) acc = acc.localCheckpoint()
           frontier = next
+          if (iter == 4 && broadcastSmall)
+            st = if (rev) doubledStep.select(col("__cb").as("__ca"), col("__ca").as("__cb"))
+                 else doubledStep
         }
       }
       acc
@@ -1649,13 +1679,14 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     val pairs: DataFrame = (s, o) match {
       case (T(t), _) =>
         val sid = store.idOf(t).getOrElse(Long.MinValue)
-        fix(edges.filter(col("a") === sid))
+        fix(edges.filter(col("__ca") === sid), edges, rev = false)
       case (_, T(t)) =>
-        // run the closure backwards from the bound object
+        // run the closure backwards from the bound object, on reversed edges
         val oid = store.idOf(t).getOrElse(Long.MinValue)
-        val rev = edges.select(col("b").as("a"), col("a").as("b"))
-        fix(rev.filter(col("a") === oid)).select(col("b").as("a"), col("a").as("b"))
-      case _ => fix(edges)
+        val revEdges = edges.select(col("__cb").as("__ca"), col("__ca").as("__cb"))
+        fix(revEdges.filter(col("__ca") === oid), revEdges, rev = true)
+          .select(col("__cb").as("__ca"), col("__ca").as("__cb"))
+      case _ => fix(edges, edges, rev = false)
     }
 
     val withZero: DataFrame =
@@ -1663,30 +1694,38 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       else (s, o) match {
         case (T(t), _) =>
           val sid = store.idOf(t)
-          sid.map(id => pairs.union(spark.range(1).select(lit(id).as("a"), lit(id).as("b"))))
+          sid.map(id => pairs.union(spark.range(1).select(lit(id).as("__ca"), lit(id).as("__cb"))))
             .getOrElse(pairs).dropDuplicates()
         case (_, T(t)) =>
           val oid = store.idOf(t)
-          oid.map(id => pairs.union(spark.range(1).select(lit(id).as("a"), lit(id).as("b"))))
+          oid.map(id => pairs.union(spark.range(1).select(lit(id).as("__ca"), lit(id).as("__cb"))))
             .getOrElse(pairs).dropDuplicates()
         case _ =>
-          pairs.union(graphTerms(g).select(col("t").as("a"), col("t").as("b"))).dropDuplicates()
+          pairs.union(graphTerms(g).select(col("t").as("__ca"), col("t").as("__cb"))).dropDuplicates()
       }
 
     // bind endpoints
-    var df = withZero
-    var reps = Map.empty[String, Rep]
-    s match {
-      case T(t) => df = df.filter(col("a") === store.idOf(t).getOrElse(Long.MinValue)).drop("a")
-      case V(n) => df = df.withColumnRenamed("a", n); reps += n -> IdRep
-      case DefaultGraph => ()
+    (s, o) match {
+      case (V(sn), V(on)) if sn == on =>
+        // same var on both ends (?x p+ ?x): only cyclic pairs survive
+        Sol(withZero.filter(col("__ca") === col("__cb"))
+            .select(col("__ca").as(sn)),
+          Map(sn -> IdRep), Set(sn), Set.empty)
+      case _ =>
+        var df = withZero
+        var reps = Map.empty[String, Rep]
+        s match {
+          case T(t) => df = df.filter(col("__ca") === store.idOf(t).getOrElse(Long.MinValue)).drop("__ca")
+          case V(n) => df = df.withColumnRenamed("__ca", n); reps += n -> IdRep
+          case DefaultGraph => ()
+        }
+        o match {
+          case T(t) => df = df.filter(col("__cb") === store.idOf(t).getOrElse(Long.MinValue)).drop("__cb")
+          case V(n) => df = df.withColumnRenamed("__cb", n); reps += n -> IdRep
+          case DefaultGraph => ()
+        }
+        Sol(df, reps, reps.keySet, Set.empty)
     }
-    o match {
-      case T(t) => df = df.filter(col("b") === store.idOf(t).getOrElse(Long.MinValue)).drop("b")
-      case V(n) => df = df.withColumnRenamed("b", n); reps += n -> IdRep
-      case DefaultGraph => ()
-    }
-    Sol(df, reps, reps.keySet, Set.empty)
   }
 }
 

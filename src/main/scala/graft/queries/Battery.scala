@@ -518,6 +518,24 @@ object Battery {
         "UNION SELECT 'urn:t:nation:' || nk FROM n " +
         "UNION SELECT 'urn:t:region:' || n_regionkey FROM nation, n WHERE n_nationkey = nk")),
 
+    ("q_path_plus_rev", // transitive fk closure BACKWARDS from one region:
+      // bound-object closure walks reversed steps (regression: forward-edge
+      // extension walked the wrong direction and returned the object itself)
+      (s: SparkSession, d: String) => run(s, d,
+        APath(V("node"),
+          PPlus(PAlt(PAlt(PLink("urn:fk:customer"), PLink("urn:fk:nation")),
+            PLink("urn:fk:region"))), N.iri("urn:t:region:1")),
+        "node" -> "string"),
+      // suppliers also carry fk:nation edges, so they reach the region too
+      Some("WITH n AS (SELECT n_nationkey AS nk FROM nation WHERE n_regionkey = 1), " +
+        "c AS (SELECT c_custkey AS ck FROM customer WHERE c_nationkey IN (SELECT nk FROM n)) " +
+        "SELECT 'urn:t:nation:' || nk AS node FROM n " +
+        "UNION SELECT 'urn:t:customer:' || ck FROM c " +
+        "UNION SELECT 'urn:t:supplier:' || s_suppkey FROM supplier " +
+        "WHERE s_nationkey IN (SELECT nk FROM n) " +
+        "UNION SELECT 'urn:t:orders:' || o_orderkey FROM orders " +
+        "WHERE o_custkey IN (SELECT ck FROM c)")),
+
     ("q_path_star", // zero-or-more includes the subject itself
       (s: SparkSession, d: String) => run(s, d,
         APath(N.iri("urn:t:customer:1"), PStar(PLink("urn:fk:nation")), V("node")),

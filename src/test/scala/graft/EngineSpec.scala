@@ -209,6 +209,51 @@ class EngineSpec extends AnyFunSuite {
     assert(nms == Set("alice"))
   }
 
+  test("property path: deep closure escalates to doubled steps (chain of 12)") {
+    val ex = "http://example.org/"
+    // a 12-link chain forces >4 fixpoint iterations, crossing the adaptive
+    // double-stepping escalation; the closure must stay exact across the
+    // switch — forwards and backwards
+    val n = 12
+    val chain = (0 until n).map(i =>
+      (Iri(s"${ex}c$i"), Iri(ex + "next"), Iri(s"${ex}c${i + 1}"): Term, Iri(ex + "g")))
+    val schema = StructType(Seq("s", "p", "o", "g").map(f =>
+      StructField(f, TermRow.schema, nullable = true)))
+    val rows = chain.map { case (s, pp, o, gg) =>
+      Row(TermRow.toRow(s), TermRow.toRow(pp), TermRow.toRow(o), TermRow.toRow(gg)) }
+    val st = StoreEncoder.encode(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
+      IriScheme.default)
+    val c = new Compiler(st, ExprEval.Ctx(nowEpochUs = 0L))
+    val fwd = Results.materialize(c,
+        c.compile(APath(N.iri(ex + "c0"), PPlus(PLink(ex + "next")), V("e"))))
+      .collect().map(_.getStruct(0).getString(1)).toSet
+    assert(fwd == (1 to n).map(i => s"${ex}c$i").toSet, s"forward: $fwd")
+    val bwd = Results.materialize(c,
+        c.compile(APath(V("b"), PPlus(PLink(ex + "next")), N.iri(s"${ex}c$n"))))
+      .collect().map(_.getStruct(0).getString(1)).toSet
+    assert(bwd == (0 until n).map(i => s"${ex}c$i").toSet, s"backward: $bwd")
+    // same var on both ends: only cyclic nodes qualify — the chain has none
+    val cyc = c.compile(APath(V("x"), PPlus(PLink(ex + "next")), V("x")))
+    assert(cyc.vars == Set("x") && cyc.df.count() == 0)
+  }
+
+  test("property path: plus/star with BOUND OBJECT walk backwards (regression)") {
+    val ex = "http://example.org/"
+    // knows chain: s3→s1→s2. ?start knows+ s2 must yield the PREDECESSORS
+    // {s3, s1} — the closure must extend the reversed frontier with REVERSED
+    // steps (a forward-edge join here once produced (s2,s2) and missed s3)
+    val a = APath(V("start"), PPlus(PLink(ex + "knows")), N.iri(ex + "s2"))
+    val starts = Results.materialize(tcomp, tcomp.compile(a)).collect()
+      .map(_.getStruct(0).getString(1)).toSet
+    assert(starts == Set(ex + "s3", ex + "s1"), s"got $starts")
+    // star adds the zero-length binding of the object itself
+    val b = APath(V("start"), PStar(PLink(ex + "knows")), N.iri(ex + "s2"))
+    val starStarts = Results.materialize(tcomp, tcomp.compile(b)).collect()
+      .map(_.getStruct(0).getString(1)).toSet
+    assert(starStarts == Set(ex + "s3", ex + "s1", ex + "s2"), s"got $starStarts")
+  }
+
   test("values table joins with patterns") {
     val a = AJoin(
       ATable(Seq("rf"), Seq(Seq(Some(Term.str("A"))), Seq(Some(Term.str("R"))))),

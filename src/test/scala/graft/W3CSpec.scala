@@ -78,7 +78,7 @@ class W3CSpec extends AnyFunSuite {
       "construct", "sort", "subquery", "graph", "open-world", "type-promotion",
       "cast", "bnode-coreference", "i18n", "syntax-query", "solution-seq")
     val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
-    assert(cases.size == 94, s"expected 94 vendored tests, found ${cases.size}")
+    assert(cases.size == 95, s"expected 95 vendored tests, found ${cases.size}")
     val syntax = cases.count(_.kind != "eval")
     assert(syntax == 22, s"expected 22 syntax (parse-only) tests, found $syntax")
   }

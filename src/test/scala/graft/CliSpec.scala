@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end CLI coverage (reference `kineo-cli/main.swift:28` parity):
+  * create a persisted store from the reference's geo.ttl from the command
+  * surface, run geo.rq against it, explain it, dump it — all through
+  * [[Main.run]] (the `main` minus the JVM fork).
+  */
+class CliSpec extends AnyFunSuite {
+  lazy val spark = SparkBase.spark
+  private val geoDir = "/root/reference/examples/geo-data"
+
+  private def capture(args: String*): (Int, String) = {
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Main.run(args.toArray, spark)
+    }
+    (code, out.toString("UTF-8"))
+  }
+
+  test("cli: create from geo.ttl, query geo.rq end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    val (c1, o1) = capture("create", dir, s"$geoDir/geo.ttl")
+    assert(c1 == 0, o1)
+    assert(o1.contains("3056 quads"), o1) // geo.ttl parses to 3056 triples
+
+    // the reference README's query: 10 matching features, ordered
+    val (c2, o2) = capture("query", dir, s"$geoDir/geo.rq")
+    assert(c2 == 0, o2)
+    val rows = o2.trim.split("\n")
+    assert(rows.head == "?s", o2.take(200))
+    assert(rows.length == 11, s"want header + 10 rows:\n$o2")
+
+    val (c3, o3) = capture("query", dir, s"$geoDir/geo.rq", "--format", "json")
+    assert(c3 == 0 && o3.contains("\"bindings\""), o3.take(200))
+
+    val (c4, o4) = capture("explain", dir, s"$geoDir/geo.rq")
+    assert(c4 == 0, o4)
+    assert(o4.contains("SPARQL algebra") && o4.contains("physical plan"), o4.take(300))
+
+    val (c5, o5) = capture("graphs", dir)
+    assert(c5 == 0 && o5.contains("urn:g:default"), o5)
+
+    // dump → reload as N-Quads → same quad count
+    val nq = java.nio.file.Files.createTempDirectory("graft_nq").toString + "/out"
+    val (c6, _) = capture("dump", dir, nq)
+    assert(c6 == 0)
+    assert(graft.sources.RdfIO.readNTriples(spark, nq).count() == 3056)
+
+    // turtle dump round-trips through the parser
+    val ttl = java.nio.file.Files.createTempDirectory("graft_ttl").toString + "/out.ttl"
+    val (c7, _) = capture("dump", dir, ttl, "--format", "turtle")
+    assert(c7 == 0)
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ttl)), "UTF-8")
+    assert(graft.sources.RdfIO.parseTurtle(doc).size == 3056)
+  }
+
+  test("cli: errors are reported, not thrown") {
+    val (c1, _) = capture("query", "/nonexistent/store", "SELECT * WHERE { ?s ?p ?o }")
+    assert(c1 == 1)
+    val (c2, _) = capture("bogus-command", "x")
+    assert(c2 == 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli2").toString
+    assert(capture("create", dir)._1 == 0) // empty store is legal
+    val (c3, _) = capture("query", dir, "SELECT ?x WHERE { ?x ?y }") // parse error
+    assert(c3 == 1)
+  }
+
+  test("cli: load appends into an existing store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli3").toString
+    assert(capture("create", dir)._1 == 0)
+    val (c, out) = capture("load", dir, s"$geoDir/geo.ttl", "urn:g:geo")
+    assert(c == 0 && out.contains("3056 quads total"), out)
+    val (cq, oq) = capture("query", dir,
+      "SELECT (COUNT(*) AS ?n) WHERE { GRAPH <urn:g:geo> { ?s ?p ?o } }")
+    assert(cq == 0 && oq.contains("3056"), oq)
+  }
+}

@@ -79,7 +79,15 @@ final case class Sol(df: DataFrame, reps: Map[String, Rep], certain: Set[String]
       * DataFrame is hash-partitioned (and per-partition sorted) on them, so an
       * equi-join between two such sols on a bucketed var is co-located —
       * shuffle-free, sort-free — and must NOT be broadcast-hinted away. */
-    bucketS: Set[String] = Set.empty) {
+    bucketS: Set[String] = Set.empty,
+    /** vars bound in AT MOST ONE row per distinct value (exact, from
+      * per-predicate functional statistics — PredProfile.funcS). An equi-join
+      * on such a var cannot multiply the other side's rows, so exact `card`
+      * bounds survive joins and keep driving broadcasts: a filtered star
+      * intermediate stays provably small and is broadcast into the next big
+      * scan (the reference's cost-model join ordering, QueryPlanCost.swift,
+      * as statistics). Dropping a var from this set is always sound. */
+    multOne: Set[String] = Set.empty) {
   def vars: Set[String] = reps.keySet
   def numCol(v: String): String = "__n_" + v
   def decCol(v: String): String = "__d_" + v
@@ -217,9 +225,15 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   /** The companion-column fast path stamps xsd:double, which is only correct
     * when every participating numeric var is double-family (FAM_DBL) — an
     * integer-family var must take the native typed path instead. */
-  private def allDblFamily(sol: Sol, e: Expr): Boolean =
-    Expr.freeVars(e).forall(v =>
-      !sol.nums.contains(v) || sol.fam.get(v).contains(Sol.FAM_DBL))
+  private def allDblFamily(sol: Sol, e: Expr): Boolean = {
+    // ≥1 var is required: on a constant-only expression the old vacuous
+    // forall stamped xsd:double onto integer constants (BIND(2 AS ?x) became
+    // "2.0"^^xsd:double and failed term-equality joins — caught by the W3C
+    // bind suite); integer/decimal constants belong to fastDec instead
+    val fv = Expr.freeVars(e)
+    fv.nonEmpty &&
+      fv.forall(v => sol.nums.contains(v) && sol.fam.get(v).contains(Sol.FAM_DBL))
+  }
 
   /** Pure-column DOUBLE value of an expression when every participating var is
     * double-family — the precondition that makes stamping xsd:double correct. */
@@ -330,6 +344,19 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
 
   /** Exact-decimal working type (matches the scan companion `__d_*` columns). */
   private val DEC = DecimalType(38, 18)
+
+  /** `try_sum(DISTINCT c)`: overflow → NULL (= SPARQL error → unbound), never
+    * an ANSI ARITHMETIC_OVERFLOW abort. `functions.sum_distinct` has no try_
+    * variant, so build the TRY-mode Sum aggregate directly. */
+  private def trySumDistinct(c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{EvalMode, NumericEvalContext}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      Sum(ColumnBridge.expression(c),
+        NumericEvalContext(EvalMode.TRY, allowDecimalPrecisionLoss = true))
+        .toAggregateExpression(isDistinct = true))
+  }
 
   /** Exactness-preserving decimal arithmetic: try the op on narrowed operands
     * first (DECIMAL(20,10) keeps Spark's result scale high), fall back to the
@@ -514,6 +541,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     Sol(out, firstPos.keys.map(_ -> (IdRep: Rep)).toMap, firstPos.keySet.toSet, nums,
       inl, numAll, fam = fam, card = card, decs = decVars,
       bucketS = if (store.bucketedS)
+        firstPos.collect { case (n, "s") => n }.toSet else Set.empty,
+      // functional predicate → the subject var binds at most one row here
+      multOne = if (oProfile.exists(_.funcS))
         firstPos.collect { case (n, "s") => n }.toSet else Set.empty)
   }
 
@@ -522,26 +552,103 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     * o×5, g×10), then greedy connected joins to avoid cartesian products.
     * Join *implementation* is delegated to Catalyst/AQE.
     */
+  /** Store size estimate for costing unbound-predicate scans. */
+  private lazy val totalQuadsEst: Double =
+    if (store.predProfiles.nonEmpty) store.predProfiles.values.map(_.count.toDouble).sum
+    else 1e6
+
+  /** Statistics-backed scan cost of one pattern: exact per-predicate counts
+    * when available, the reference's static bound-position weights otherwise
+    * (QueryPlanCost.swift:231-248). Shared by BGP join ordering and UNION
+    * branch ranking. */
+  private def patternCost(qp: QuadPattern): Double = {
+    def unbound(n: Node) = n.isInstanceOf[V]
+    val base: Double = qp.p match {
+      case T(t) => store.idOf(t).flatMap(store.predProfiles.get)
+        .map(_.count.toDouble).getOrElse(totalQuadsEst * 0.1)
+      case _ => totalQuadsEst
+    }
+    var c = base
+    if (!unbound(qp.s)) c *= 0.001
+    if (!unbound(qp.o)) c *= 0.01
+    if (!unbound(qp.g) && qp.g != DefaultGraph) c *= 0.5
+    c
+  }
+
+  /** Scan-cost estimate of a whole branch (sum of its pattern scans — joins
+    * only shrink below the sum, so the sum ranks branches safely). Drives
+    * UNION branch ordering; NOT a cardinality bound. */
+  private def estCost(a: Algebra): Double = a match {
+    case BGP(ps) => ps.map(patternCost).sum
+    case APath(s, _, o, g) => // fixpoint over the path's step patterns: ×10
+      patternCost(QuadPattern(s, V("__p"), o, g)) * 10
+    case AJoin(l, r) => estCost(l) + estCost(r)
+    case ALeftJoin(l, r, _) => estCost(l) + estCost(r)
+    case AMinus(l, r) => estCost(l) + estCost(r)
+    case AUnion(l, r) => estCost(l) + estCost(r)
+    case AFilter(_, c) => estCost(c)
+    case AExtend(c, _, _) => estCost(c)
+    case AProject(c, _) => estCost(c)
+    case ADistinct(c) => estCost(c)
+    case AReduced(c) => estCost(c)
+    case ASlice(c, _, _) => estCost(c)
+    case AOrderBy(c, _) => estCost(c)
+    case AGroup(c, _, _) => estCost(c)
+    case AWindow(c, _) => estCost(c)
+    case ATable(_, rows) => rows.size.toDouble
+    case _ => totalQuadsEst // SERVICE etc.: unknown, rank as expensive
+  }
+
+  /** A branch is provably empty when statistics show a bound term has no id
+    * in the store or a bound predicate has zero quads — the scan cannot
+    * match. Conservative: false means "don't know". */
+  private def provablyEmpty(a: Algebra): Boolean = a match {
+    case BGP(ps) => ps.exists { qp =>
+      qp.nodes.exists { case (T(t), _) => store.idOf(t).isEmpty; case _ => false } ||
+        (qp.p match {
+          case T(t) => store.predProfiles.nonEmpty &&
+            store.idOf(t).exists(id => !store.predProfiles.contains(id))
+          case _ => false
+        })
+    }
+    case AJoin(l, r) => provablyEmpty(l) || provablyEmpty(r)
+    case AUnion(l, r) => provablyEmpty(l) && provablyEmpty(r)
+    case ALeftJoin(l, _, _) => provablyEmpty(l)
+    case AMinus(l, _) => provablyEmpty(l)
+    case AFilter(_, c) => provablyEmpty(c)
+    case AExtend(c, _, _) => provablyEmpty(c)
+    case AProject(c, _) => provablyEmpty(c)
+    case ADistinct(c) => provablyEmpty(c)
+    case AReduced(c) => provablyEmpty(c)
+    case ASlice(c, _, lim) => lim == 0 || provablyEmpty(c)
+    case AOrderBy(c, _) => provablyEmpty(c)
+    case AWindow(c, _) => provablyEmpty(c)
+    case ATable(_, rows) => rows.isEmpty
+    case _ => false // AGroup emits a row on empty input; SERVICE unknown
+  }
+
+  /** Extend a sol with never-bound vars (an eliminated UNION branch's
+    * exclusive variables): null term columns, all other metadata intact. */
+  private def padUnbound(sol: Sol, extraVars: Set[String]): Sol = {
+    val add = (extraVars -- sol.reps.keySet).toSeq.sorted
+    if (add.isEmpty) sol
+    else sol.copy(
+      df = sol.df.withColumns(add.map(v => v -> lit(null).cast(TermRow.schema)).toMap),
+      reps = sol.reps ++ add.map(_ -> (TermRep: Rep)))
+  }
+
+  /** Empty solution over `vars` (both UNION branches provably empty): a
+    * zero-row LocalRelation, so downstream unions/joins optimize away via
+    * PropagateEmptyRelation. */
+  private def emptyTermSol(vars: Seq[String]): Sol = {
+    val schema = StructType(vars.map(v => StructField(v, TermRow.schema, nullable = true)))
+    val df = store.spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    Sol(df, vars.map(_ -> (TermRep: Rep)).toMap, Set.empty, Set.empty, card = Some(0L))
+  }
+
   def compileBGP(patterns: Seq[QuadPattern]): Sol = {
     require(patterns.nonEmpty, "empty BGP")
-    lazy val totalQuads: Double =
-      if (store.predProfiles.nonEmpty) store.predProfiles.values.map(_.count.toDouble).sum
-      else 1e6
-    def cost(qp: QuadPattern): Double = {
-      def unbound(n: Node) = n.isInstanceOf[V]
-      // cardinality-based when per-predicate statistics exist; the reference's
-      // static bound-position weights otherwise (QueryPlanCost.swift:231-248)
-      val base: Double = qp.p match {
-        case T(t) => store.idOf(t).flatMap(store.predProfiles.get)
-          .map(_.count.toDouble).getOrElse(totalQuads * 0.1)
-        case _ => totalQuads
-      }
-      var c = base
-      if (!unbound(qp.s)) c *= 0.001
-      if (!unbound(qp.o)) c *= 0.01
-      if (!unbound(qp.g) && qp.g != DefaultGraph) c *= 0.5
-      c
-    }
+    val cost = patternCost _
     val remaining = scala.collection.mutable.ListBuffer(patterns.sortBy(cost): _*)
     var sol = compilePattern(remaining.remove(0))
     while (remaining.nonEmpty) {
@@ -652,7 +759,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     if (kind == "left_semi" || kind == "left_anti")
       return Sol(joined, l.reps, l.certain, l.nums, l.inl, l.numAll,
         fam = l.fam, card = l.card, decs = l.decs, // semi/anti output ⊆ left
-        bucketS = l.bucketS)
+        bucketS = l.bucketS, multOne = l.multOne)
 
     // merge shared columns, surface right-only vars — all merge columns read
     // only `joined` attributes (independent of one another), so they land in a
@@ -712,13 +819,36 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         rOnly.filter(r.decs.contains) ++
         (if (kind == "inner") certainShared.filter(r.decs.contains).toSet
          else Set.empty[String])
+    // exact cardinality through the join (functional-property statistics):
+    // if some certain equi-key binds ≤1 row on a side, that side cannot
+    // multiply the other — the other side's exact bound survives. This is
+    // what keeps a filtered star intermediate provably small enough to
+    // broadcast into the next fact-predicate scan (bind-join with cost input).
+    val matchOneR = certainShared.exists(r0.multOne.contains)
+    val matchOneL = certainShared.exists(l.multOne.contains)
+    val cardOut: Option[Long] =
+      if (conds.isEmpty && kind == "inner") // cartesian: exact product bound
+        for (a <- l.card; b <- r0.card; if a.toDouble * b.toDouble <= Long.MaxValue.toDouble)
+          yield a * b
+      else if (kind == "inner") {
+        val bounds = (if (matchOneR) l.card else None) ++
+          (if (matchOneL) r0.card else None)
+        if (bounds.isEmpty) None else Some(bounds.min)
+      } else if (matchOneR) l.card // left_outer: preserved side not multiplied
+      else None
+    val multOneOut: Set[String] = {
+      val fromL = if (matchOneR) l.multOne else Set.empty[String]
+      val fromR = if (matchOneL && kind == "inner") r0.multOne else Set.empty[String]
+      (fromL ++ fromR) intersect certain
+    }
     Sol(out.select((reps.keySet.toSeq.sorted.map(v => col(bt(v))) ++
       nums.toSeq.sorted.map(v => col(bt("__n_" + v))) ++
       decs.toSeq.sorted.map(v => col(bt("__d_" + v)))): _*), reps, certain, nums,
-      inl, numAll, fam = fam, decs = decs, // joins can multiply rows → card unknown
+      inl, numAll, fam = fam, decs = decs, card = cardOut,
       // the join output keeps the left side's hash partitioning; loose-shared
       // coalesces synthesize a new column → partitioning no longer applies
-      bucketS = (l.bucketS ++ (r.bucketS -- l.vars)) -- looseShared)
+      bucketS = (l.bucketS ++ (r.bucketS -- l.vars)) -- looseShared,
+      multOne = multOneOut)
   }
 
   // ---- main compile ---------------------------------------------------------
@@ -749,7 +879,23 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
 
     case AMinus(l, r) => compileMinus(compile(l), compile(r))
 
-    case AUnion(l, r) => unionSols(compile(l), compile(r))
+    case AUnion(l, r) =>
+      // statistics-driven branch handling (the reference gets this from
+      // candidate enumeration, QueryPlanner.swift:399-408): a branch whose
+      // bound terms/predicates provably match nothing is eliminated outright
+      // (its exclusive vars stay in scope as unbound columns); otherwise the
+      // cheaper branch compiles first so LIMIT-style consumers reach its
+      // partitions before the expensive one's.
+      val (emptyL, emptyR) = (provablyEmpty(l), provablyEmpty(r))
+      if (emptyL && emptyR)
+        emptyTermSol((Algebra.inscope(l) ++ Algebra.inscope(r)).toSeq.sorted)
+      else if (emptyL) padUnbound(compile(r), Algebra.inscope(l))
+      else if (emptyR) padUnbound(compile(l), Algebra.inscope(r))
+      else {
+        val (cl, cr) = (estCost(l), estCost(r))
+        if (cr * 2 < cl) unionSols(compile(r), compile(l))
+        else unionSols(compile(l), compile(r))
+      }
 
     case AFilter(e, c) => compileFilter(e, compile(c))
 
@@ -773,7 +919,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
               Sol(sol.df.withColumns(Map(v -> view, ("__n_" + v) -> nc)),
                 sol.reps + (v -> TermRep), sol.certain, sol.nums + v,
                 sol.inl, sol.numAll + v, fam = sol.fam + (v -> Sol.FAM_DBL),
-                card = sol.card, decs = sol.decs)
+                card = sol.card, decs = sol.decs, bucketS = sol.bucketS,
+                multOne = sol.multOne)
             case _ => fastDec(sol, e) match {
               case Some((dc, isdec)) if !e.isInstanceOf[EVar] =>
                 // exact-family computed value: the term view (decimal or
@@ -789,12 +936,13 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
                   sol.reps + (v -> TermRep), sol.certain, sol.nums + v,
                   sol.inl, sol.numAll + v, fam = sol.fam + (v -> Sol.FAM_DEC),
                   card = sol.card,
-                  decs = if (decNeeded(v)) sol.decs + v else sol.decs)
+                  decs = if (decNeeded(v)) sol.decs + v else sol.decs,
+                  bucketS = sol.bucketS, multOne = sol.multOne)
               case _ =>
                 val (s2, ec) = exprColumn(sol, e)
                 Sol(s2.df.withColumn(v, ec), s2.reps + (v -> TermRep), s2.certain,
                   s2.nums, s2.inl, s2.numAll, fam = s2.fam, card = s2.card,
-                  decs = s2.decs)
+                  decs = s2.decs, bucketS = s2.bucketS, multOne = s2.multOne)
             }
           }
       }
@@ -811,7 +959,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         sol.inl intersect keep.toSet, sol.numAll intersect keep.toSet,
         fam = sol.fam.filter(kv => keep.contains(kv._1)), card = sol.card,
         sortCols = sol.sortCols, decs = sol.decs intersect keep.toSet,
-        bucketS = sol.bucketS intersect keep.toSet)
+        bucketS = sol.bucketS intersect keep.toSet,
+        multOne = sol.multOne intersect keep.toSet)
 
     case ADistinct(c) => compileDistinct(dropCompanions(compile(c)))
 
@@ -1239,10 +1388,10 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         case ("count", _) if a.distinct => Seq(count_distinct(in))
         case ("count", _) => Seq(count(in))
         case ("sum" | "avg", "int") =>
-          // distinct sums accumulate in DECIMAL(38,0): sum_distinct has no
-          // try_ variant and silently wraps on Long overflow — the wrap step
-          // detects out-of-Long-range totals via try_cast instead
-          val v = if (a.distinct) sum_distinct(in.cast(DecimalType(38, 0)))
+          // distinct sums accumulate in DECIMAL(38,0) (Long-range overflow is
+          // detected by the wrap step's try_cast); TRY mode so a >38-digit
+          // total NULLs out instead of raising ANSI ARITHMETIC_OVERFLOW
+          val v = if (a.distinct) trySumDistinct(in.cast(DecimalType(38, 0)))
             else try_sum(in)
           Seq(v, if (a.distinct) count_distinct(in) else count(in))
         case ("sum" | "avg", "num") =>
@@ -1253,7 +1402,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           // per-row lexical parse (reference exact accumulators,
           // MaterializedQueryPlan.swift:2303-2354)
           val d = in.getField("d")
-          Seq(if (a.distinct) sum_distinct(d) else try_sum(d),
+          // TRY mode throughout: DECIMAL(38,18) accumulator overflow is a
+          // SPARQL error (group value unbound), not a query abort
+          Seq(if (a.distinct) trySumDistinct(d) else try_sum(d),
             if (a.distinct) count_distinct(d) else count(d),
             max(in.getField("isdec").cast(IntegerType)))
         case ("sum" | "avg", _) =>
@@ -1264,13 +1415,15 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           val longV = when(rank === 0, NE.longVal(in))
           val decV = when(rank <= 1, NE.decVal(in))
           val dblV = when(rank.isNotNull, in.getField("num"))
+          // exact accumulators run in TRY mode: Long/DECIMAL overflow is a
+          // SPARQL error (→ unbound), not an ANSI abort; double never throws
           def distinctable(c: Column) =
-            if (a.distinct) sum_distinct(c) else sum(c)
+            if (a.distinct) trySumDistinct(c) else try_sum(c)
           Seq(
-            if (a.distinct) sum_distinct(when(rank === 0, NE.longVal(in)))
+            if (a.distinct) trySumDistinct(longV)
             else try_sum(longV), // _0: exact integer sum
             distinctable(decV), // _1: exact decimal sum (ints contribute)
-            distinctable(dblV), // _2: double sum (all numerics)
+            if (a.distinct) sum_distinct(dblV) else sum(dblV), // _2: double sum (all numerics)
             // _3: numeric count — AVG(DISTINCT)'s divisor is the DISTINCT
             // value count (distinct-by-double: full numeric coverage)
             (if (a.distinct) count_distinct(dblV)

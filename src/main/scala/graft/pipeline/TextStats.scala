@@ -64,19 +64,30 @@ object TextStats {
   private val FP_BASE = 1000003L
   private val FP_MOD = 2305843009213693951L // 2^61 - 1
 
-  /** Rolling polynomial fingerprint of the lowercased text (deterministic). */
+  /** (a*b) mod 2^61-1 without 128-bit types: Mersenne folding of the full
+    * 128-bit product — x = hi·2^64 + lo, and 2^64 ≡ 8, 2^61 ≡ 1 (mod 2^61-1),
+    * so x ≡ (hi<<3) + (lo>>>61) + (lo & MOD). The earlier split-multiply here
+    * overflowed Long (the post-mod partial × 2^31 can reach 2^92), which made
+    * the "mod 2^61-1" claim false — caught by the DuckDB oracle. */
+  private def mulmodM61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (hi << 3) + (lo >>> 61) + (lo & FP_MOD)
+    while (r >= FP_MOD) r -= FP_MOD
+    r
+  }
+
+  /** Rolling polynomial fingerprint of the lowercased text (deterministic):
+    * h_i = h_{i-1}·FP_BASE + char_i (mod 2^61-1). Map-side only; the battery
+    * oracle folds the identical recurrence in DuckDB HUGEINT. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val fp = udf { (s: String) =>
       var h = 0L
       var i = 0
       val t = s.toLowerCase
       while (i < t.length) {
-        // mulmod in 128-bit via Math.multiplyHigh-free approach: use BigInt-free
-        // split multiply (h < 2^61, base < 2^20 → h*base < 2^81: do it in two parts)
-        val hi = h >>> 31
-        val lo = h & 0x7FFFFFFFL
-        val m = (((hi * FP_BASE) % FP_MOD) * (1L << 31)) % FP_MOD
-        h = (m + lo * FP_BASE + t.charAt(i).toLong) % FP_MOD
+        h = mulmodM61(h, FP_BASE) + t.charAt(i).toLong
+        if (h >= FP_MOD) h -= FP_MOD
         i += 1
       }
       h

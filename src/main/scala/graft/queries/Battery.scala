@@ -848,7 +848,24 @@ object Battery {
 
     ("dd_ngram_jaccard",
       (s: SparkSession, d: String) => graft.pipeline.Dedup.ngramJaccard(s, d, threshold = 0.3),
-      None),
+      // full DuckDB replica of the blocked n-gram Jaccard: the Spark side
+      // dedups xxhash64(gram) while the oracle dedups the grams themselves —
+      // identical sets absent a 64-bit collision inside one document
+      Some("WITH g AS (SELECT DISTINCT doc_id, source, n_chars, gr FROM " +
+        "(SELECT doc_id, source, n_chars, " +
+        "unnest(list_transform(range(0, greatest(length(text) - 3, 0) + 1), " +
+        "i -> substring(text, CAST(i + 1 AS INT), 3))) AS gr FROM documents)), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1), " +
+        "blocked AS (SELECT doc_id, source, gr, u.lenb FROM g, " +
+        "unnest([CAST(floor(n_chars / 64.0) AS INT), " +
+        "CAST(floor((n_chars + 32) / 64.0) AS INT) + 1000000]) u(lenb)), " +
+        "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.gr " +
+        "FROM blocked x JOIN blocked y ON x.source = y.source " +
+        "AND x.lenb = y.lenb AND x.gr = y.gr AND x.doc_id < y.doc_id), " +
+        "i AS (SELECT a, b, count(*) AS inter FROM pairs GROUP BY 1, 2) " +
+        "SELECT a, b, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard " +
+        "FROM i JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
+        "WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.3")),
 
     // ---- similarity search ----
     ("sim_topk_brute",
@@ -910,7 +927,15 @@ object Battery {
 
     ("text_fingerprint",
       (s: SparkSession, d: String) => graft.pipeline.TextStats.fingerprint(s, d),
-      None),
+      // the rolling hash is pure modular arithmetic (base 1000003 mod 2^61-1,
+      // TextStats.FP_BASE/FP_MOD), so DuckDB can fold it exactly in HUGEINT;
+      // corpus is ASCII, so charAt (UTF-16) == ord (codepoint)
+      Some("SELECT doc_id, CAST(list_reduce(" +
+        "list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(string_split_regex(lower(text), ''), " +
+        "c -> CAST(ord(c) AS HUGEINT))), " +
+        "(h, c) -> (h * 1000003 + c) % 2305843009213693951) AS BIGINT) " +
+        "AS fingerprint FROM documents")),
 
     // ---- event-stream analytics (batch shapes; streaming in graft.streaming) ----
     ("ev_window5m",

@@ -70,7 +70,14 @@ final case class RdfStore(
   * fast path (reference exact decimal accumulators,
   * MaterializedQueryPlan.swift:2303-2354). */
 final case class PredProfile(allInline: Boolean, allNumeric: Boolean, count: Long,
-    oTags: Set[Int] = Set.empty, decExact: Boolean = false)
+    oTags: Set[Int] = Set.empty, decExact: Boolean = false,
+    /** Each subject occurs in at most one quad of this predicate (functional
+      * property; exact count(distinct s) == count, no estimate). Lets joins
+      * propagate exact cardinality bounds: a star join on such predicates'
+      * shared subject cannot multiply rows, so the intermediate stays
+      * provably small and broadcastable (the reference's cost-model input,
+      * QueryPlanCost.swift:55-343, re-expressed as statistics). */
+    funcS: Boolean = false)
 
 object RdfStore {
   import TermId._
@@ -97,12 +104,14 @@ object RdfStore {
         .otherwise(0)).as("anySpgDict"),
       count(lit(1)).as("n"),
       collect_set(shiftright(col("o"), PAYLOAD_BITS).bitwiseAND(0xFF)).as("otags"),
-      anyDecNull.as("anyDecNull"))
+      anyDecNull.as("anyDecNull"),
+      count_distinct(col("s")).as("nDistS"))
       .collect()
     val m = perPred.map(r =>
       r.getLong(0) -> PredProfile(r.getInt(1) == 0, r.getInt(2) == 0, r.getLong(4),
         r.getSeq[Long](5).map(_.toInt).toSet,
-        decExact = r.getInt(2) == 0 && r.getInt(6) == 0)).toMap
+        decExact = r.getInt(2) == 0 && r.getInt(6) == 0,
+        funcS = r.getLong(7) == r.getLong(4))).toMap
     val spg = perPred.forall(_.getInt(3) == 0)
     (m, spg)
   }

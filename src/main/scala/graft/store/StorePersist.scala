@@ -65,7 +65,7 @@ object StorePersist {
     val profiles = store.predProfiles.map { case (p, pr) =>
       s"""{"p":$p,"allInline":${pr.allInline},"allNumeric":${pr.allNumeric},""" +
         s""""count":${pr.count},"oTags":[${pr.oTags.mkString(",")}],""" +
-        s""""decExact":${pr.decExact}}"""
+        s""""decExact":${pr.decExact},"funcS":${pr.funcS}}"""
     }.mkString("[", ",", "]")
     val named = store.namedGraphs
       .map(ns => ns.mkString("[", ",", "]")).getOrElse("null")
@@ -153,12 +153,14 @@ object StorePersist {
       .map(_.group(1)).getOrElse("")
     val profRe =
       ("""\{"p":(-?\d+),"allInline":(true|false),"allNumeric":(true|false),""" +
-        """"count":(\d+),"oTags":\[([^\]]*)\](?:,"decExact":(true|false))?\}""").r
+        """"count":(\d+),"oTags":\[([^\]]*)\](?:,"decExact":(true|false))?""" +
+        """(?:,"funcS":(true|false))?\}""").r
     val profiles = profRe.findAllMatchIn(s).map { m =>
       m.group(1).toLong -> PredProfile(m.group(2).toBoolean, m.group(3).toBoolean,
         m.group(4).toLong,
         m.group(5).split(',').filter(_.trim.nonEmpty).map(_.trim.toInt).toSet,
-        decExact = Option(m.group(6)).exists(_.toBoolean))
+        decExact = Option(m.group(6)).exists(_.toBoolean),
+        funcS = Option(m.group(7)).exists(_.toBoolean))
     }.toMap
     Meta(arr("defaultGraphs"), s.contains("\"spgAllInline\":true"), named, profiles,
       buckets, layout, schemaDDL)

@@ -467,6 +467,102 @@ class EngineSpec extends AnyFunSuite {
     assert(ok.getStruct(ok.fieldIndex("s")).getString(1) == big.toString)
   }
 
+  test("decimal SUM overflow is an error (unbound) in the exact fast path") {
+    // SPARQL: op:numeric-add overflow is a type error, so the aggregate's
+    // value goes unbound; Spark's try_sum(DECIMAL) returns NULL on overflow,
+    // and the dec fast path must surface that NULL as unbound — not as 0 and
+    // not as a silently-wrapped value. 30 decimals of ~9e19 overflow the
+    // DECIMAL(38,18) accumulator (max integral magnitude < 1e20).
+    val ex = "http://example.org/"
+    def iri(s: String) = Iri(ex + s)
+    val quads = (0 until 30).map(i =>
+      (iri(s"s$i"), iri("amt"),
+        Term.dec(BigDecimal("90000000000000000000.5") - i), iri("g")))
+    val schema = StructType(Seq("s", "p", "o", "g").map(n =>
+      StructField(n, TermRow.schema, nullable = true)))
+    val rows = quads.map { case (s, pp, o, gg) =>
+      Row(TermRow.toRow(s), TermRow.toRow(pp), TermRow.toRow(o), TermRow.toRow(gg))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val st = StoreEncoder.encode(df, IriScheme.default)
+    val c = new Compiler(st, ExprEval.Ctx(nowEpochUs = 0L))
+    // the scan must be decimal-family for this to exercise the "dec"
+    // aggregation mode rather than the generic typed path (the companion
+    // itself is pruned on a bare BGP with no aggregate consumer — by design)
+    val scanned = c.compile(BGP(Seq(QuadPattern(V("x"), T(iri("amt")), V("v")))))
+    assert(scanned.fam.get("v").contains(Sol.FAM_DEC),
+      s"expected decimal family on ?v (fam=${scanned.fam})")
+    for (distinct <- Seq(false, true)) {
+      val a = AGroup(BGP(Seq(QuadPattern(V("x"), T(iri("amt")), V("v")))),
+        Seq.empty, Seq(AggSpec("s", "sum", Some(EVar("v")), distinct = distinct)))
+      val compiled = c.compile(a)
+      // the exact fast path aggregates the DECIMAL(38,18) companion directly
+      assert(compiled.df.queryExecution.optimizedPlan.toString.contains("38,18"),
+        "expected the exact-decimal companion in the aggregate plan")
+      val r = Results.materialize(c, compiled).collect().head
+      assert(r.isNullAt(r.fieldIndex("s")),
+        s"overflowed decimal SUM(${if (distinct) "DISTINCT " else ""}?v) must be unbound")
+    }
+    // non-overflowing control: one-row SUM round-trips the exact lexical value
+    val one = AGroup(BGP(Seq(QuadPattern(T(iri("s0")), T(iri("amt")), V("v")))),
+      Seq.empty, Seq(AggSpec("s", "sum", Some(EVar("v")))))
+    val okRow = Results.materialize(c, c.compile(one)).collect().head
+    val st0 = okRow.getStruct(okRow.fieldIndex("s"))
+    assert(st0.getString(1) == "90000000000000000000.5" &&
+      st0.getString(2) == Term.xsdDecimal, s"got ${st0.getString(1)}")
+  }
+
+  test("functional-property statistics carry exact card bounds through joins (bind-join cost input)") {
+    // every RelToRdf column predicate is functional (one triple per row
+    // subject), so the ANALYZE pass must flag funcS...
+    val segId = store.idOf(p("customer", "c_mktsegment").term).get
+    assert(store.predProfiles(segId).funcS, "column predicate must be funcS")
+    // ...and a star join on the shared subject then cannot multiply rows:
+    // the exact per-predicate bound survives the join (reference cost-model
+    // join ordering, QueryPlanCost.swift; here as statistics)
+    val star = comp.compile(BGP(Seq(
+      QuadPattern(V("c"), p("customer", "c_mktsegment"), V("seg")),
+      QuadPattern(V("c"), fk("nation"), V("n")))))
+    assert(star.card.contains(150L), s"star card bound: ${star.card}")
+    assert(star.multOne.contains("c"), s"subject multiplicity: ${star.multOne}")
+    // chaining into the orders fan-out keeps a bound too: each order row
+    // matches at most one customer-star row (c is multOne on the star side)
+    val chained = comp.joinSols(star,
+      comp.compilePattern(QuadPattern(V("o"), fk("customer"), V("c"))), "inner")
+    assert(chained.card.contains(1500L), s"chained card bound: ${chained.card}")
+    // the provably-small star intermediate is therefore broadcast into the
+    // next join — the bind-join decision made from statistics, not AQE luck
+    val plan = chained.df.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast bind-join:\n$plan")
+  }
+
+  test("UNION: statistics order branches and eliminate provably-empty ones") {
+    // cheap branch (25 nation rows) vs expensive branch (6k lineitem rows):
+    // the compiler must put the cheap scan first in the Union
+    val cheap = BGP(Seq(QuadPattern(V("s"), p("nation", "n_name"), V("v"))))
+    val dear = BGP(Seq(QuadPattern(V("s"), p("lineitem", "l_quantity"), V("v"))))
+    val nId = store.idOf(p("nation", "n_name").term).get
+    val lId = store.idOf(p("lineitem", "l_quantity").term).get
+    val flipped = comp.compile(AUnion(dear, cheap))
+    val planStr = flipped.df.queryExecution.optimizedPlan.toString
+    val (iN, iL) = (planStr.indexOf(s"= $nId)"), planStr.indexOf(s"= $lId)"))
+    assert(iN >= 0 && iL >= 0 && iN < iL,
+      s"cheap branch must compile first (nation@$iN lineitem@$iL):\n$planStr")
+
+    // a branch over a predicate with zero quads is eliminated outright: no
+    // Union in the optimized plan, branch-exclusive vars stay as unbound cols
+    val ghost = BGP(Seq(QuadPattern(V("s"), N.iri("urn:p:no:such"), V("w"))))
+    val pruned = comp.compile(AUnion(ghost, cheap))
+    // node-type check: the cached store's InMemoryRelation embeds its own
+    // build plan text (which contains a Union), so string matching is wrong
+    val unions = pruned.df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.isEmpty, "empty branch must vanish from the logical plan")
+    assert(pruned.vars.contains("w"), "eliminated branch's var stays in scope")
+    assert(pruned.df.count() == 25L)
+  }
+
   test("statistics-driven broadcast: small predicate scans hash-broadcast in joins") {
     // customer c_name (150 rows at sf0.001) joins nation n_name (25 rows):
     // per-predicate counts prove both sides tiny → BroadcastHashJoin, no SMJ

@@ -113,6 +113,19 @@ class PipelineSpec extends AnyFunSuite {
     val fp2 = TextStats.fingerprint(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp == fp2)
+    // the declared recurrence h = h*base + c (mod 2^61-1), checked against a
+    // BigInt reference — locks the Long-only Mersenne mulmod (and thereby the
+    // DuckDB HUGEINT oracle) to the true modular arithmetic
+    val docsDf = spark.read.parquet(s"$plantedDir/documents.parquet")
+      .select("doc_id", "text").collect()
+    val MOD = BigInt("2305843009213693951")
+    for (r <- docsDf.take(20)) {
+      val expect = r.getString(1).toLowerCase.foldLeft(BigInt(0)) {
+        (h, c) => (h * 1000003 + c.toInt) mod MOD
+      }
+      assert(BigInt(fp(r.getLong(0))) == expect,
+        s"doc ${r.getLong(0)}: fingerprint diverges from BigInt reference")
+    }
   }
 
   test("multimodal features deterministic and consistent with payload size") {

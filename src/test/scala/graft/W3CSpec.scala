@@ -34,6 +34,10 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: i18n manifest") { runArea("i18n") }
   test("w3c: syntax manifest (positive + negative parse-only)") { runArea("syntax-query") }
   test("w3c: solution-seq manifest (distinct/reduced/slice, ordered)") { runArea("solution-seq") }
+  test("w3c: bind manifest") { runArea("bind") }
+  test("w3c: values manifest") { runArea("values") }
+  test("w3c: exists manifest") { runArea("exists") }
+  test("w3c: projexpr manifest (SELECT expressions)") { runArea("projexpr") }
 
   test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
     // the HTTP SERVICE client ships patterns as AlgebraText-serialized SPARQL:
@@ -44,7 +48,7 @@ class W3CSpec extends AnyFunSuite {
     import graft.model.TermRow
     val areas = Seq("aggregates", "negation", "property-path", "optional",
       "functions", "sort", "subquery", "open-world", "type-promotion", "cast",
-      "bnode-coreference", "i18n")
+      "bnode-coreference", "i18n", "bind", "values", "exists", "projexpr")
     var checked = 0
     for (area <- areas; tc <- W3CRunner.loadManifest(new java.io.File(s"$root/$area"))) {
       val q = new String(java.nio.file.Files.readAllBytes(tc.query.toPath), "UTF-8")
@@ -76,9 +80,10 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: manifest loader finds every vendored test") {
     val areas = Seq("aggregates", "negation", "property-path", "optional", "functions",
       "construct", "sort", "subquery", "graph", "open-world", "type-promotion",
-      "cast", "bnode-coreference", "i18n", "syntax-query", "solution-seq")
+      "cast", "bnode-coreference", "i18n", "syntax-query", "solution-seq",
+      "bind", "values", "exists", "projexpr")
     val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
-    assert(cases.size == 95, s"expected 95 vendored tests, found ${cases.size}")
+    assert(cases.size == 111, s"expected 111 vendored tests, found ${cases.size}")
     val syntax = cases.count(_.kind != "eval")
     assert(syntax == 22, s"expected 22 syntax (parse-only) tests, found $syntax")
   }

@@ -575,6 +575,97 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     c
   }
 
+  /** Per-pattern cardinality estimate + per-var selectivity domains for the
+    * join-order DP. Domain of a var = how many distinct values it can take in
+    * this pattern's output: distinct-subject/object counts from the ANALYZE
+    * pass when the predicate is bound and profiled (distS/distO,
+    * `store.PredProfile`), positional fractions of the count otherwise. */
+  private def patternStats(qp: QuadPattern): (Double, Map[String, Double]) = {
+    val prof = qp.p match {
+      case T(t) => store.idOf(t).flatMap(store.predProfiles.get)
+      case _ => None
+    }
+    val base = prof.map(_.count.toDouble).getOrElse(qp.p match {
+      case T(_) => totalQuadsEst * 0.1 // bound but unprofiled predicate
+      case _ => totalQuadsEst
+    })
+    val dS = prof.map(p => math.max(1.0, p.distS.toDouble)).getOrElse(base * 0.5)
+    val dO = prof.map(p =>
+      if (p.distO > 0) p.distO.toDouble else base * 0.5).getOrElse(base * 0.5)
+    var card = base
+    qp.s match { case V(_) => () case _ => card /= dS }
+    qp.o match { case V(_) => () case _ => card /= dO }
+    if (!qp.g.isInstanceOf[V] && qp.g != DefaultGraph) card *= 0.5
+    card = math.max(card, 1e-3)
+    // var domains, capped by the pattern's own output cardinality; a var
+    // appearing in several positions (e.g. ?x ?p ?x) takes the tightest
+    val doms = scala.collection.mutable.Map.empty[String, Double]
+    def put(n: Node, d: Double): Unit = n match {
+      case V(name) =>
+        val dd = math.max(1.0, math.min(d, card))
+        doms(name) = math.min(doms.getOrElse(name, Double.MaxValue), dd)
+      case _ => ()
+    }
+    put(qp.s, dS)
+    put(qp.p, math.max(1.0, store.predProfiles.size.toDouble))
+    put(qp.o, dO)
+    put(qp.g, 16.0)
+    (card, doms.toMap)
+  }
+
+  /** Selinger-style left-deep join-order DP over the BGP's patterns, costed
+    * from per-predicate count + distinct-subject/object statistics: the
+    * candidate-plan enumeration the reference performs in its planner
+    * (up to 16 candidates per node + IDP over BGPs,
+    * QueryPlanner.swift:113,399-408, IDQueryPlanner.swift:199-215),
+    * re-expressed as an exact DP — feasible because statistics make cost
+    * estimation cheap. Join estimate: |A ⋈ B| = |A|·|B| / Π_v max(domA(v),
+    * domB(v)); cost = Σ intermediate cardinalities, so cartesian extensions
+    * price themselves out unless both sides are provably tiny. O(2ⁿ·n²);
+    * beyond 12 patterns the caller falls back to greedy. */
+  private def orderPatternsDP(patterns: Seq[QuadPattern]): Seq[QuadPattern] = {
+    val n = patterns.length
+    val stats = patterns.map(patternStats)
+    final case class St(cost: Double, card: Double, doms: Map[String, Double],
+      order: List[Int])
+    val best = new Array[St](1 << n)
+    for (i <- 0 until n)
+      best(1 << i) = St(stats(i)._1, stats(i)._1, stats(i)._2, List(i))
+    var mask = 1
+    while (mask < (1 << n)) {
+      val s = best(mask)
+      if (s != null) {
+        var j = 0
+        while (j < n) {
+          if ((mask & (1 << j)) == 0) {
+            val (jc, jd) = stats(j)
+            val shared = s.doms.keySet intersect jd.keySet
+            val sel = shared.foldLeft(1.0)((acc, v) =>
+              acc / math.max(1.0, math.max(s.doms(v), jd(v))))
+            val outCard = math.max(s.card * jc * sel, 1e-3)
+            val cost = s.cost + outCard
+            val m2 = mask | (1 << j)
+            if (best(m2) == null || cost < best(m2).cost) {
+              val doms = (s.doms.keySet ++ jd.keySet).iterator.map { v =>
+                val d = (s.doms.get(v), jd.get(v)) match {
+                  case (Some(a), Some(b)) => math.min(a, b) // join restricts
+                  case (Some(a), None) => a
+                  case (None, Some(b)) => b
+                  case _ => outCard
+                }
+                v -> math.max(1.0, math.min(d, outCard))
+              }.toMap
+              best(m2) = St(cost, outCard, doms, j :: s.order)
+            }
+          }
+          j += 1
+        }
+      }
+      mask += 1
+    }
+    best((1 << n) - 1).order.reverse.map(patterns)
+  }
+
   /** Scan-cost estimate of a whole branch (sum of its pattern scans — joins
     * only shrink below the sum, so the sum ranks branches safely). Drives
     * UNION branch ordering; NOT a cardinality bound. */
@@ -648,15 +739,23 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
 
   def compileBGP(patterns: Seq[QuadPattern]): Sol = {
     require(patterns.nonEmpty, "empty BGP")
-    val cost = patternCost _
-    val remaining = scala.collection.mutable.ListBuffer(patterns.sortBy(cost): _*)
-    var sol = compilePattern(remaining.remove(0))
-    while (remaining.nonEmpty) {
-      val idx = remaining.indexWhere(p => p.vars.exists(sol.vars.contains))
-      val next = remaining.remove(if (idx >= 0) idx else 0)
-      sol = joinSols(sol, compilePattern(next), "inner")
+    if (patterns.length >= 3 && patterns.length <= 12 && store.predProfiles.nonEmpty) {
+      // exact left-deep DP from statistics (reference candidate enumeration)
+      val ordered = orderPatternsDP(patterns)
+      ordered.tail.foldLeft(compilePattern(ordered.head))((sol, qp) =>
+        joinSols(sol, compilePattern(qp), "inner"))
+    } else {
+      // greedy fallback: cheapest scan first, then any connected pattern
+      val cost = patternCost _
+      val remaining = scala.collection.mutable.ListBuffer(patterns.sortBy(cost): _*)
+      var sol = compilePattern(remaining.remove(0))
+      while (remaining.nonEmpty) {
+        val idx = remaining.indexWhere(p => p.vars.exists(sol.vars.contains))
+        val next = remaining.remove(if (idx >= 0) idx else 0)
+        sol = joinSols(sol, compilePattern(next), "inner")
+      }
+      sol
     }
-    sol
   }
 
   // ---- joins ----------------------------------------------------------------

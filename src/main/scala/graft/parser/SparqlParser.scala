@@ -925,6 +925,9 @@ final class SparqlParser(input: String) {
 
   private def parseBuiltinOrFunction(): Expr = {
     ws()
+    // BooleanLiteral primary (SPARQL grammar [134]): bare true/false
+    if (eatKw("true")) return EConst(Term.bool(true))
+    if (eatKw("false")) return EConst(Term.bool(false))
     if (eatKw("EXISTS")) return EExists(parseGroupGraphPattern(), negated = false)
     if (peekKw("NOT")) { expectKw("NOT"); expectKw("EXISTS")
       return EExists(parseGroupGraphPattern(), negated = true) }

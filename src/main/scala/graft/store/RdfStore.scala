@@ -77,7 +77,14 @@ final case class PredProfile(allInline: Boolean, allNumeric: Boolean, count: Lon
       * shared subject cannot multiply rows, so the intermediate stays
       * provably small and broadcastable (the reference's cost-model input,
       * QueryPlanCost.swift:55-343, re-expressed as statistics). */
-    funcS: Boolean = false)
+    funcS: Boolean = false,
+    /** Distinct subject / object counts for this predicate (0 = unknown, for
+      * stores persisted before these stats existed). These are the
+      * join-selectivity domains of the Selinger-style BGP join-order DP:
+      * |A ⋈_v B| ≈ |A|·|B| / max(dom_A(v), dom_B(v)) — the candidate-plan
+      * cost input the reference gets from its planner's enumeration
+      * (QueryPlanner.swift:113,399-408; QueryPlanCost.swift:231-248). */
+    distS: Long = 0L, distO: Long = 0L)
 
 object RdfStore {
   import TermId._
@@ -105,13 +112,15 @@ object RdfStore {
       count(lit(1)).as("n"),
       collect_set(shiftright(col("o"), PAYLOAD_BITS).bitwiseAND(0xFF)).as("otags"),
       anyDecNull.as("anyDecNull"),
-      count_distinct(col("s")).as("nDistS"))
+      count_distinct(col("s")).as("nDistS"),
+      count_distinct(col("o")).as("nDistO"))
       .collect()
     val m = perPred.map(r =>
       r.getLong(0) -> PredProfile(r.getInt(1) == 0, r.getInt(2) == 0, r.getLong(4),
         r.getSeq[Long](5).map(_.toInt).toSet,
         decExact = r.getInt(2) == 0 && r.getInt(6) == 0,
-        funcS = r.getLong(7) == r.getLong(4))).toMap
+        funcS = r.getLong(7) == r.getLong(4),
+        distS = r.getLong(7), distO = r.getLong(8))).toMap
     val spg = perPred.forall(_.getInt(3) == 0)
     (m, spg)
   }

@@ -65,7 +65,8 @@ object StorePersist {
     val profiles = store.predProfiles.map { case (p, pr) =>
       s"""{"p":$p,"allInline":${pr.allInline},"allNumeric":${pr.allNumeric},""" +
         s""""count":${pr.count},"oTags":[${pr.oTags.mkString(",")}],""" +
-        s""""decExact":${pr.decExact},"funcS":${pr.funcS}}"""
+        s""""decExact":${pr.decExact},"funcS":${pr.funcS},""" +
+        s""""distS":${pr.distS},"distO":${pr.distO}}"""
     }.mkString("[", ",", "]")
     val named = store.namedGraphs
       .map(ns => ns.mkString("[", ",", "]")).getOrElse("null")
@@ -154,13 +155,16 @@ object StorePersist {
     val profRe =
       ("""\{"p":(-?\d+),"allInline":(true|false),"allNumeric":(true|false),""" +
         """"count":(\d+),"oTags":\[([^\]]*)\](?:,"decExact":(true|false))?""" +
-        """(?:,"funcS":(true|false))?\}""").r
+        """(?:,"funcS":(true|false))?""" +
+        """(?:,"distS":(\d+),"distO":(\d+))?\}""").r
     val profiles = profRe.findAllMatchIn(s).map { m =>
       m.group(1).toLong -> PredProfile(m.group(2).toBoolean, m.group(3).toBoolean,
         m.group(4).toLong,
         m.group(5).split(',').filter(_.trim.nonEmpty).map(_.trim.toInt).toSet,
         decExact = Option(m.group(6)).exists(_.toBoolean),
-        funcS = Option(m.group(7)).exists(_.toBoolean))
+        funcS = Option(m.group(7)).exists(_.toBoolean),
+        distS = Option(m.group(8)).map(_.toLong).getOrElse(0L),
+        distO = Option(m.group(9)).map(_.toLong).getOrElse(0L))
     }.toMap
     Meta(arr("defaultGraphs"), s.contains("\"spgAllInline\":true"), named, profiles,
       buckets, layout, schemaDDL)

@@ -536,6 +536,58 @@ class EngineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast bind-join:\n$plan")
   }
 
+  test("REDUCED single-task path is reachable only under the exact card gate") {
+    // the coalesce(1) merge-dedup is legal only because the exact statistics
+    // bound caps the rows that single task can see; a join-derived sol with
+    // no such bound must take the scale-safe dropDuplicates plan instead
+    def hasLocalDedup(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => m
+      }.nonEmpty
+    val smallA = AReduced(AProject(
+      BGP(Seq(QuadPattern(V("n"), p("nation", "n_name"), V("v")))), Seq("v")))
+    val small = comp.compile(smallA)
+    assert(hasLocalDedup(small.df) && small.df.rdd.getNumPartitions == 1,
+      "card-bounded REDUCED should fold into the single-task merge dedup")
+    assert(small.df.count() == 25)
+
+    // same shape but the exact bound exceeds the cap: the cartesian's exact
+    // product bound (6005 × 1500 > ReducedLocalCap) must force the
+    // distributed dropDuplicates plan, never the single-task merge (partition
+    // COUNT is no probe here — AQE legitimately coalesces small shuffles)
+    val bigA = AReduced(AProject(AJoin(
+      BGP(Seq(QuadPattern(V("l"), p("lineitem", "l_quantity"), V("q")))),
+      BGP(Seq(QuadPattern(V("o"), p("orders", "o_orderstatus"), V("st"))))),
+      Seq("q", "st")))
+    val big = comp.compile(bigA)
+    assert(!hasLocalDedup(big.df),
+      "ungated REDUCED must take the distributed dedup plan")
+  }
+
+  test("BGP join-order DP: distinct-count selectivity beats static scan weights") {
+    // o_totalprice is value-distinct (distO == count), so a bound-object
+    // pattern on it yields ~1 row — but its static positional weight
+    // (1500 × 0.01) makes it look 10× DEARER than the bound c_mktsegment scan
+    // (150 × 0.01 → actual 34 rows). The greedy orderer starts from the
+    // static-cheapest scan (mktsegment); the Selinger DP must see through to
+    // the distinct-count domains and start from the totalprice point lookup
+    // (the reference's candidate-plan costing, QueryPlanCost.swift:231-248).
+    val a = BGP(Seq(
+      QuadPattern(V("c"), p("customer", "c_mktsegment"), N.lit(Term.str("BUILDING"))),
+      QuadPattern(V("o"), fk("customer"), V("c")),
+      QuadPattern(V("o"), p("orders", "o_totalprice"),
+        N.lit(Term.dec(BigDecimal("20322.58"))))))
+    val tpId = store.idOf(p("orders", "o_totalprice").term).get
+    val segId = store.idOf(p("customer", "c_mktsegment").term).get
+    val plan = comp.compile(a).df.queryExecution.optimizedPlan.toString
+    val (iTp, iSeg) = (plan.indexOf(s"= $tpId)"), plan.indexOf(s"= $segId)"))
+    assert(iTp >= 0 && iSeg >= 0 && iTp < iSeg,
+      s"DP must join the totalprice point-lookup first (tp@$iTp seg@$iSeg):\n$plan")
+    // semantics unchanged by ordering: one order × its customer's segment
+    val n = comp.compile(a).df.count()
+    assert(n <= 1L, s"point-lookup chain returned $n rows")
+  }
+
   test("UNION: statistics order branches and eliminate provably-empty ones") {
     // cheap branch (25 nation rows) vs expensive branch (6k lineitem rows):
     // the compiler must put the cheap scan first in the Union

@@ -38,6 +38,13 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: values manifest") { runArea("values") }
   test("w3c: exists manifest") { runArea("exists") }
   test("w3c: projexpr manifest (SELECT expressions)") { runArea("projexpr") }
+  test("w3c: grouping manifest") { runArea("grouping") }
+  test("w3c: regex manifest") { runArea("regex") }
+  test("w3c: boolean-effective-value manifest") { runArea("bev") }
+  test("w3c: bound manifest") { runArea("bound") }
+  test("w3c: ask manifest") { runArea("ask") }
+  test("w3c: expr-equals manifest") { runArea("expr-equals") }
+  test("w3c: triple-match manifest") { runArea("triple-match") }
 
   test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
     // the HTTP SERVICE client ships patterns as AlgebraText-serialized SPARQL:
@@ -48,7 +55,8 @@ class W3CSpec extends AnyFunSuite {
     import graft.model.TermRow
     val areas = Seq("aggregates", "negation", "property-path", "optional",
       "functions", "sort", "subquery", "open-world", "type-promotion", "cast",
-      "bnode-coreference", "i18n", "bind", "values", "exists", "projexpr")
+      "bnode-coreference", "i18n", "bind", "values", "exists", "projexpr",
+      "grouping", "regex", "bev", "bound", "expr-equals", "triple-match")
     var checked = 0
     for (area <- areas; tc <- W3CRunner.loadManifest(new java.io.File(s"$root/$area"))) {
       val q = new String(java.nio.file.Files.readAllBytes(tc.query.toPath), "UTF-8")
@@ -81,9 +89,10 @@ class W3CSpec extends AnyFunSuite {
     val areas = Seq("aggregates", "negation", "property-path", "optional", "functions",
       "construct", "sort", "subquery", "graph", "open-world", "type-promotion",
       "cast", "bnode-coreference", "i18n", "syntax-query", "solution-seq",
-      "bind", "values", "exists", "projexpr")
+      "bind", "values", "exists", "projexpr",
+      "grouping", "regex", "bev", "bound", "ask", "expr-equals", "triple-match")
     val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
-    assert(cases.size == 111, s"expected 111 vendored tests, found ${cases.size}")
+    assert(cases.size == 134, s"expected 134 vendored tests, found ${cases.size}")
     val syntax = cases.count(_.kind != "eval")
     assert(syntax == 22, s"expected 22 syntax (parse-only) tests, found $syntax")
   }

@@ -118,10 +118,33 @@ final class GraftEngine(val store: RdfStore,
   def explain(sparql: String): String = {
     val pq = SparqlParser.parse(sparql)
     val alg = Rewriter.rewrite(pq.algebra)
-    val sol = compilerFor(pq).compile(alg)
+    val comp = compilerFor(pq)
+    val sol = comp.compile(alg)
     val physical = sol.df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // statistics display (reference explain prints per-plan cost estimates,
+    // kineo-cli/main.swift:275-334): for each BGP, the join-order DP's chosen
+    // left-deep order and estimated output rows
+    val stats = new StringBuilder
+    def fmtNode(n: graft.algebra.Node): String = n match {
+      case graft.algebra.V(v) => s"?$v"
+      case graft.algebra.T(t) => t.toString
+      case other => other.toString
+    }
+    def walkAlg(a: graft.algebra.Algebra): Unit = a match {
+      case graft.algebra.BGP(ps) if ps.nonEmpty =>
+        val (order, est) = comp.bgpEstimate(ps)
+        stats.append(f"  BGP (${ps.size} patterns): est rows ~ ${est}%.1f\n")
+        order.foreach(qp => stats.append(
+          s"    ${fmtNode(qp.s)} ${fmtNode(qp.p)} ${fmtNode(qp.o)}\n"))
+      case other => other.productIterator.foreach {
+        case c: graft.algebra.Algebra => walkAlg(c)
+        case _ => ()
+      }
+    }
+    walkAlg(alg)
     s"== SPARQL algebra (rewritten) ==\n${graft.algebra.AlgebraPrint.pretty(alg)}" +
+      (if (stats.nonEmpty) s"\n== Statistics (DP join order, estimated rows) ==\n$stats" else "") +
       s"\n== Spark physical plan ==\n$physical"
   }
 }

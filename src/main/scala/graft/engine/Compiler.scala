@@ -623,8 +623,17 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     * domB(v)); cost = Σ intermediate cardinalities, so cartesian extensions
     * price themselves out unless both sides are provably tiny. O(2ⁿ·n²);
     * beyond 12 patterns the caller falls back to greedy. */
-  private def orderPatternsDP(patterns: Seq[QuadPattern]): Seq[QuadPattern] = {
+  private def orderPatternsDP(patterns: Seq[QuadPattern]): Seq[QuadPattern] =
+    bgpEstimate(patterns)._1
+
+  /** Planner diagnostics + DP core: the chosen left-deep join order and the
+    * DP's estimated output cardinality for the whole BGP (surfaced by
+    * `GraftEngine.explain`, the reference's plan-cost display). */
+  def bgpEstimate(patterns: Seq[QuadPattern]): (Seq[QuadPattern], Double) = {
     val n = patterns.length
+    if (n == 1) return (patterns, patternStats(patterns.head)._1)
+    if (n > 12 || store.predProfiles.isEmpty)
+      return (patterns, patterns.map(patternStats(_)._1).product.min(1e18))
     val stats = patterns.map(patternStats)
     final case class St(cost: Double, card: Double, doms: Map[String, Double],
       order: List[Int])
@@ -663,7 +672,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       }
       mask += 1
     }
-    best((1 << n) - 1).order.reverse.map(patterns)
+    val fin = best((1 << n) - 1)
+    (fin.order.reverse.map(patterns), fin.card)
   }
 
   /** Scan-cost estimate of a whole branch (sum of its pattern scans — joins

@@ -263,4 +263,16 @@ class StoreSpec extends AnyFunSuite {
     assert(out.contains("(1) Scan") || out.contains("WholeStageCodegen") ||
       out.contains("InMemoryTableScan"))
   }
+
+  test("explain surfaces the join-order DP's statistics estimates") {
+    val eng = new GraftEngine(store)
+    val out = eng.explain(
+      """SELECT ?nm ?nn WHERE { ?c <urn:p:customer:c_name> ?nm .
+        |  ?c <urn:fk:nation> ?n . ?n <urn:p:nation:n_name> ?nn }""".stripMargin)
+    assert(out.contains("== Statistics (DP join order, estimated rows) =="))
+    assert(out.contains("BGP (3 patterns): est rows ~"), out.take(1200))
+    // the exact per-predicate count statistics put the star near 150 rows
+    val est = "est rows ~ ([0-9.]+)".r.findFirstMatchIn(out).get.group(1).toDouble
+    assert(est >= 25 && est <= 1500, s"implausible estimate $est")
+  }
 }

@@ -75,7 +75,16 @@ object Bench {
     // per query: the fastest pass — a transient external burst in one pass
     // cannot inflate the recorded number
     val results = names.indices.map(i => all.map(_(i)).minBy(_._2))
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // the driver captures only a bounded stdout tail: the printed line must
+    // stay well under that budget or its head (with "metric") gets clipped
+    // and the whole round's bench fails to parse (BENCH_r05.json). 3-decimal
+    // seconds keep ~80 entries under 2 KB; BENCH_LOCAL.json keeps full
+    // precision.
+    def ms3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + ms3(v) }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val diag = results.map { case (k, _, g, j) => s"\"$k\":[$g,$j]" }
       .mkString("{", ",", "}")
@@ -83,10 +92,10 @@ object Bench {
       .mkString("{", ",", "}")).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
       s""""gc_jit_ms":$diag,"passes":$perPass,"warmup":$doWarm,"cpus":$cpus,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")

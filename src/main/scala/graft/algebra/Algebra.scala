@@ -100,7 +100,12 @@ final case class AggSpec(out: String, fn: String, e: Option[Expr] = None,
 final case class AGroup(child: Algebra, keys: Seq[String], aggs: Seq[AggSpec]) extends Algebra
 final case class WinSpec(out: String, fn: String, e: Option[Expr], partBy: Seq[String],
     ordBy: Seq[SortKey], frame: Option[(Long, Long)] = None, arg: Int = 0,
-    sep: String = " ")
+    sep: String = " ",
+    /** RANGE frame (value-based bounds over ONE numeric sort key) instead of
+      * ROWS. Spark-native extension: the reference throws on RANGE frames
+      * (MaterializedQueryPlan.swift:849-852); Spark's rangeBetween supports
+      * them directly. */
+    range: Boolean = false)
 final case class AWindow(child: Algebra, fns: Seq[WinSpec]) extends Algebra
 /** Inline VALUES table; None = unbound cell. */
 final case class ATable(vars: Seq[String], rows: Seq[Seq[Option[Term]]]) extends Algebra

@@ -1693,7 +1693,28 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         c.cast(DoubleType).as("num"))).otherwise(lit(null).cast(TermRow.schema))
 
       val frame = spec.frame
-      def framed = frame match {
+      val framed =
+        if (spec.range) {
+          // RANGE frame (Spark-native extension; the reference throws,
+          // MaterializedQueryPlan.swift:849-852): value-based bounds need ONE
+          // numeric order key — order the frame window by the key's numeric
+          // value directly so rangeBetween sees a single numeric column.
+          require(spec.ordBy.size == 1,
+            "RANGE frame requires exactly one ORDER BY key")
+          val k = spec.ordBy.head
+          val numOrd = k.e match {
+            case EVar(n) if sol.nums.contains(n) => col(bt(sol.numCol(n)))
+            case e =>
+              val (s2, c) = exprColumn(sol, e); sol = s2; c.getField("num")
+          }
+          val wr = wBase.orderBy(if (k.asc) numOrd.asc_nulls_first
+            else numOrd.desc_nulls_last)
+          frame match {
+            case Some((lo, hi)) => wr.rangeBetween(lo, hi)
+            case None =>
+              wr.rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          }
+        } else frame match {
         case Some((lo, hi)) => w.rowsBetween(lo, hi)
         case None => w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       }

@@ -61,6 +61,14 @@ object Results {
           // the battery runs at.
           case "decr4" =>
             round(vc.getField("lex").cast(DecimalType(38, 12)), 4).cast(DoubleType)
+          // exact-DECIMAL comparison as a canonical string: trailing fraction
+          // zeros (and a bare trailing point) stripped on BOTH sides, so the
+          // compare is representation-stable at any scale — this keeps the
+          // exact-decimal output path oracle-covered without depending on how
+          // a parquet reader normalizes DECIMAL scale.
+          case "decstr" =>
+            regexp_replace(regexp_replace(vc.getField("lex"),
+              "(\\.\\d*?)0+$", "$1"), "\\.$", "")
           case other => throw new IllegalArgumentException(s"cast: $other")
         }
         out.as(v)

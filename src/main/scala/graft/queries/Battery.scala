@@ -301,6 +301,29 @@ object Battery {
         "(1 - CAST(l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE) AS sum_rev " +
         "FROM lineitem GROUP BY 1")),
 
+    ("q_agg_rev_decstr", // same exact-decimal SUM, compared as the CANONICAL
+      // LEXICAL STRING (trailing fraction zeros stripped on both sides): keeps
+      // the exact-DECIMAL output path oracle-covered end-to-end with no
+      // double conversion anywhere (ADVICE r5: dec6's removal left exact
+      // decimal comparison unexercised)
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(
+          AExtend(
+            BGP(Seq(
+              qp(V("l"), p("lineitem", "l_returnflag"), V("rf")),
+              qp(V("l"), p("lineitem", "l_extendedprice"), V("price")),
+              qp(V("l"), p("lineitem", "l_discount"), V("disc")))),
+            "rev", ECall("*", Seq(EVar("price"),
+              ECall("-", Seq(EConst(Term.int(1)), EVar("disc")))))),
+          Seq("rf"),
+          Seq(AggSpec("sum_rev", "sum", Some(EVar("rev"))))),
+        "rf" -> "string", "sum_rev" -> "decstr"),
+      Some("SELECT l_returnflag AS rf, " +
+        "regexp_replace(regexp_replace(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR), " +
+        "'(\\.\\d*?)0+$', '\\1'), '\\.$', '') AS sum_rev " +
+        "FROM lineitem GROUP BY 1")),
+
     ("q_agg_countd",
       (s: SparkSession, d: String) => run(s, d,
         AGroup(
@@ -611,6 +634,26 @@ object Battery {
       Some("SELECT o_custkey AS ck, o_orderkey AS okey, round(avg(o_totalprice) OVER w, 4) " +
         "AS sliding_avg, CAST(count(*) OVER w AS BIGINT) AS wn FROM orders WINDOW w AS " +
         "(PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)")),
+
+    ("q_win_range", // RANGE frame (value-based bounds) — Spark-native extension;
+      // the reference engine throws on RANGE frames (MaterializedQueryPlan
+      // .swift:849-852), Spark's rangeBetween supports them directly
+      (s: SparkSession, d: String) => round4(run(s, d,
+        AWindow(
+          BGP(Seq(
+            qp(V("o"), p("orders", "o_custkey"), V("ck")),
+            qp(V("o"), p("orders", "o_orderkey"), V("okey")),
+            qp(V("o"), p("orders", "o_totalprice"), V("tp")))),
+          Seq(WinSpec("near_sum", "sum", Some(EVar("tp")), Seq("ck"),
+            Seq(SortKey(EVar("okey"))), frame = Some((-100L, 100L)), range = true),
+            WinSpec("near_n", "count", None, Seq("ck"),
+              Seq(SortKey(EVar("okey"))), frame = Some((-100L, 100L)), range = true))),
+        "ck" -> "long", "okey" -> "long", "near_sum" -> "double", "near_n" -> "long"),
+        "near_sum"),
+      Some("SELECT o_custkey AS ck, o_orderkey AS okey, round(sum(o_totalprice) OVER w, 4) " +
+        "AS near_sum, CAST(count(*) OVER w AS BIGINT) AS near_n FROM orders WINDOW w AS " +
+        "(PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING)")),
 
     ("q_win_ntile", // peer-group NTILE (NOT SQL row-ntile; reference semantics)
       (s: SparkSession, d: String) => run(s, d,

@@ -11,8 +11,8 @@ import org.apache.spark.sql.types._
   *  - MinHash+LSH: shingle → k-minhash signature (one groupBy with k min-aggregates)
   *    → band buckets → candidate self-join *within buckets only* → exact-Jaccard
   *    verification. Pairwise work is bounded by bucket collisions, never n².
-  *  - SimHash: 64-bit signature via per-bit weighted sums (one groupBy), near-dup
-  *    candidates from 16-bit band buckets, verified by hamming distance.
+  *  - SimHash: 60-bit signature via per-bit weighted sums (one groupBy), near-dup
+  *    candidates from 15-bit band buckets, verified by hamming distance.
   *  - n-gram Jaccard: brute-force *within blocking keys* (source, length bucket) —
   *    the classic blocked-pairwise baseline.
   */
@@ -115,35 +115,43 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** 64-bit SimHash per document (one groupBy with 64 per-bit weighted sums). */
+  /** SimHash bit width: 60 bits — the token hash is the first 15 hex chars of
+    * md5(token) parsed as an integer, which BOTH Spark (`conv(...,16,10)`,
+    * whole-stage codegen'd) and the DuckDB oracle (`CAST('0x'||… AS BIGINT)`)
+    * compute identically, making the signature oracle-checkable end-to-end. */
+  val SimHashBits = 60
+
+  /** 60-bit SimHash per document (one groupBy with 60 per-bit weighted sums). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitAggs = (0 until 64).map { i =>
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType).as("h"))
+    val bitAggs = (0 until SimHashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
     }
     val sums = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until SimHashBits).map { i =>
       when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 4 x 16-bit band buckets, verified by hamming <= maxHam. */
+  /** SimHash near-dup pairs: 4 x 15-bit band buckets, verified by hamming <= maxHam. */
   def simhashPairs(spark: SparkSession, dir: String, maxHam: Int = 3): DataFrame = {
     val sig = simhash(spark, dir)
       .transform(ScratchCache.persist)
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("bh")))
+        shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF).as("bh")))
     val banded = sig.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHam)
   }

@@ -43,6 +43,38 @@ object TextStats {
         .as("punct_ratio"))
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1), adapted to the
+    * corpus's single-line texts at word granularity:
+    *  - dup_word_frac: fraction of word occurrences that repeat an earlier word
+    *    ((n_words − n_distinct_words) / n_words; line-dedup analogue);
+    *  - top2_frac / top3_frac: the largest character coverage any single
+    *    word 2-gram / 3-gram achieves (count × gram length / total chars —
+    *    max over grams is deterministic where "the most frequent gram" can tie).
+    * Shape at 100 TB: the gram counts are one explode + hash-groupBy per n-gram
+    * size keyed by (doc_id, gram) — fully distributed, no per-doc collect.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"),
+      length(col("text")).cast("long").as("nc"),
+      split(col("text"), " ").as("ws"))
+    val s = base.select(col("doc_id"), col("nc"),
+      size(col("ws")).cast("long").as("nw"),
+      size(array_distinct(col("ws"))).cast("long").as("ndw"))
+    def topGram(n: Int): DataFrame = {
+      val gram = (0 until n).map(j => s"element_at(ws, i+${j + 1})").mkString(", ' ', ")
+      base.select(col("doc_id"), explode(expr(
+          s"CASE WHEN size(ws) >= $n THEN transform(sequence(0, size(ws) - $n), " +
+          s"i -> concat($gram)) ELSE array() END")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max(col("cnt") * length(col("g"))).as(s"c$n"))
+    }
+    s.join(topGram(2), "doc_id").join(topGram(3), "doc_id")
+      .select(col("doc_id"),
+        round((col("nw") - col("ndw")) / col("nw"), 4).as("dup_word_frac"),
+        round(col("c2") / col("nc"), 4).as("top2_frac"),
+        round(col("c3") / col("nc"), 4).as("top3_frac"))
+  }
+
   /** Language-ID heuristic: score languages by marker-word hits, deterministic
     * priority on ties. (The synthetic corpus is English-vocabulary; the *mechanism*
     * — per-language marker scoring — is what matters.)

@@ -882,12 +882,32 @@ object Battery {
       None),
 
     ("dd_simhash",
+      // oracle-checkable since the token hash is the md5-prefix integer both
+      // engines compute identically (Dedup.SimHashBits scaladoc)
       (s: SparkSession, d: String) => graft.pipeline.Dedup.simhash(s, d),
-      None),
+      Some("WITH t AS (SELECT doc_id, " +
+        "CAST(concat('0x', substring(md5(tok),1,15)) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)), " +
+        "b AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
+        "FROM t, range(0,60) u(i) GROUP BY 1,2) " +
+        "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) " +
+        "ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1")),
 
     ("dd_simhash_pairs",
       (s: SparkSession, d: String) => graft.pipeline.Dedup.simhashPairs(s, d, maxHam = 10),
-      None),
+      Some("WITH t AS (SELECT doc_id, " +
+        "CAST(concat('0x', substring(md5(tok),1,15)) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)), " +
+        "bb AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
+        "FROM t, range(0,60) u(i) GROUP BY 1,2), " +
+        "sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) " +
+        "ELSE 0 END) AS BIGINT) AS simhash FROM bb GROUP BY 1), " +
+        "bd AS (SELECT doc_id, simhash, b, (simhash >> CAST(b*15 AS INT)) & 32767 AS bh " +
+        "FROM sig, range(0,4) u(b)), " +
+        "p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b2, " +
+        "CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming " +
+        "FROM bd x JOIN bd y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id) " +
+        "SELECT a, b2 AS b, hamming FROM p WHERE hamming <= 10")),
 
     ("dd_ngram_jaccard",
       (s: SparkSession, d: String) => graft.pipeline.Dedup.ngramJaccard(s, d, threshold = 0.3),
@@ -967,6 +987,25 @@ object Battery {
         "WHEN en >= de AND en >= fr AND en > 0 THEN 'en' " +
         "WHEN de >= fr AND de > 0 THEN 'de' " +
         "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS pred_lang FROM t")),
+
+    ("text_repetition", // Gopher-style repetition filters at word granularity
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.repetition(s, d),
+      Some("WITH w AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, nc, len(ws) AS nw, len(list_distinct(ws)) AS ndw FROM w), " +
+        "g2 AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws) - 1, 0)), " +
+        "i -> ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)])) AS g FROM w), " +
+        "t2 AS (SELECT doc_id AS d2, max(n * length(g)) AS c2 FROM " +
+        "(SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2) GROUP BY 1), " +
+        "g3 AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws) - 2, 0)), " +
+        "i -> ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)] || ' ' || " +
+        "ws[CAST(i + 3 AS INT)])) AS g FROM w), " +
+        "t3 AS (SELECT doc_id AS d3, max(n * length(g)) AS c3 FROM " +
+        "(SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2) GROUP BY 1) " +
+        "SELECT s.doc_id, round((nw - ndw) / CAST(nw AS DOUBLE), 4) AS dup_word_frac, " +
+        "round(c2 / CAST(nc AS DOUBLE), 4) AS top2_frac, " +
+        "round(c3 / CAST(nc AS DOUBLE), 4) AS top3_frac " +
+        "FROM s JOIN t2 ON s.doc_id = d2 JOIN t3 ON s.doc_id = d3")),
 
     ("text_fingerprint",
       (s: SparkSession, d: String) => graft.pipeline.TextStats.fingerprint(s, d),

@@ -42,6 +42,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the 81-query battery generates far more codegen units than the
+      // default 100-entry class cache — at 100 entries every pass Janino-
+      // recompiles (and the JVM re-JITs) most queries, which showed up as
+      // multi-second jit-time deltas even on the min-of-two pass
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // local-iteration subset: SPARK_GRAFT_ONLY=q_a,q_b times only those queries

@@ -976,7 +976,18 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
 
   def compile(a: Algebra): Sol =
     if (decNeedsVar.value.isDefined) compile0(a)
-    else decNeedsVar.withValue(Some(Compiler.decNeeds(a)))(compile0(a))
+    else {
+      // Deterministic hidden names per top-level compile: the fresh-name
+      // counter restarts at each entry so compiling the same algebra twice
+      // yields byte-identical plans — and byte-identical generated code, so
+      // Spark's codegen class cache (and the JVM's JIT output) is reused
+      // instead of recompiled on every run of a repeated query. Hidden
+      // columns never outlive their own plan (dropped before the result
+      // edge), and bnode scope ids only need uniqueness within one result
+      // set, so cross-query reuse of the ids is safe.
+      pathCounter = 0
+      decNeedsVar.withValue(Some(Compiler.decNeeds(a)))(compile0(a))
+    }
 
   private def compile0(a: Algebra): Sol = a match {
     case BGP(ps) => compileBGP(ps)

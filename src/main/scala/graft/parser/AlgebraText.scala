@@ -26,7 +26,18 @@ object AlgebraText {
         case DefaultGraph => t
         case gn => s"GRAPH ${node(gn)} { $t }"
       }
-    case AJoin(l, r) => s"${pattern(l)} ${pattern(r)}"
+    case AJoin(l, r) =>
+      // non-BGP operands serialize inside their own group braces: a top-level
+      // FILTER/BIND in an operand scopes over that operand ONLY (W3C algebra
+      // filter-nested-2 — flattening `Join(A, Filter(unit))` into one group
+      // would let the filter see A's bindings and change results). Braces do
+      // not hide an operand's bindings from filters OUTSIDE the join, so
+      // bracing is semantics-preserving for every other shape.
+      def opnd(x: Algebra): String = x match {
+        case _: BGP | _: APath => pattern(x)
+        case other => s"{ ${pattern(other)} }"
+      }
+      s"${opnd(l)} ${opnd(r)}"
     case ALeftJoin(l, r, None) => s"${pattern(l)} OPTIONAL { ${pattern(r)} }"
     case ALeftJoin(l, r, Some(e)) =>
       s"${pattern(l)} OPTIONAL { ${pattern(r)} FILTER(${expr(e)}) }"

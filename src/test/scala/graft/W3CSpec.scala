@@ -45,6 +45,8 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: ask manifest") { runArea("ask") }
   test("w3c: expr-equals manifest") { runArea("expr-equals") }
   test("w3c: triple-match manifest") { runArea("triple-match") }
+  test("w3c: algebra manifest (OPTIONAL/FILTER scoping)") { runArea("algebra") }
+  test("w3c: expr-builtin manifest (LANG/DATATYPE/isIRI family)") { runArea("expr-builtin") }
 
   test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
     // the HTTP SERVICE client ships patterns as AlgebraText-serialized SPARQL:
@@ -56,7 +58,8 @@ class W3CSpec extends AnyFunSuite {
     val areas = Seq("aggregates", "negation", "property-path", "optional",
       "functions", "sort", "subquery", "open-world", "type-promotion", "cast",
       "bnode-coreference", "i18n", "bind", "values", "exists", "projexpr",
-      "grouping", "regex", "bev", "bound", "expr-equals", "triple-match")
+      "grouping", "regex", "bev", "bound", "expr-equals", "triple-match",
+      "algebra", "expr-builtin")
     var checked = 0
     for (area <- areas; tc <- W3CRunner.loadManifest(new java.io.File(s"$root/$area"))) {
       val q = new String(java.nio.file.Files.readAllBytes(tc.query.toPath), "UTF-8")
@@ -90,9 +93,10 @@ class W3CSpec extends AnyFunSuite {
       "construct", "sort", "subquery", "graph", "open-world", "type-promotion",
       "cast", "bnode-coreference", "i18n", "syntax-query", "solution-seq",
       "bind", "values", "exists", "projexpr",
-      "grouping", "regex", "bev", "bound", "ask", "expr-equals", "triple-match")
+      "grouping", "regex", "bev", "bound", "ask", "expr-equals", "triple-match",
+      "algebra", "expr-builtin")
     val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
-    assert(cases.size == 134, s"expected 134 vendored tests, found ${cases.size}")
+    assert(cases.size == 141, s"expected 141 vendored tests, found ${cases.size}")
     val syntax = cases.count(_.kind != "eval")
     assert(syntax == 22, s"expected 22 syntax (parse-only) tests, found $syntax")
   }

@@ -698,4 +698,41 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.toSeq == want, s"got ${rows.mkString(", ")}") // ORDER BY ?s → exact order
     assert(eng.query(read("coords.rq")).count() == 764) // one row per feature
   }
+
+  test("REDUCED cap audit: card is a true upper bound and gates coalesce(1)") {
+    // the partition-local REDUCED path funnels through coalesce(1), which is
+    // only safe because it is gated on an EXACT statistics upper bound
+    // (card <= ReducedLocalCap). Audit both halves of that contract:
+    // 1) card, when claimed, really is an upper bound on the row count;
+    val audited: Seq[Algebra] = Seq(
+      BGP(Seq(QuadPattern(V("s"), p("nation", "n_name"), V("o")))),
+      BGP(Seq(
+        QuadPattern(V("c"), p("customer", "c_name"), V("nm")),
+        QuadPattern(V("c"), fk("nation"), V("n")))),
+      AFilter(ECall("regex", Seq(EVar("nm"), EConst(Term.str("1$")))),
+        BGP(Seq(QuadPattern(V("c"), p("customer", "c_name"), V("nm"))))),
+      AJoin(
+        BGP(Seq(QuadPattern(V("n"), p("nation", "n_name"), V("nn")))),
+        BGP(Seq(QuadPattern(V("r"), p("region", "r_name"), V("rn"))))))
+    var claimed = 0
+    for (a <- audited) {
+      val sol = comp.compile(a)
+      for (c <- sol.card) {
+        claimed += 1
+        assert(sol.df.count() <= c, s"card bound $c violated for $a")
+      }
+    }
+    assert(claimed >= 3, s"only $claimed of ${audited.size} algebras claimed a card bound")
+    // 2) the coalesce(1) single-task funnel appears ONLY under a claimed
+    //    small bound; an unknown-card REDUCED plans a distributed distinct
+    val small = comp.compile(AReduced(AProject(
+      BGP(Seq(QuadPattern(V("c"), p("customer", "c_mktsegment"), V("seg")))), Seq("seg"))))
+    assert(small.df.queryExecution.executedPlan.toString.contains("Coalesce 1"),
+      "small exact-card REDUCED should take the partition-local path")
+    val unknown = comp.compile(AReduced(AProject(
+      BGP(Seq(QuadPattern(V("s"), V("pp"), V("o")))), Seq("pp"))))
+    val up = unknown.df.queryExecution.executedPlan.toString
+    assert(!up.contains("Coalesce 1"),
+      "unknown-card REDUCED must NOT funnel through coalesce(1)")
+  }
 }

@@ -75,6 +75,42 @@ object TextStats {
         round(col("c3") / col("nc"), 4).as("top3_frac"))
   }
 
+  /** Composite quality filter: C4/Gopher-style keep/drop decision per document,
+    * composed from the already-oracle-checked stats (token counts, stopword
+    * ratio, type/token diversity, top-2-gram repetition). `reason` is the FIRST
+    * failing rule in a fixed order, so the decision is deterministic and
+    * auditable. Thresholds are corpus-calibrated defaults a production pipeline
+    * would tune.
+    */
+  def qualityFilter(spark: SparkSession, dir: String,
+      minTokens: Long = 20, maxTokens: Long = 100000,
+      minStopRatio: Double = 0.01, minTypeToken: Double = 0.45,
+      maxTop2Frac: Double = 0.15): DataFrame = {
+    val t = tokens(spark, dir).select(col("doc_id"), col("n_tokens"))
+    val q = quality(spark, dir)
+      .select(col("doc_id").as("qd"), col("stop_ratio"), col("type_token"))
+    val r = repetition(spark, dir).select(col("doc_id").as("rd"), col("top2_frac"))
+    t.join(q, col("doc_id") === col("qd"))
+      .join(r, col("doc_id") === col("rd"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("stop_ratio") < minStopRatio, "low_stopword")
+          .when(col("type_token") < minTypeToken, "low_diversity")
+          .when(col("top2_frac") > maxTop2Frac, "repetitive")
+          .otherwise("ok").as("reason"))
+      .withColumn("keep", col("reason") === "ok")
+  }
+
+  /** Token-count histogram over the corpus (bucket width 10): the corpus-level
+    * length distribution a pipeline inspects before choosing filter
+    * thresholds. One map-side bucket computation + one hash-groupBy.
+    */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .select((floor(col("n_tokens") / 10) * 10).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+
   /** Language-ID heuristic: score languages by marker-word hits, deterministic
     * priority on ties. (The synthetic corpus is English-vocabulary; the *mechanism*
     * — per-language marker scoring — is what matters.)

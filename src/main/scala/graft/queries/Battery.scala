@@ -1007,6 +1007,39 @@ object Battery {
         "round(c3 / CAST(nc AS DOUBLE), 4) AS top3_frac " +
         "FROM s JOIN t2 ON s.doc_id = d2 JOIN t3 ON s.doc_id = d3")),
 
+    ("text_quality_filter", // composite C4/Gopher-style keep/drop decision
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.qualityFilter(s, d),
+      Some("WITH tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+        "AS n_tokens FROM documents), " +
+        "q AS (SELECT doc_id AS qd, " +
+        "round(CAST(len(list_filter(string_split(text, ' '), w -> w IN " +
+        "('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE) / " +
+        "len(string_split(text, ' ')), 4) AS stop_ratio, " +
+        "round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / " +
+        "len(string_split(text, ' ')), 4) AS type_token FROM documents), " +
+        "w AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "g2 AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws) - 1, 0)), " +
+        "i -> ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)])) AS g FROM w), " +
+        "t2 AS (SELECT doc_id AS d2, max(n * length(g)) AS c2 FROM " +
+        "(SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2) GROUP BY 1), " +
+        "r AS (SELECT d2 AS rd, round(c2 / CAST(nc AS DOUBLE), 4) AS top2_frac " +
+        "FROM t2 JOIN w ON w.doc_id = d2), " +
+        "j AS (SELECT tk.doc_id, n_tokens, CASE " +
+        "WHEN n_tokens < 20 THEN 'too_short' " +
+        "WHEN n_tokens > 100000 THEN 'too_long' " +
+        "WHEN stop_ratio < 0.01 THEN 'low_stopword' " +
+        "WHEN type_token < 0.45 THEN 'low_diversity' " +
+        "WHEN top2_frac > 0.15 THEN 'repetitive' " +
+        "ELSE 'ok' END AS reason " +
+        "FROM tk JOIN q ON tk.doc_id = qd JOIN r ON tk.doc_id = rd) " +
+        "SELECT doc_id, n_tokens, reason, (reason = 'ok') AS keep FROM j")),
+
+    ("text_token_hist", // corpus token-length histogram (bucket width 10)
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.tokenHistogram(s, d),
+      Some("SELECT CAST(floor(len(string_split(text, ' ')) / 10) * 10 AS BIGINT) " +
+        "AS bucket, count(*) AS n_docs FROM documents GROUP BY 1")),
+
     ("text_fingerprint",
       (s: SparkSession, d: String) => graft.pipeline.TextStats.fingerprint(s, d),
       // the rolling hash is pure modular arithmetic (base 1000003 mod 2^61-1,

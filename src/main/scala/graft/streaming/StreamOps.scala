@@ -61,6 +61,16 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already seen
+    * within the watermark horizon — the incremental twin of the batch
+    * exact-dedup (one keyed state store, no pairwise work). The watermark
+    * bounds state size, which is what makes this runnable forever: an
+    * unbounded `dropDuplicates` would grow state linearly with the stream.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
   /** Drive a streaming query to completion over the static directory (test/demo
     * harness: memory sink + processAllAvailable).
     */

@@ -93,4 +93,28 @@ class StreamSpec extends AnyFunSuite {
       .collect().map(_.getStruct(0).getString(1)).toSet
     assert(names == Set("alice", "bob", "carol"))
   }
+
+  test("streaming exact dedup drops within-watermark duplicates") {
+    // a copy of the events dir with every row duplicated: the deduped stream
+    // must emit each event_id once (all duplicates arrive in the same batch,
+    // well inside the watermark horizon)
+    val dir = "/tmp/graft_stream/events_dup"
+    val fs = new java.io.File(dir)
+    if (!fs.exists()) {
+      fs.mkdirs()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sf/events.parquet")
+      ev.union(ev).write.mode("overwrite").parquet(dir)
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    val dupStream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val out = StreamOps.runToMemory(
+      StreamOps.dedupEvents(dupStream), "dedup_events", OutputMode.Append)
+    val distinctIds = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id").distinct().count()
+    assert(out.count() == distinctIds)
+    assert(out.select("event_id").distinct().count() == distinctIds)
+  }
 }

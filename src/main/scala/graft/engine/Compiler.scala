@@ -496,6 +496,14 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       if (firstPos.contains(n)) df = df.filter(col(firstPos(n)) === col(pos))
       else firstPos(n) = pos
     }
+    // bind-join domain restriction: a small fully-bound VALUES table joined
+    // with this BGP pushes its value-id sets down into the scan (reference
+    // bind join; at 100 TB the isin reaches the parquet scan as a pushed
+    // filter and prunes row groups — the join itself still runs afterwards,
+    // so multi-column tables stay exact)
+    for ((n, pos) <- firstPos; ids <- domRestrict.value.get(n))
+      df = if (ids.isEmpty) df.filter(lit(false))
+           else df.filter(col(pos).isin(ids: _*))
     val nums = firstPos.collect { case (n, "o") => n }.toSet
     // type-profile fast-path flags: s/p/g vars inline when the whole store is;
     // o vars per bound-predicate profile
@@ -974,6 +982,26 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   private val decNeedsVar = new scala.util.DynamicVariable[Option[Set[String]]](None)
   private def decNeeded(v: String): Boolean = decNeedsVar.value.forall(_.contains(v))
 
+  /** Bind-join domain restrictions in flight: var → allowed ids. Set around
+    * compiling a BGP that joins a small fully-bound VALUES table; consumed by
+    * [[compilePattern]] as isin filters on the scan. */
+  private val domRestrict =
+    new scala.util.DynamicVariable[Map[String, Seq[Long]]](Map.empty)
+
+  /** Per-variable value-id domains of a VALUES table, for columns that are
+    * bound in EVERY row (a row with an unbound cell joins compatibly with any
+    * value, so its column cannot restrict). Terms absent from the store map to
+    * no id — they can never match a stored term, which the empty/shrunken id
+    * set encodes exactly. Capped to small tables: the isin literal list is
+    * driver-built and must stay broadcast-sized. */
+  private def tableDomains(t: ATable): Map[String, Seq[Long]] = {
+    if (t.rows.isEmpty || t.rows.size > 1024) return Map.empty
+    t.vars.zipWithIndex.collect {
+      case (v, i) if t.rows.forall(_(i).isDefined) =>
+        v -> t.rows.flatMap(r => store.idOf(r(i).get)).distinct
+    }.toMap
+  }
+
   def compile(a: Algebra): Sol =
     if (decNeedsVar.value.isDefined) compile0(a)
     else {
@@ -992,6 +1020,14 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   private def compile0(a: Algebra): Sol = a match {
     case BGP(ps) => compileBGP(ps)
     case APath(s, p, o, g) => compilePath(s, p, o, g)
+    // bind join (reference BindJoinPlan): a small fully-bound VALUES side
+    // seeds the BGP's scans with isin domain restrictions before the join
+    case AJoin(t: ATable, b: BGP) if tableDomains(t).nonEmpty =>
+      val right = domRestrict.withValue(domRestrict.value ++ tableDomains(t))(compileBGP(b.patterns))
+      joinSols(compile(t), right, "inner")
+    case AJoin(b: BGP, t: ATable) if tableDomains(t).nonEmpty =>
+      val left = domRestrict.withValue(domRestrict.value ++ tableDomains(t))(compileBGP(b.patterns))
+      joinSols(left, compile(t), "inner")
     case AJoin(l, r) => joinSols(compile(l), compile(r), "inner")
 
     case ALeftJoin(l, r, None) => joinSols(compile(l), compile(r), "left_outer")

@@ -699,6 +699,27 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.query(read("coords.rq")).count() == 764) // one row per feature
   }
 
+  test("VALUES bind join pushes value-id domains into the pattern scan") {
+    val table = ATable(Seq("seg"),
+      Seq(Seq(Some(Term.str("BUILDING"))), Seq(Some(Term.str("AUTOMOBILE")))))
+    val a = AJoin(table,
+      BGP(Seq(QuadPattern(V("c"), p("customer", "c_mktsegment"), V("seg")))))
+    val sol = comp.compile(a)
+    // the scan carries the pushed isin restriction (bind join), visible as an
+    // id IN filter in the optimized plan rather than a post-join filter
+    val plan = sol.df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("IN (") || plan.contains("isin") || plan.contains(" INSET "),
+      s"no pushed domain filter in plan:\n$plan")
+    val expected = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")).count()
+    assert(sol.df.count() == expected)
+    // a table value absent from the store restricts to an empty scan
+    val none = comp.compile(AJoin(
+      ATable(Seq("seg"), Seq(Seq(Some(Term.str("NO_SUCH_SEGMENT"))))),
+      BGP(Seq(QuadPattern(V("c"), p("customer", "c_mktsegment"), V("seg"))))))
+    assert(none.df.count() == 0)
+  }
+
   test("REDUCED cap audit: card is a true upper bound and gates coalesce(1)") {
     // the partition-local REDUCED path funnels through coalesce(1), which is
     // only safe because it is gated on an EXACT statistics upper bound

@@ -30,6 +30,8 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // repeated REPL queries reuse generated classes (see Bench scaladoc)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val code = try run(args, spark) finally spark.stop()

@@ -102,6 +102,19 @@ object Battery {
       Some("SELECT o.o_orderstatus AS status, l.l_quantity AS qty " +
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey")),
 
+    ("q_fk_join_persisted", // same fk join over the PERSISTED store layout:
+      // scans hit the predicate-partitioned parquet (each pattern reads only
+      // its predicate's partition — the on-disk analogue of a (p,…) index),
+      // star-side scans stay co-bucketed on s
+      (s: SparkSession, d: String) => runBucketed(s, d,
+        BGP(Seq(
+          qp(V("l"), fk("orders"), V("o")),
+          qp(V("l"), p("lineitem", "l_quantity"), V("qty")),
+          qp(V("o"), p("orders", "o_orderstatus"), V("status")))),
+        "status" -> "string", "qty" -> "double"),
+      Some("SELECT o.o_orderstatus AS status, l.l_quantity AS qty " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey")),
+
     ("q_cross_join", // join with no shared vars = cartesian (NestedLoopJoinPlan)
       (s: SparkSession, d: String) => run(s, d,
         AJoin(

@@ -106,6 +106,16 @@ object W3CRunner {
     val df = eng.query(queryText)
     val expectedText = read(resultFile)
 
+    if (resultFile.getName.endsWith(".tsv")) {
+      // csv-tsv-res area: expected results in SPARQL-TSV — compare through
+      // BOTH directions of the TSV codec (serialize the engine result, parse
+      // it back, compare against the parsed expectation as solution multisets)
+      val (_, expRows) = SparqlResults.parseTsv(expectedText)
+      val (_, gotRows) = SparqlResults.parseTsv(SparqlResults.toTsv(df))
+      return if (Isomorphism.solutionsEqual(gotRows, expRows)) None
+      else Some(s"${tc.name}: TSV results differ\n  got:  ${fmt(gotRows)}\n" +
+        s"  want: ${fmt(expRows)}")
+    }
     if (expectedText.contains("<boolean>")) { // ASK
       val want = expectedText.contains("<boolean>true</boolean>")
       val got = df.collect().head.getBoolean(0)

@@ -47,6 +47,7 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: triple-match manifest") { runArea("triple-match") }
   test("w3c: algebra manifest (OPTIONAL/FILTER scoping)") { runArea("algebra") }
   test("w3c: expr-builtin manifest (LANG/DATATYPE/isIRI family)") { runArea("expr-builtin") }
+  test("w3c: csv-tsv-res manifest (TSV result round-trip)") { runArea("csv-tsv-res") }
 
   test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
     // the HTTP SERVICE client ships patterns as AlgebraText-serialized SPARQL:
@@ -94,9 +95,9 @@ class W3CSpec extends AnyFunSuite {
       "cast", "bnode-coreference", "i18n", "syntax-query", "solution-seq",
       "bind", "values", "exists", "projexpr",
       "grouping", "regex", "bev", "bound", "ask", "expr-equals", "triple-match",
-      "algebra", "expr-builtin")
+      "algebra", "expr-builtin", "csv-tsv-res")
     val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
-    assert(cases.size == 141, s"expected 141 vendored tests, found ${cases.size}")
+    assert(cases.size == 143, s"expected 143 vendored tests, found ${cases.size}")
     val syntax = cases.count(_.kind != "eval")
     assert(syntax == 22, s"expected 22 syntax (parse-only) tests, found $syntax")
   }

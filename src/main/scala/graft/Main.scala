@@ -12,7 +12,7 @@ import graft.store.{RdfStore, StoreEncoder, StorePersist}
   * {{{
   *   graft.Main create  <storeDir> [file.ttl|.nt|.nq ...]
   *   graft.Main load    <storeDir> <file> [graphIri]
-  *   graft.Main query   <storeDir> <query.rq | sparql text> [--format tsv|json|xml]
+  *   graft.Main query   <storeDir> <query.rq | sparql text> [--format tsv|csv|json|xml]
   *   graft.Main explain <storeDir> <query> [--analyze]
   *   graft.Main graphs  <storeDir>
   *   graft.Main dump    <storeDir> <out> [--format nquads|turtle]
@@ -42,7 +42,7 @@ object Main {
     """usage: graft <command> <storeDir> ...
       |  create  <storeDir> [file ...]        create a persisted store (optionally loading files)
       |  load    <storeDir> <file> [graphIri] parse Turtle/N-Triples/N-Quads and append
-      |  query   <storeDir> <query.rq|sparql> [--format tsv|json|xml]
+      |  query   <storeDir> <query.rq|sparql> [--format tsv|csv|json|xml]
       |  explain <storeDir> <query.rq|sparql> [--analyze]
       |  graphs  <storeDir>                   list graph IRIs
       |  dump    <storeDir> <outFile>         [--format nquads|turtle]
@@ -173,6 +173,7 @@ object Main {
     if (structured && df.schema.nonEmpty) format match {
       case "json" => SparqlResults.toJson(df) + "\n"
       case "xml" => SparqlResults.toXml(df) + "\n"
+      case "csv" => SparqlResults.toCsv(df)
       case _ => SparqlResults.toTsv(df) + "\n"
     } else {
       // ask (boolean) / construct / describe (string columns)

@@ -164,6 +164,27 @@ object SparqlResults {
     (vars, results)
   }
 
+  // ---- CSV (SPARQL 1.1 results CSV: plain lexical forms, RFC 4180 quoting;
+  //      lossy by design — type/lang information is not representable) -------
+
+  def toCsv(df: DataFrame): String = {
+    val (vars, data) = rows(df)
+    def cell(t: Term): String = {
+      val s = t match {
+        case null => ""
+        case BNode(l) => s"_:$l"
+        case other => other.lex
+      }
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+    val sb = new StringBuilder
+    sb.append(vars.mkString(",")).append("\r\n")
+    data.foreach(r => sb.append(r.map(cell).mkString(",")).append("\r\n"))
+    sb.toString
+  }
+
   // ---- TSV -------------------------------------------------------------------
 
   def toTsv(df: DataFrame): String = {

@@ -90,6 +90,20 @@ class RdfIOSpec extends AnyFunSuite {
     assert(tr.map(_("nm")) == jr.map(_("nm")))
     // money columns map to xsd:decimal (TPC-H DECIMAL(x,2) semantics)
     assert(tr.head("bal").asInstanceOf[Lit].datatype == Term.xsdDecimal)
+
+    // CSV (SPARQL 1.1 results CSV): plain lexical forms, CRLF lines; a value
+    // containing the separator round-trips through RFC 4180 quoting
+    val csv = SparqlResults.toCsv(df)
+    val lines = csv.split("\r\n").toSeq
+    assert(lines.head == "nm,bal")
+    assert(lines.size == 6)
+    assert(lines(1).startsWith("Customer#"))
+    val q = eng.query(
+      """SELECT ?j WHERE { ?c <urn:p:customer:c_name> ?nm .
+        |  BIND(CONCAT(?nm, ",", "x\"y") AS ?j) } LIMIT 1""".stripMargin)
+    val qcsv = SparqlResults.toCsv(q)
+    val cell = qcsv.split("\r\n")(1)
+    assert(cell.startsWith("\"") && cell.contains("\"\"y"), cell)
   }
 
   test("rdf/xml: fixture parses isomorphic to its n-triples twin") {

@@ -59,6 +59,24 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
 
+  /** Full doc→representative mapping via the GraphX connected-components path:
+    * exact-duplicate groups become STAR edges (each doc → its group's min id,
+    * linear in group size — a within-group self-join would be quadratic on a
+    * degenerate hot text), components run over that pair graph, singletons
+    * map to themselves. Equivalent to the window-min oracle, which makes the
+    * transitive-clustering operator itself oracle-checkable. */
+  def exactClusters(spark: SparkSession, dir: String): DataFrame = {
+    val h = docs(spark, dir).select(col("doc_id"), md5(col("text")).as("h"))
+      .transform(ScratchCache.persist)
+    val reps = h.groupBy("h").agg(min(col("doc_id")).as("a"))
+    val pairs = h.join(reps, "h").filter(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b"))
+    val clustered = clustersOf(pairs)
+    h.select(col("doc_id"))
+      .join(clustered, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keep"), col("doc_id")).as("keep"))
+  }
+
   /** Word w-shingles of the text, distinct, as an exploded (doc_id, shingle-hash)
     * frame. Hashing at the shingle level keeps the shuffle narrow (two longs). */
   def shingles(d: DataFrame, w: Int): DataFrame =
@@ -155,6 +173,14 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHam)
   }
+
+  /** Transitive clusters over the SimHash near-dup pair graph (GraphX
+    * connected components). Both the pairs AND the components are
+    * oracle-checkable — the DuckDB replica closes the same graph with a
+    * recursive CTE — so the clustering operator itself is value-verified,
+    * not just mechanism-tested. */
+  def simhashClusters(spark: SparkSession, dir: String, maxHam: Int = 10): DataFrame =
+    clustersOf(simhashPairs(spark, dir, maxHam).select("a", "b"))
 
   /** Blocked brute-force character-n-gram Jaccard: pairs only within
     * (source, length-bucket) blocks — the O(block²) baseline that LSH replaces.

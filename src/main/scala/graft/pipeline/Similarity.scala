@@ -42,6 +42,25 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Scalar int8 quantization of each embedding (per-vector min/max range,
+    * 256 levels, floor binning — floor, not round, so the bin boundary is
+    * deterministic across engines) + mean-absolute reconstruction error with
+    * midpoint dequantization. The embedding-compression step of a training
+    * pipeline; map-side only, no shuffle. */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val lo = array_min(col("e"))
+    val hi = array_max(col("e"))
+    val scale = (hi - lo) / lit(255.0)
+    // q(x) = min(floor((x-lo)/scale), 255); dequant midpoint lo+(q+0.5)*scale
+    val mae = aggregate(
+      transform(col("e"), x =>
+        abs(x - (lo + (least(floor((x - lo) / scale), lit(255.0)) + lit(0.5)) * scale))),
+      lit(0.0), (acc, x) => acc + x) / size(col("e"))
+    e.select(col("vec_id"), round(lo, 4).as("lo"), round(hi, 4).as("hi"),
+      round(mae, 4).as("mae"))
+  }
+
   /** Seeded random hyperplanes: nTables signatures of nBits each. */
   private def planes(dim: Int, nTables: Int, nBits: Int, seed: Long): Seq[Seq[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)

@@ -922,6 +922,35 @@ object Battery {
         "FROM bd x JOIN bd y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id) " +
         "SELECT a, b2 AS b, hamming FROM p WHERE hamming <= 10")),
 
+    ("dd_exact_clusters", // full doc→representative map via GraphX components
+      // over star edges (linear in group size); window-min oracle. The corpus
+      // has no exact duplicates, so this also pins the singleton/empty-graph
+      // edge of the clustering path.
+      (s: SparkSession, d: String) => graft.pipeline.Dedup.exactClusters(s, d),
+      Some("SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep " +
+        "FROM documents")),
+
+    ("dd_simhash_clusters", // transitive near-dup clusters: GraphX connected
+      // components over the simhash pair graph, value-checked against a
+      // recursive-CTE closure of the same graph in DuckDB
+      (s: SparkSession, d: String) => graft.pipeline.Dedup.simhashClusters(s, d),
+      Some("WITH RECURSIVE t AS (SELECT doc_id, " +
+        "CAST(concat('0x', substring(md5(tok),1,15)) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)), " +
+        "bb AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
+        "FROM t, range(0,60) u(i) GROUP BY 1,2), " +
+        "sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) " +
+        "ELSE 0 END) AS BIGINT) AS simhash FROM bb GROUP BY 1), " +
+        "bd AS (SELECT doc_id, simhash, b, (simhash >> CAST(b*15 AS INT)) & 32767 AS bh " +
+        "FROM sig, range(0,4) u(b)), " +
+        "p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b2 FROM bd x JOIN bd y " +
+        "ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.simhash, y.simhash)) <= 10), " +
+        "e AS (SELECT a AS x, b2 AS y FROM p UNION SELECT b2, a FROM p), " +
+        "r(n, m) AS (SELECT x AS n, x AS m FROM (SELECT x FROM e UNION SELECT y FROM e) " +
+        "UNION SELECT r.n, e.y FROM r JOIN e ON r.m = e.x) " +
+        "SELECT n AS doc_id, min(m) AS keep FROM r GROUP BY 1")),
+
     ("dd_ngram_jaccard",
       (s: SparkSession, d: String) => graft.pipeline.Dedup.ngramJaccard(s, d, threshold = 0.3),
       // full DuckDB replica of the blocked n-gram Jaccard: the Spark side
@@ -953,6 +982,16 @@ object Battery {
         "CAST(row_number() OVER (PARTITION BY q.vec_id " +
         "ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id) AS BIGINT) AS rk " +
         "FROM q, e WHERE e.vec_id != q.vec_id QUALIFY rk <= 5")),
+
+    ("sim_quantize", // per-vector int8 scalar quantization + reconstruction MAE
+      (s: SparkSession, d: String) => graft.pipeline.Similarity.quantize(s, d),
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "s AS (SELECT vec_id, emb, list_min(emb) AS lo, list_max(emb) AS hi, " +
+        "(list_max(emb) - list_min(emb)) / 255.0 AS sc FROM e) " +
+        "SELECT vec_id, round(lo, 4) AS lo, round(hi, 4) AS hi, " +
+        "round(list_sum(list_transform(emb, x -> " +
+        "abs(x - (lo + (least(floor((x - lo) / sc), 255.0) + 0.5) * sc)))) / len(emb), 4) " +
+        "AS mae FROM s")),
 
     ("sim_lsh_topk",
       (s: SparkSession, d: String) => graft.pipeline.Similarity.lshTopK(s, d),

@@ -40,13 +40,26 @@ object Dedup {
       threshold: Double = 0.5): DataFrame =
     clustersOf(nearDuplicates(spark, dir, threshold))
 
-  /** Connected-component clustering of an (a, b, …) pair frame. */
+  /** Connected-component clustering of an (a, b, …) pair frame.
+    *
+    * Partitioning adapts to the PAIR GRAPH's size, not the corpus's: near-dup
+    * pair graphs are output-sized (≪ corpus), and Pregel pays per-partition
+    * scheduling on every iteration — a 345-edge graph spread over 32
+    * partitions runs rounds of mostly-empty tasks. One edge count (this runs
+    * at query time, not compile time) sizes the graph at ~500k edges per
+    * partition, capped at the session's parallelism for genuinely large
+    * graphs. */
   def clustersOf(pairs: DataFrame): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edgeRdd = pairs.select(col("a").cast(LongType), col("b").cast(LongType))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val p = ScratchCache.persist(
+      pairs.select(col("a").cast(LongType), col("b").cast(LongType)))
+    val nEdges = p.count()
+    val parts = math.min(spark.sparkContext.defaultParallelism.toLong,
+      nEdges / 500000L + 1L).toInt
+    val edgeRdd = p.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      .coalesce(parts)
     val g = Graph.fromEdges(edgeRdd, defaultValue = 0)
     val comps = g.connectedComponents().vertices.toDF("doc_id", "component")
     val reps = comps.groupBy("component").agg(min("doc_id").as("keep"))

@@ -135,8 +135,11 @@ final class GraftEngine(val store: RdfStore,
       case graft.algebra.BGP(ps) if ps.nonEmpty =>
         val (order, est) = comp.bgpEstimate(ps)
         stats.append(f"  BGP (${ps.size} patterns): est rows ~ ${est}%.1f\n")
-        order.foreach(qp => stats.append(
-          s"    ${fmtNode(qp.s)} ${fmtNode(qp.p)} ${fmtNode(qp.o)}\n"))
+        // only show a join order that is actually executed: small/huge BGPs
+        // run the greedy path, not the DP order bgpEstimate returns
+        if (comp.bgpUsesDP(ps))
+          order.foreach(qp => stats.append(
+            s"    ${fmtNode(qp.s)} ${fmtNode(qp.p)} ${fmtNode(qp.o)}\n"))
       case other => other.productIterator.foreach {
         case c: graft.algebra.Algebra => walkAlg(c)
         case _ => ()

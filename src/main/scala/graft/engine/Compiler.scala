@@ -755,9 +755,14 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     Sol(df, vars.map(_ -> (TermRep: Rep)).toMap, Set.empty, Set.empty, card = Some(0L))
   }
 
+  /** True when compileBGP executes the DP order (explain gates its join-order
+    * display on this, so it never shows an order that isn't the executed one). */
+  def bgpUsesDP(patterns: Seq[QuadPattern]): Boolean =
+    patterns.length >= 3 && patterns.length <= 12 && store.predProfiles.nonEmpty
+
   def compileBGP(patterns: Seq[QuadPattern]): Sol = {
     require(patterns.nonEmpty, "empty BGP")
-    if (patterns.length >= 3 && patterns.length <= 12 && store.predProfiles.nonEmpty) {
+    if (bgpUsesDP(patterns)) {
       // exact left-deep DP from statistics (reference candidate enumeration)
       val ordered = orderPatternsDP(patterns)
       ordered.tail.foldLeft(compilePattern(ordered.head))((sol, qp) =>
@@ -945,7 +950,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     val matchOneL = certainShared.exists(l.multOne.contains)
     val cardOut: Option[Long] =
       if (conds.isEmpty && kind == "inner") // cartesian: exact product bound
-        for (a <- l.card; b <- r0.card; if a.toDouble * b.toDouble <= Long.MaxValue.toDouble)
+        // overflow-safe: a*b can wrap negative exactly when the double guard
+        // rounds 2^63 up to "fits", and a negative card would then look tiny
+        for (a <- l.card; b <- r0.card; if a == 0L || b <= Long.MaxValue / a)
           yield a * b
       else if (kind == "inner") {
         val bounds = (if (matchOneR) l.card else None) ++

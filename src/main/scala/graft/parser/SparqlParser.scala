@@ -925,11 +925,16 @@ final class SparqlParser(input: String) {
 
   private def parseBuiltinOrFunction(): Expr = {
     ws()
-    // BooleanLiteral primary (SPARQL grammar [134]): bare true/false
-    if (eatKw("true")) return EConst(Term.bool(true))
-    if (eatKw("false")) return EConst(Term.bool(false))
-    if (eatKw("EXISTS")) return EExists(parseGroupGraphPattern(), negated = false)
-    if (peekKw("NOT")) { expectKw("NOT"); expectKw("EXISTS")
+    // BooleanLiteral primary (SPARQL grammar [134]): bare true/false. A
+    // keyword followed by ':' is a prefixed name (PN_PREFIX may legally be
+    // "true"/"false"/"exists"; ':' is not a PN char so peekKw alone accepts it)
+    def kwHere(kw: String): Boolean =
+      peekKw(kw) && (pos + kw.length >= input.length || input(pos + kw.length) != ':')
+    if (kwHere("true") && eatKw("true")) return EConst(Term.bool(true))
+    if (kwHere("false") && eatKw("false")) return EConst(Term.bool(false))
+    if (kwHere("EXISTS") && eatKw("EXISTS"))
+      return EExists(parseGroupGraphPattern(), negated = false)
+    if (kwHere("NOT")) { expectKw("NOT"); expectKw("EXISTS")
       return EExists(parseGroupGraphPattern(), negated = true) }
     val start = pos
     while (pos < input.length && (isPNChar(input(pos)))) pos += 1

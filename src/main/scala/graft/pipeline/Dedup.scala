@@ -199,8 +199,21 @@ object Dedup {
     * (source, length-bucket) blocks — the O(block²) baseline that LSH replaces.
     */
   def ngramJaccard(spark: SparkSession, dir: String, n: Int = 3,
-      threshold: Double = 0.4): DataFrame = {
-    val grams = docs(spark, dir).select(col("doc_id"), col("source"),
+      threshold: Double = 0.4, maxBlockDocs: Int = 4096): DataFrame =
+    ngramJaccardOf(docs(spark, dir), n, threshold, maxBlockDocs)
+
+  /** Blocked n-gram Jaccard over an explicit (doc_id, source, n_chars, text)
+    * frame. The within-block self-join is quadratic in block membership, so a
+    * single hot block (one source flooding one length bucket) is the scale
+    * hazard of this operator: blocks holding more than `maxBlockDocs` docs are
+    * EXCLUDED from the pairwise join (they belong to the [[minhashLsh]] path,
+    * which stays sub-quadratic via banding). The excluded blocks are
+    * enumerable via [[ngramOversizedBlocks]] for routing/monitoring; the cap
+    * bounds the worst block at maxBlockDocs² candidate pairs regardless of
+    * corpus size. */
+  def ngramJaccardOf(d: DataFrame, n: Int = 3,
+      threshold: Double = 0.4, maxBlockDocs: Int = 4096): DataFrame = {
+    val grams = d.select(col("doc_id"), col("source"),
         col("n_chars"), expr(
         s"transform(sequence(0, greatest(length(text) - $n, 0)), " +
         s"i -> substring(text, i + 1, $n))").as("gs"))
@@ -212,9 +225,16 @@ object Dedup {
     // staggered double-bucketing: every doc lands in floor(len/64) and
     // floor((len+32)/64)+M, so near-dups straddling a bucket boundary still share
     // a block; (a,b,h) is deduped before counting so the ratio stays exact
-    val blocked = grams.withColumn("lenb",
+    val blocked0 = grams.withColumn("lenb",
       explode(array((col("n_chars") / 64).cast(IntegerType),
         ((col("n_chars") + 32) / 64).cast(IntegerType) + 1000000)))
+    // guard the quadratic join: drop blocks over the membership cap (the
+    // block list is tiny — #sources × length buckets — so it broadcasts)
+    val okBlocks = blocked0.select("source", "lenb", "doc_id").distinct()
+      .groupBy("source", "lenb").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBlockDocs)
+      .select("source", "lenb")
+    val blocked = blocked0.join(broadcast(okBlocks), Seq("source", "lenb"), "left_semi")
     val inter = blocked.alias("x").join(blocked.alias("y"),
         col("x.source") === col("y.source") && col("x.lenb") === col("y.lenb") &&
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -230,4 +250,16 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
+
+  /** The routing/monitoring companion of [[ngramJaccardOf]]: the
+    * (source, lenb, bn) blocks whose membership exceeds the pairwise cap —
+    * exactly the blocks the guarded join excludes. Feed these docs to
+    * [[minhashLsh]] (bucketed, sub-quadratic) instead. */
+  def ngramOversizedBlocks(d: DataFrame, maxBlockDocs: Int = 4096): DataFrame =
+    d.select(col("doc_id"), col("source"),
+        explode(array((col("n_chars") / 64).cast(IntegerType),
+          ((col("n_chars") + 32) / 64).cast(IntegerType) + 1000000)).as("lenb"))
+      .distinct()
+      .groupBy("source", "lenb").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBlockDocs)
 }

@@ -91,13 +91,21 @@ object Dedup {
   }
 
   /** Word w-shingles of the text, distinct, as an exploded (doc_id, shingle-hash)
-    * frame. Hashing at the shingle level keeps the shuffle narrow (two longs). */
+    * frame. Hashing at the shingle level keeps the shuffle narrow (two longs).
+    * The shingle hash is the first 15 hex chars of md5(shingle) as a 60-bit
+    * integer — the same oracle-checkable construction as [[SimHashBits]]: both
+    * Spark (`conv`, whole-stage codegen'd) and DuckDB (`CAST('0x'||… AS
+    * BIGINT)`) compute it identically, which is what lets the downstream
+    * MinHash signatures (pure splitmix64 over these hashes) be replicated
+    * exactly in the DuckDB oracle. 60 bits is ample for per-doc shingle
+    * dedup. */
   def shingles(d: DataFrame, w: Int): DataFrame =
     d.select(col("doc_id"), expr(
         s"transform(sequence(0, greatest(size(split(text, ' ')) - $w, 0) - 1), " +
         s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $w)))").as("shs"))
       .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType).as("h"))
       .distinct()
 
   /** MinHash signatures + LSH banding + exact-Jaccard verification.
@@ -116,16 +124,20 @@ object Dedup {
     val sigs = sh.groupBy("doc_id")
       .agg(graft.functions.MinHashAgg(col("h"), k, seed).as("sig"))
 
-    // band key = hash of the band's signature slice
+    // band key = the band's signature slice itself (4 longs). Joining on the
+    // slice instead of a hash of it keeps the key computable by BOTH engines
+    // (DuckDB lists compare with `=` just like Spark arrays), making the whole
+    // candidate generation oracle-checkable; the extra 24 bytes/row of shuffle
+    // key is noise next to the signature aggregation.
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("bs"))
     }
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bs").as("bs"))
 
     val cand = banded.alias("x").join(banded.alias("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.band") === col("y.band") && col("x.bs") === col("y.bs") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
@@ -228,13 +240,13 @@ object Dedup {
     val blocked0 = grams.withColumn("lenb",
       explode(array((col("n_chars") / 64).cast(IntegerType),
         ((col("n_chars") + 32) / 64).cast(IntegerType) + 1000000)))
-    // guard the quadratic join: drop blocks over the membership cap (the
-    // block list is tiny — #sources × length buckets — so it broadcasts)
-    val okBlocks = blocked0.select("source", "lenb", "doc_id").distinct()
-      .groupBy("source", "lenb").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= maxBlockDocs)
-      .select("source", "lenb")
-    val blocked = blocked0.join(broadcast(okBlocks), Seq("source", "lenb"), "left_semi")
+    // guard the quadratic join: drop blocks over the membership cap. Counted
+    // on the DOC-LEVEL membership frame (one row per doc per bucket — ~1000×
+    // smaller than the exploded per-n-gram frame), and the broadcast side is
+    // the OVERSIZED list, whose size is bounded by corpus/maxBlockDocs (the
+    // keep-list grows with #sources × #length-buckets, unbounded).
+    val oversized = ngramOversizedBlocks(d, maxBlockDocs).select("source", "lenb")
+    val blocked = blocked0.join(broadcast(oversized), Seq("source", "lenb"), "left_anti")
     val inter = blocked.alias("x").join(blocked.alias("y"),
         col("x.source") === col("y.source") && col("x.lenb") === col("y.lenb") &&
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -251,15 +263,23 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Doc-level (source, lenb, doc_id) block membership — the staggered
+    * double-bucketing used by BOTH [[ngramJaccardOf]]'s guard and
+    * [[ngramOversizedBlocks]] (single definition so the routing output always
+    * matches which blocks the guarded join excludes). One row per doc per
+    * bucket: two buckets per doc, so 2·|docs| rows regardless of text size. */
+  private def blockMembership(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("source"),
+        explode(array((col("n_chars") / 64).cast(IntegerType),
+          ((col("n_chars") + 32) / 64).cast(IntegerType) + 1000000)).as("lenb"))
+      .distinct()
+
   /** The routing/monitoring companion of [[ngramJaccardOf]]: the
     * (source, lenb, bn) blocks whose membership exceeds the pairwise cap —
     * exactly the blocks the guarded join excludes. Feed these docs to
     * [[minhashLsh]] (bucketed, sub-quadratic) instead. */
   def ngramOversizedBlocks(d: DataFrame, maxBlockDocs: Int = 4096): DataFrame =
-    d.select(col("doc_id"), col("source"),
-        explode(array((col("n_chars") / 64).cast(IntegerType),
-          ((col("n_chars") + 32) / 64).cast(IntegerType) + 1000000)).as("lenb"))
-      .distinct()
+    blockMembership(d)
       .groupBy("source", "lenb").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > maxBlockDocs)
 }

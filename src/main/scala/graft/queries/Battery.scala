@@ -890,9 +890,50 @@ object Battery {
       Some("SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep " +
         "FROM documents GROUP BY 1")),
 
-    ("dd_minhash_lsh", // MinHash+LSH near-dup pairs (not SQL-expressible → rows-only)
+    ("dd_minhash_lsh", // MinHash+LSH near-dup pairs — FULL value oracle: the
+      // shingle hash is the md5-prefix integer (same construction as SimHash),
+      // and each splitmix64 lane is replicated in DuckDB with wrapping 64-bit
+      // arithmetic (unsigned mod-2^64; the 64×64 multiply is split into 32-bit
+      // halves so every HUGEINT intermediate stays under 2^97). Lane minima
+      // compare as SIGNED longs (Spark Long min), hence the 2^63 re-centering
+      // before min(). Banding joins on the raw 4-long signature slice, which
+      // both engines compare identically (array/list equality).
       (s: SparkSession, d: String) => graft.pipeline.Dedup.minhashLsh(s, d, threshold = 0.2),
-      None),
+      Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents), " +
+        "sh0 AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(parts) - 3, 0)), " +
+        "i -> array_to_string(list_slice(parts, i + 1, i + 3), ' '))) AS sh FROM w), " +
+        "sh AS (SELECT DISTINCT doc_id, " +
+        "CAST(concat('0x', substring(md5(sh),1,15)) AS BIGINT) AS h FROM sh0), " +
+        "lanes AS (SELECT doc_id, CAST(h AS HUGEINT) AS hh, i FROM sh, range(0, 64) u(i)), " +
+        "m0 AS (SELECT doc_id, i, (hh + (CAST(42 + i AS HUGEINT) * " +
+        "CAST(11400714819323198485 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) " +
+        "% CAST(18446744073709551616 AS HUGEINT) AS z FROM lanes), " +
+        "m1a AS (SELECT doc_id, i, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) " +
+        "AS HUGEINT) AS t FROM m0), " +
+        "m1 AS (SELECT doc_id, i, (((t // 4294967296) * CAST(13787848793156543929 AS HUGEINT) " +
+        "% 4294967296) * 4294967296 + (t % 4294967296) * CAST(13787848793156543929 AS HUGEINT)) " +
+        "% CAST(18446744073709551616 AS HUGEINT) AS z FROM m1a), " +
+        "m2a AS (SELECT doc_id, i, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) " +
+        "AS HUGEINT) AS t FROM m1), " +
+        "m2 AS (SELECT doc_id, i, (((t // 4294967296) * CAST(10723151780598845931 AS HUGEINT) " +
+        "% 4294967296) * 4294967296 + (t % 4294967296) * CAST(10723151780598845931 AS HUGEINT)) " +
+        "% CAST(18446744073709551616 AS HUGEINT) AS z FROM m2a), " +
+        "m3 AS (SELECT doc_id, i, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS z FROM m2), " +
+        "mins AS (SELECT doc_id, i, min(CASE WHEN z >= CAST(9223372036854775808 AS UBIGINT) " +
+        "THEN CAST(CAST(z AS HUGEINT) - CAST(18446744073709551616 AS HUGEINT) AS BIGINT) " +
+        "ELSE CAST(z AS BIGINT) END) AS m FROM m3 GROUP BY 1, 2), " +
+        "sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mins GROUP BY 1), " +
+        "bd AS (SELECT doc_id, b, sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)] AS bs " +
+        "FROM sig, range(0, 16) u(b)), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b2 FROM bd x JOIN bd y " +
+        "ON x.b = y.b AND x.bs = y.bs AND x.doc_id < y.doc_id), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+        "i2 AS (SELECT c.a, c.b2, count(*) AS inter FROM cand c " +
+        "JOIN sh sx ON sx.doc_id = c.a JOIN sh sy ON sy.doc_id = c.b2 AND sy.h = sx.h " +
+        "GROUP BY 1, 2) " +
+        "SELECT a, b2 AS b, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard " +
+        "FROM i2 JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b2 " +
+        "WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.2")),
 
     ("dd_simhash",
       // oracle-checkable since the token hash is the md5-prefix integer both
@@ -953,17 +994,27 @@ object Battery {
 
     ("dd_ngram_jaccard",
       (s: SparkSession, d: String) => graft.pipeline.Dedup.ngramJaccard(s, d, threshold = 0.3),
-      // full DuckDB replica of the blocked n-gram Jaccard: the Spark side
-      // dedups xxhash64(gram) while the oracle dedups the grams themselves —
+      // full DuckDB replica of the blocked n-gram Jaccard, INCLUDING the
+      // maxBlockDocs=4096 hot-block cap (blocks over the membership cap are
+      // excluded from the pairwise join on both sides — `over`/anti-join here
+      // mirrors Dedup.ngramOversizedBlocks). The Spark side dedups
+      // xxhash64(gram) while the oracle dedups the grams themselves —
       // identical sets absent a 64-bit collision inside one document
       Some("WITH g AS (SELECT DISTINCT doc_id, source, n_chars, gr FROM " +
         "(SELECT doc_id, source, n_chars, " +
         "unnest(list_transform(range(0, greatest(length(text) - 3, 0) + 1), " +
         "i -> substring(text, CAST(i + 1 AS INT), 3))) AS gr FROM documents)), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1), " +
-        "blocked AS (SELECT doc_id, source, gr, u.lenb FROM g, " +
+        "memb AS (SELECT DISTINCT doc_id, source, u.lenb FROM documents, " +
         "unnest([CAST(floor(n_chars / 64.0) AS INT), " +
         "CAST(floor((n_chars + 32) / 64.0) AS INT) + 1000000]) u(lenb)), " +
+        "over AS (SELECT source, lenb FROM memb GROUP BY 1, 2 HAVING count(*) > 4096), " +
+        "blocked AS (SELECT doc_id, b0.source, gr, b0.lenb FROM " +
+        "(SELECT doc_id, source, gr, u.lenb FROM g, " +
+        "unnest([CAST(floor(n_chars / 64.0) AS INT), " +
+        "CAST(floor((n_chars + 32) / 64.0) AS INT) + 1000000]) u(lenb)) b0 " +
+        "LEFT JOIN over o ON o.source = b0.source AND o.lenb = b0.lenb " +
+        "WHERE o.source IS NULL), " +
         "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.gr " +
         "FROM blocked x JOIN blocked y ON x.source = y.source " +
         "AND x.lenb = y.lenb AND x.gr = y.gr AND x.doc_id < y.doc_id), " +

@@ -230,4 +230,56 @@ class ParserSpec extends AnyFunSuite {
     assert(pats(1).p == T(Iri("http://abs.org/p")), "absolute IRIs pass through")
     assert(pats(1).o == T(Iri("http://ex.org/dir/doc")), "<> is the base document")
   }
+
+  // PN_PREFIX may legally be a keyword ("true"/"false"/"EXISTS"); only a bare
+  // keyword NOT followed by ':' is the boolean literal / EXISTS form
+  // (SPARQL grammar [134] BooleanLiteral vs [140] PNAME_NS)
+  test("prefixed names that collide with keywords: true:/false:/EXISTS:") {
+    import graft.parser.SparqlParser
+    import graft.algebra._
+    val pq = SparqlParser.parse(
+      """PREFIX true: <urn:fn:>
+        |PREFIX false: <urn:fn2:>
+        |PREFIX EXISTS: <urn:fn3:>
+        |SELECT ?x ?y ?z WHERE {
+        |  ?s <urn:p:q> ?o .
+        |  BIND(true:f(?o) AS ?x)
+        |  BIND(false:g(?o) AS ?y)
+        |  BIND(EXISTS:h(?o) AS ?z)
+        |}""".stripMargin)
+    def exprs(x: Any): Seq[Expr] = x match {
+      case e: Expr => e +: e.productIterator.toSeq.flatMap(exprs)
+      case s: Seq[_] => s.flatMap(exprs)
+      case o: Option[_] => o.toSeq.flatMap(exprs)
+      case p: Product => p.productIterator.toSeq.flatMap(exprs)
+      case _ => Seq.empty
+    }
+    val calls = exprs(pq.algebra).collect { case ECall(fn, _) => fn }
+    assert(calls.toSet == Set("urn:fn:f", "urn:fn2:g", "urn:fn3:h"), calls.toString)
+  }
+
+  test("bare true/false literals and FILTER EXISTS still parse as keywords") {
+    import graft.parser.SparqlParser
+    import graft.algebra._
+    import graft.model.Term
+    val pq = SparqlParser.parse(
+      """SELECT ?b WHERE {
+        |  ?s <urn:p:q> ?o .
+        |  BIND(true AS ?b)
+        |  FILTER(false || ?o > 1)
+        |  FILTER(EXISTS { ?s <urn:p:r> ?o2 })
+        |  FILTER(NOT EXISTS { ?s <urn:p:n> ?o3 })
+        |}""".stripMargin)
+    def exprs(x: Any): Seq[Expr] = x match {
+      case e: Expr => e +: e.productIterator.toSeq.flatMap(exprs)
+      case s: Seq[_] => s.flatMap(exprs)
+      case o: Option[_] => o.toSeq.flatMap(exprs)
+      case p: Product => p.productIterator.toSeq.flatMap(exprs)
+      case _ => Seq.empty
+    }
+    val es = exprs(pq.algebra)
+    assert(es.contains(EConst(Term.bool(true))), "bare true must be a literal")
+    assert(es.contains(EConst(Term.bool(false))), "bare false must be a literal")
+    assert(es.collect { case EExists(_, neg) => neg }.sorted == Seq(false, true))
+  }
 }

@@ -71,6 +71,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((9005L, 9006L)))
   }
 
+  test("ngram jaccard hot-block guard: oversized blocks excluded and routed") {
+    import spark.implicits._
+    // 12 identical docs flood one (source, length-bucket) block — the
+    // degenerate case whose within-block join is quadratic; 2 near-identical
+    // docs in another source stay under the cap
+    val hotText = "the quick brown fox jumps over the lazy dog again and again"
+    val okA = "some other small block content that pairs up nicely here"
+    val okB = "some other small block content that pairs up nicely there"
+    val rows = (1L to 12L).map(i => (i, hotText, "en", "hot", hotText.length.toLong)) ++
+      Seq((101L, okA, "en", "cold", okA.length.toLong),
+        (102L, okB, "en", "cold", okB.length.toLong))
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // identical n_chars → the hot source floods BOTH of its staggered buckets
+    val over = Dedup.ngramOversizedBlocks(d, maxBlockDocs = 8).collect()
+    assert(over.length == 2, over.mkString(","))
+    assert(over.forall(r => r.getAs[String]("source") == "hot" &&
+      r.getAs[Long]("bn") == 12L))
+    // capped: none of the 66 hot-block pairs survive; the cold pair does
+    val capped = Dedup.ngramJaccardOf(d, threshold = 0.5, maxBlockDocs = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((101L, 102L)), capped.toString)
+    // lifting the cap brings the hot block's pairwise join back (66 = C(12,2))
+    val uncapped = Dedup.ngramJaccardOf(d, threshold = 0.5, maxBlockDocs = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 66 + 1, uncapped.size.toString)
+  }
+
   test("lsh similarity recalls most of brute-force top-5") {
     val brute = Similarity.bruteTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -135,9 +135,25 @@ object ExprEval {
         la.lexForm.compareTo(lb.lexForm) // ISO dates compare lexically
       else if (la.datatype == xsdTime && lb.datatype == xsdTime)
         la.lexForm.compareTo(lb.lexForm)
+      else if (durationTypes.contains(la.datatype) && durationTypes.contains(lb.datatype)) {
+        // XSD duration order is partial: defined when the month components
+        // agree (compare the day/time remainder) or the day/time components
+        // agree (compare months) — this subsumes the total orders on the two
+        // restricted types. Anything else is indeterminate (a month is 28-31
+        // days depending on the anchor date) → error.
+        val (ma, ua) = durOf(la); val (mb, ub) = durOf(lb)
+        if (ma == mb) java.lang.Long.compare(ua, ub)
+        else if (ua == ub) java.lang.Long.compare(ma, mb)
+        else err(s"indeterminate duration order: $a $b")
+      }
       else err(s"incomparable literals: $a $b")
     case _ => err(s"incomparable: $a $b")
   }
+
+  /** Duration value of a duration-typed literal; invalid lexical → error. */
+  private def durOf(l: Lit): (Long, Long) =
+    Term.parseDuration(l.lexForm, l.datatype)
+      .getOrElse(err(s"bad duration: ${l.lexForm}"))
 
   private def isStringy(l: Lit): Boolean =
     l.datatype == xsdString || l.datatype == rdfLangString
@@ -149,6 +165,8 @@ object ExprEval {
         numCompare(numOf(la), numOf(lb)) == 0
       else if (la.datatype == xsdDateTime && lb.datatype == xsdDateTime)
         dateTimeUs(la) == dateTimeUs(lb)
+      else if (durationTypes.contains(la.datatype) && durationTypes.contains(lb.datatype))
+        durOf(la) == durOf(lb) // value space: "P1Y" = "P12M"
       else if (la == lb) true
       else if (la.datatype == lb.datatype && la.lang == lb.lang) false
       else err(s"non-equal, incomparable literals: $a $b") // open-world =
@@ -300,7 +318,15 @@ object ExprEval {
 
     // arithmetic (promotion + div-by-zero error, Expression.swift:532-564)
     case "+" => numTerm(promote(numOf(ev(args(0), b, c)), numOf(ev(args(1), b, c)))(_ + _, _ + _, _ + _))
-    case "-" => numTerm(promote(numOf(ev(args(0), b, c)), numOf(ev(args(1), b, c)))(_ - _, _ - _, _ - _))
+    case "-" =>
+      val x = ev(args(0), b, c); val y = ev(args(1), b, c)
+      (x, y) match {
+        // XPath op:subtract-dateTimes: dateTime − dateTime → dayTimeDuration
+        case (lx: Lit, ly: Lit)
+            if lx.datatype == xsdDateTime && ly.datatype == xsdDateTime =>
+          Term.dayTimeDurationOfMicros(dateTimeUs(lx) - dateTimeUs(ly))
+        case _ => numTerm(promote(numOf(x), numOf(y))(_ - _, _ - _, _ - _))
+      }
     case "*" => numTerm(promote(numOf(ev(args(0), b, c)), numOf(ev(args(1), b, c)))(_ * _, _ * _, _ * _))
     case "/" =>
       val l = numOf(ev(args(0), b, c)); val r = numOf(ev(args(1), b, c))

@@ -151,6 +151,87 @@ object NativeExpr {
   private def simpleStr(t: Column) = isLit(t) && dtF(t) === xsdString && lg(t).isNull
   private def boolLit(t: Column) = isLit(t) && dtF(t) === xsdBoolean
   private def dtIs(t: Column, d: String) = isLit(t) && dtF(t) === d
+  private def isDur(t: Column) = isLit(t) && dtF(t).isin(durationTypes.toSeq: _*)
+
+  // ---- xsd:duration value space (native replica of Term.parseDuration) -----
+
+  /** (months, micros) of a duration literal; (null, null) on invalid lexical
+    * form — which the comparison/equality branches below surface as the SPARQL
+    * error (SQL NULL), matching [[ExprEval]]'s durOf error. */
+  private def durParts(t: Column): (Column, Column) = {
+    val l = lx(t)
+    // per-datatype lexical validity (restricted types reject foreign fields);
+    // "\\d" requires at least one field, endsWith("T") rejects a bare
+    // time designator — same checks as Term.parseDuration
+    // field widths bounded like Term.DurRe (7 digits / 9 fraction digits) so
+    // the Long arithmetic below can never overflow under ANSI evaluation
+    val genRe = "^-?P(?:\\d{1,7}Y)?(?:\\d{1,7}M)?(?:\\d{1,7}D)?(?:T(?:\\d{1,7}H)?(?:\\d{1,7}M)?(?:\\d{1,7}(?:\\.\\d{1,9})?S)?)?$"
+    val ymRe = "^-?P(?:\\d{1,7}Y)?(?:\\d{1,7}M)?$"
+    val dtRe = "^-?P(?:\\d{1,7}D)?(?:T(?:\\d{1,7}H)?(?:\\d{1,7}M)?(?:\\d{1,7}(?:\\.\\d{1,9})?S)?)?$"
+    val ok = l.rlike("\\d") && !l.endsWith("T") &&
+      ((dtF(t) === xsdDuration && l.rlike(genRe)) ||
+        (dtF(t) === xsdYearMonthDuration && l.rlike(ymRe)) ||
+        (dtF(t) === xsdDayTimeDuration && l.rlike(dtRe)))
+    def g(re: String): Column =
+      coalesce(regexp_extract(l, re, 1).try_cast(LongType), lit(0L))
+    val sign = when(l.startsWith("-"), lit(-1L)).otherwise(lit(1L))
+    val months = sign * (g("^-?P(\\d+)Y") * 12L + g("^-?P(?:\\d+Y)?(\\d+)M"))
+    val secs = coalesce(
+      regexp_extract(l, "(\\d+(?:\\.\\d+)?)S$", 1).try_cast(DecimalType(38, 18)),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 18)))
+    val micros = sign * ((g("^-?P(?:\\d+Y)?(?:\\d+M)?(\\d+)D") * 86400L +
+      g("T(\\d+)H") * 3600L + g("T(?:\\d+H)?(\\d+)M") * 60L) * 1000000L +
+      (secs * 1000000L).cast(LongType))
+    (when(ok, months), when(ok, micros))
+  }
+
+  /** 3-way duration compare: months agree → micros, micros agree → months,
+    * else null (indeterminate — mirrors ExprEval's partial order). */
+  private def durCmp(a: Column, b: Column): Column = {
+    val (ma, ua) = durParts(a); val (mb, ub) = durParts(b)
+    when(ma.isNull || mb.isNull, lit(null).cast(IntegerType))
+      .when(ma === mb, cmp3(ua, ub))
+      .when(ua === ub, cmp3(ma, mb))
+  }
+
+  private def durEq(a: Column, b: Column): Column = {
+    val (ma, ua) = durParts(a); val (mb, ub) = durParts(b)
+    when(ma.isNull || mb.isNull, nullB).otherwise(ma === mb && ua === ub)
+  }
+
+  /** Canonical xsd:dayTimeDuration lexical form of a micros value (native
+    * replica of Term.dayTimeDurationOfMicros). Component extraction avoids
+    * Long→Double division: the double quotient is floor'd then corrected by
+    * one in exact Long arithmetic, so values beyond 2^53 µs stay exact. */
+  private def dayTimeLex(us: Column): Column = {
+    def ldiv(x: Column, c: Long): Column = {
+      val q0 = floor(x.cast(DoubleType) / c).cast(LongType)
+      when(q0 * c > x, q0 - 1L).when((q0 + 1L) * c <= x, q0 + 1L).otherwise(q0)
+    }
+    val n = abs(us)
+    val days = ldiv(n, 86400000000L)
+    val hrs = ldiv(n % 86400000000L, 3600000000L)
+    val mins = ldiv(n % 3600000000L, 60000000L)
+    val secUs = n % 60000000L
+    val whole = ldiv(secUs, 1000000L)
+    val frac = secUs % 1000000L
+    val secStr = concat(whole.cast(StringType),
+      when(frac > 0L, concat(lit("."),
+        regexp_replace(lpad(frac.cast(StringType), 6, "0"), "0+$", "")))
+        .otherwise(lit("")))
+    val timeStr = concat(
+      when(hrs > 0L, concat(hrs.cast(StringType), lit("H"))).otherwise(lit("")),
+      when(mins > 0L, concat(mins.cast(StringType), lit("M"))).otherwise(lit("")),
+      when(secUs > 0L, concat(secStr, lit("S"))).otherwise(lit("")))
+    when(us === 0L, lit("PT0S")).otherwise(concat(
+      when(us < 0L, lit("-")).otherwise(lit("")), lit("P"),
+      when(days > 0L, concat(days.cast(StringType), lit("D"))).otherwise(lit("")),
+      when(length(timeStr) > 0, concat(lit("T"), timeStr)).otherwise(lit(""))))
+  }
+
+  private def dayTimeT(us: Column): Column =
+    when(us.isNotNull,
+      mk(lit(KIND_LITERAL), dayTimeLex(us), lit(xsdDayTimeDuration), nullS, nullD))
 
   // typed literal constructors
   private def strT(lexC: Column): Column =
@@ -211,6 +292,7 @@ object NativeExpr {
       .when(dtIs(a, xsdDateTime) && dtIs(b, xsdDateTime), cmp3(tsOf(a), tsOf(b)))
       .when(dtIs(a, xsdDate) && dtIs(b, xsdDate), cmp3(lx(a), lx(b)))
       .when(dtIs(a, xsdTime) && dtIs(b, xsdTime), cmp3(lx(a), lx(b)))
+      .when(isDur(a) && isDur(b), durCmp(a, b))
   }
 
   /** SPARQL '=' value equality (reference valueEquals): boolean-or-null. */
@@ -221,6 +303,7 @@ object NativeExpr {
         when(nm(a).isNull || nm(b).isNull, nullB)
           .otherwise(cmpCol(a, b) === 0))
       .when(dtIs(a, xsdDateTime) && dtIs(b, xsdDateTime), cmp3(tsOf(a), tsOf(b)) === 0)
+      .when(isDur(a) && isDur(b), durEq(a, b)) // value space: "P1Y" = "P12M"
       .when(a === b, lit(true))
       .when(dtF(a) === dtF(b) && (lg(a) <=> lg(b)), lit(false))
 
@@ -516,11 +599,16 @@ object NativeExpr {
         case "+" => try_add(x, y); case "-" => try_subtract(x, y)
         case "*" => try_multiply(x, y)
       }
-      when(isNum(a) && isNum(b),
+      val numeric = when(isNum(a) && isNum(b),
         when(bothI, intT(top(longOf(a), longOf(b))))
           .when(anyD, dblT(dop(nm(a), nm(b))))
           .when(anyF, fltT(dop(nm(a), nm(b)).cast(FloatType)))
           .otherwise(decT(top(decOf(a), decOf(b)).cast(DEC))))
+      // XPath op:subtract-dateTimes: dateTime − dateTime → dayTimeDuration
+      if (op == "-")
+        numeric.when(dtIs(a, xsdDateTime) && dtIs(b, xsdDateTime),
+          dayTimeT(unix_micros(tsOf(a)) - unix_micros(tsOf(b))))
+      else numeric
     }
 
     /** IEEE double division: x/0 → ±Inf, 0/0 → NaN (ANSI Divide would throw). */

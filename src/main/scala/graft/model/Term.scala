@@ -32,6 +32,10 @@ object Term {
   val xsdDateTime: String = XSD + "dateTime"
   val xsdTime: String = XSD + "time"
   val xsdDuration: String = XSD + "duration"
+  val xsdYearMonthDuration: String = XSD + "yearMonthDuration"
+  val xsdDayTimeDuration: String = XSD + "dayTimeDuration"
+  val durationTypes: Set[String] =
+    Set(xsdDuration, xsdYearMonthDuration, xsdDayTimeDuration)
   val rdfLangString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
   def str(s: String): Lit = Lit(s, xsdString, null)
@@ -57,6 +61,73 @@ object Term {
     * dictionary needs).
     */
   def fmtDouble(v: Double): String = java.lang.Double.toString(v)
+
+  // ---- xsd:duration value space --------------------------------------------
+  // The reference parses durations to (months, seconds)
+  // (kasei/kineo RDF.swift:409-474); here the value space is (months, MICROS)
+  // — integral micros keep =/< exact and match the engine's dateTime
+  // resolution. Fractional seconds beyond 6 digits truncate (both here and in
+  // the native column replica, NativeExpr.durParts).
+  // Field widths bounded at 7 digits (≈27k years / 10M days) so the
+  // months/micros arithmetic can never overflow a Long in either engine;
+  // fraction bounded at 9 digits so decimal handling stays exact. Wider
+  // fields are a lexical error (consistent with the native replica).
+  private val DurRe =
+    "^(-)?P(?:(\\d{1,7})Y)?(?:(\\d{1,7})M)?(?:(\\d{1,7})D)?(?:T(?:(\\d{1,7})H)?(?:(\\d{1,7})M)?(?:(\\d{1,7}(?:\\.\\d{1,9})?)S)?)?$".r
+
+  /** Parse an XSD duration lexical form against its (possibly restricted)
+    * datatype. None = invalid lexical form. */
+  def parseDuration(l: String, dt: String): Option[(Long, Long)] = l match {
+    case DurRe(neg, y, mo, d, h, mi, s) =>
+      val fields = Seq(y, mo, d, h, mi, s)
+      if (fields.forall(_ == null)) None // "P" / "-P" / "PT"
+      else if (l.endsWith("T")) None // designator with no time fields
+      else if (dt == xsdYearMonthDuration && Seq(d, h, mi, s).exists(_ != null)) None
+      else if (dt == xsdDayTimeDuration && (y != null || mo != null)) None
+      else {
+        def ln(v: String): Long = if (v == null) 0L else v.toLong
+        val months = 12L * ln(y) + ln(mo)
+        val us = (ln(d) * 86400L + ln(h) * 3600L + ln(mi) * 60L) * 1000000L +
+          (if (s == null) 0L
+           else BigDecimal(s).bigDecimal.movePointRight(6).longValue())
+        val sg = if (neg != null) -1L else 1L
+        Some((sg * months, sg * us))
+      }
+    case _ => None
+  }
+
+  /** Duration value (months, micros) of a duration-typed literal. */
+  def durationValue(t: Term): Option[(Long, Long)] = t match {
+    case Lit(l, dt, _) if durationTypes.contains(dt) => parseDuration(l, dt)
+    case _ => None
+  }
+
+  /** Canonical xsd:dayTimeDuration literal for a micros value (XSD canonical
+    * form: zero components omitted, "PT0S" for zero, fraction trimmed). */
+  def dayTimeDurationOfMicros(us: Long): Lit =
+    if (us == 0L) Lit("PT0S", xsdDayTimeDuration, null)
+    else {
+      val n = math.abs(us)
+      val days = n / 86400000000L
+      val hrs = n % 86400000000L / 3600000000L
+      val mins = n % 3600000000L / 60000000L
+      val secUs = n % 60000000L
+      val sb = new StringBuilder(if (us < 0) "-P" else "P")
+      if (days > 0) sb.append(days).append('D')
+      if (hrs > 0 || mins > 0 || secUs > 0) {
+        sb.append('T')
+        if (hrs > 0) sb.append(hrs).append('H')
+        if (mins > 0) sb.append(mins).append('M')
+        if (secUs > 0) {
+          sb.append(secUs / 1000000L)
+          val frac = secUs % 1000000L
+          if (frac > 0)
+            sb.append('.').append(f"$frac%06d".reverse.dropWhile(_ == '0').reverse)
+          sb.append('S')
+        }
+      }
+      Lit(sb.toString, xsdDayTimeDuration, null)
+    }
 
   val numericTypes: Set[String] =
     Set(xsdInteger, xsdInt, xsdDecimal, xsdFloat, xsdDouble,

@@ -178,6 +178,65 @@ class ExprEvalSpec extends AnyFunSuite {
     assert(totalCompare(Term.str("5"), Term.int(5)) != 0)
   }
 
+  test("xsd:duration value space: =/< per XSD, restricted types, errors") {
+    def dur(l: String, dt: String = Term.xsdDuration): Expr = c(Lit(l, dt, null))
+    // value equality across lexical forms (months, micros)
+    assert(ev(call("=", dur("P1Y"), dur("P12M"))) == Term.bool(true))
+    assert(ev(call("=", dur("PT1H", Term.xsdDayTimeDuration),
+      dur("PT3600S", Term.xsdDayTimeDuration))) == Term.bool(true))
+    assert(ev(call("=", dur("P1Y"), dur("P13M"))) == Term.bool(false))
+    // order: same month component → compare day/time remainder, and vice versa
+    assert(ev(call("<", dur("P1D"), dur("P2D"))) == Term.bool(true))
+    assert(ev(call("<", dur("P11M", Term.xsdYearMonthDuration),
+      dur("P1Y", Term.xsdYearMonthDuration))) == Term.bool(true))
+    assert(ev(call("<", dur("P1Y1D"), dur("P1Y2D"))) == Term.bool(true))
+    assert(ev(call("<", dur("-PT1M", Term.xsdDayTimeDuration),
+      dur("PT0S", Term.xsdDayTimeDuration))) == Term.bool(true))
+    // indeterminate order (month vs day tradeoff) is an error, not false
+    assert(isErr(ev(call("<", dur("P1M"), dur("P30D")))))
+    // fractional seconds
+    assert(ev(call("=", dur("PT1.5S"), dur("PT1.500S"))) == Term.bool(true))
+    // restricted types reject foreign fields; malformed forms error on use
+    assert(isErr(ev(call("=", dur("P1D", Term.xsdYearMonthDuration), dur("P1D")))))
+    assert(isErr(ev(call("=", dur("P1Y", Term.xsdDayTimeDuration), dur("P1Y")))))
+    assert(isErr(ev(call("=", dur("P"), dur("P")))))
+    assert(isErr(ev(call("=", dur("P1YT"), dur("P1YT")))))
+    // duration vs non-duration comparison is an error
+    assert(isErr(ev(call("<", dur("P1D"), i(86400)))))
+  }
+
+  test("dateTime subtraction yields canonical xsd:dayTimeDuration") {
+    def dt(l: String): Expr = c(Lit(l, Term.xsdDateTime, null))
+    assert(ev(call("-", dt("2020-05-07T01:02:03Z"), dt("2020-05-06T01:02:03Z"))) ==
+      Lit("P1D", Term.xsdDayTimeDuration, null))
+    assert(ev(call("-", dt("2020-05-06T02:03:04.5Z"), dt("2020-05-06T01:02:03Z"))) ==
+      Lit("PT1H1M1.5S", Term.xsdDayTimeDuration, null))
+    assert(ev(call("-", dt("2020-05-06T01:02:03Z"), dt("2020-05-07T01:02:03Z"))) ==
+      Lit("-P1D", Term.xsdDayTimeDuration, null))
+    assert(ev(call("-", dt("2020-05-06T01:02:03Z"), dt("2020-05-06T01:02:03Z"))) ==
+      Lit("PT0S", Term.xsdDayTimeDuration, null))
+    // offsets honored: 14:04+02:00 is the same instant as 12:04Z
+    assert(ev(call("-", dt("2020-05-06T14:04:05+02:00"), dt("2020-05-06T12:04:05Z"))) ==
+      Lit("PT0S", Term.xsdDayTimeDuration, null))
+    // subtraction result is itself comparable
+    assert(ev(call("<",
+      call("-", dt("2020-05-06T02:00:00Z"), dt("2020-05-06T01:00:00Z")),
+      call("-", dt("2020-05-06T04:00:00Z"), dt("2020-05-06T01:00:00Z")))) ==
+      Term.bool(true))
+  }
+
+  test("duration ordering via value comparison is total on each restricted type") {
+    // W3C-style ordering probe: dayTimeDurations sort by micros
+    val ds = Seq("PT2M", "-PT1H", "PT90S", "P1D", "PT0S")
+      .map(l => Lit(l, Term.xsdDayTimeDuration, null))
+    val sorted = ds.sortWith((a, b) => ExprEval.valueCompare(a, b) < 0).map(_.lexForm)
+    assert(sorted == Seq("-PT1H", "PT0S", "PT90S", "PT2M", "P1D"))
+    val yms = Seq("P13M", "-P1M", "P1Y", "P0M")
+      .map(l => Lit(l, Term.xsdYearMonthDuration, null))
+    val sortedY = yms.sortWith((a, b) => ExprEval.valueCompare(a, b) < 0).map(_.lexForm)
+    assert(sortedY == Seq("-P1M", "P0M", "P1Y", "P13M"))
+  }
+
   test("nondeterministic functions produce well-formed terms") {
     val u = ev(call("uuid"))
     assert(u.isInstanceOf[Iri] && u.lex.startsWith("urn:uuid:"))

@@ -50,7 +50,20 @@ class NativeExprSpec extends AnyFunSuite {
     Lit("1996-01-01T12:04:05", Term.xsdDateTime, null),
     Lit("1996-01-01T14:04:05+02:00", Term.xsdDateTime, null),
     Lit("bad", Term.xsdInteger, null), // malformed numeric
-    Lit("x", "urn:custom:dt", null))   // unknown datatype
+    Lit("x", "urn:custom:dt", null),   // unknown datatype
+    // durations: value space (months, micros); P1Y = P12M across lexical
+    // forms, P1M1D vs P1Y is indeterminate (error), restricted types reject
+    // foreign fields, "P" is malformed
+    Lit("P1Y", Term.xsdDuration, null),
+    Lit("P12M", Term.xsdDuration, null),
+    Lit("P1M1D", Term.xsdDuration, null),
+    Lit("P1DT2H3M4.5S", Term.xsdDuration, null),
+    Lit("P2M", Term.xsdYearMonthDuration, null),
+    Lit("PT1H", Term.xsdDayTimeDuration, null),
+    Lit("PT3600S", Term.xsdDayTimeDuration, null),
+    Lit("-PT1M", Term.xsdDayTimeDuration, null),
+    Lit("P1Y", Term.xsdDayTimeDuration, null), // invalid for restricted type
+    Lit("P", Term.xsdDuration, null))          // malformed
 
   lazy val pairsDf = {
     val schema = StructType(Seq(

@@ -13,6 +13,7 @@ import graft.store.{RdfStore, StoreEncoder, StorePersist}
   *   graft.Main create  <storeDir> [file.ttl|.nt|.nq ...]
   *   graft.Main load    <storeDir> <file> [graphIri]
   *   graft.Main query   <storeDir> <query.rq | sparql text> [--format tsv|csv|json|xml]
+  *   graft.Main query   --endpoint <url> <query> [--format ...]   (kineo-client parity)
   *   graft.Main explain <storeDir> <query> [--analyze]
   *   graft.Main graphs  <storeDir>
   *   graft.Main dump    <storeDir> <out> [--format nquads|turtle]
@@ -43,6 +44,7 @@ object Main {
       |  create  <storeDir> [file ...]        create a persisted store (optionally loading files)
       |  load    <storeDir> <file> [graphIri] parse Turtle/N-Triples/N-Quads and append
       |  query   <storeDir> <query.rq|sparql> [--format tsv|csv|json|xml]
+      |  query   --endpoint <url> <query.rq|sparql> [--format ...]   remote SPARQL endpoint
       |  explain <storeDir> <query.rq|sparql> [--analyze]
       |  graphs  <storeDir>                   list graph IRIs
       |  dump    <storeDir> <outFile>         [--format nquads|turtle]
@@ -72,11 +74,18 @@ object Main {
         StorePersist.save(store, dir)
         println(s"loaded $file into $dir (${store.quads.count()} quads total)")
         0
-      case "query" =>
-        val eng = new GraftEngine(openOrTestData(spark, args(1)))
-        val df = eng.query(queryText(args(2)))
-        print(render(df, flag(args, "--format").getOrElse("tsv")))
-        0
+      case "query" => flag(args, "--endpoint") match {
+        case Some(url) => // remote endpoint-client mode (kineo-client parity)
+          val q = positional(args, 1).headOption.getOrElse(
+            throw new ArrayIndexOutOfBoundsException(1))
+          remoteQuery(spark, url, queryText(q), flag(args, "--format").getOrElse("tsv"))
+          0
+        case None =>
+          val eng = new GraftEngine(openOrTestData(spark, args(1)))
+          val df = eng.query(queryText(args(2)))
+          print(render(df, flag(args, "--format").getOrElse("tsv")))
+          0
+      }
       case "explain" =>
         val eng = new GraftEngine(openOrTestData(spark, args(1)))
         val q = queryText(args(2))
@@ -157,6 +166,41 @@ object Main {
   private def flag(args: Array[String], name: String): Option[String] = {
     val i = args.indexOf(name)
     if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+
+  /** Positional arguments from `from`, with `--flag value` pairs removed. */
+  private def positional(args: Array[String], from: Int): Seq[String] = {
+    val flags = Set("--format", "--endpoint")
+    val out = scala.collection.mutable.Buffer[String]()
+    var i = from
+    while (i < args.length) {
+      if (flags(args(i))) i += 2
+      else { out += args(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Endpoint-client mode (reference `kineo-client`,
+    * Sources/kineo-client/main.swift): POST the query to a remote SPARQL
+    * endpoint and render the parsed results with the same formats as local
+    * queries — the remote bindings become a one-partition term-struct frame so
+    * [[render]]/[[graft.sources.SparqlResults]] apply unchanged. */
+  private def remoteQuery(spark: SparkSession, url: String, query: String,
+      format: String): Unit = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val (vars, rows, ask) = new graft.engine.HttpServiceClient()
+      .executeQueryText(url, query)
+    ask match {
+      case Some(b) => println(s"ask\n$b")
+      case None =>
+        val schema = StructType(vars.map(v =>
+          StructField(v, TermRow.schema, nullable = true)))
+        val data = rows.map(r => org.apache.spark.sql.Row.fromSeq(
+          vars.map(v => r.get(v).map(TermRow.toRow).orNull)))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(data, 1), schema)
+        print(render(df, format))
+    }
   }
 
   private def graphIris(store: RdfStore): Seq[String] = {

@@ -28,14 +28,36 @@ final class HttpServiceClient(connectTimeoutMs: Int = 10000,
       vars: Seq[String]): Seq[Map[String, Term]] = {
     val query = AlgebraText.selectQuery(pattern, vars)
     val (contentType, body) = post(endpoint, query)
-    parseByType(contentType, body)
+    parseByType(contentType, body)._2
+  }
+
+  /** Endpoint-client mode (reference kineo-client,
+    * `Sources/kineo-client/main.swift`): POST the user's query text unchanged
+    * and return (vars, rows, ask) — `ask` is Some for a boolean (ASK)
+    * response, which the bindings codecs cannot represent. */
+  def executeQueryText(endpoint: String,
+      query: String): (Seq[String], Seq[Map[String, Term]], Option[Boolean]) = {
+    val (contentType, body) = post(endpoint, query)
+    val mt = contentType.takeWhile(_ != ';').trim.toLowerCase
+    val isJson = mt == "application/sparql-results+json" || mt == "application/json"
+    val isXml = mt == "application/sparql-results+xml" || mt == "application/xml" ||
+      mt == "text/xml"
+    if (isJson) {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      if (root.has("boolean"))
+        return (Seq.empty, Seq.empty, Some(root.get("boolean").asBoolean))
+    }
+    if (isXml && body.contains("<boolean>"))
+      return (Seq.empty, Seq.empty, Some(body.contains("<boolean>true</boolean>")))
+    val (vars, rows) = parseByType(contentType, body)
+    (vars, rows, None)
   }
 
   /** Dispatch on the (parameter-stripped) media type. */
   private[engine] def parseByType(contentType: String,
-      body: String): Seq[Map[String, Term]] = {
+      body: String): (Seq[String], Seq[Map[String, Term]]) = {
     val mt = contentType.takeWhile(_ != ';').trim.toLowerCase
-    val (_, rows) = mt match {
+    mt match {
       case "application/sparql-results+json" | "application/json" =>
         SparqlResults.parseJson(body)
       case "application/sparql-results+xml" | "application/xml" | "text/xml" =>
@@ -44,7 +66,6 @@ final class HttpServiceClient(connectTimeoutMs: Int = 10000,
       case other =>
         throw new IllegalStateException(s"SERVICE: unsupported content type $other")
     }
-    rows
   }
 
   private def post(endpoint: String, query: String): (String, String) = {

@@ -77,4 +77,51 @@ class CliSpec extends AnyFunSuite {
       "SELECT (COUNT(*) AS ?n) WHERE { GRAPH <urn:g:geo> { ?s ?p ?o } }")
     assert(cq == 0 && oq.contains("3056"), oq)
   }
+
+  test("cli: query --endpoint runs against a remote SPARQL endpoint") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.sources.SparqlResults
+    // SPARQL-protocol stub backed by a local engine (GraphSpec precedent):
+    // decodes the POSTed query, evaluates, answers sparql-results+json
+    val remoteEng = new GraftEngine(
+      graft.store.RelToRdf.cached(spark, "/root/testdata/sf0.001"))
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sparql", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val form = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val query = java.net.URLDecoder.decode(form.stripPrefix("query="), "UTF-8")
+        val df = remoteEng.query(query)
+        val body =
+          if (df.columns.sameElements(Array("ask")))
+            SparqlResults.booleanJson(df.collect()(0).getBoolean(0))
+          else SparqlResults.toJson(df)
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/sparql-results+json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/sparql"
+      val q = "SELECT ?nm WHERE { ?r <urn:p:region:r_name> ?nm } ORDER BY ?nm"
+      val (c, out) = capture("query", "--endpoint", url, q)
+      assert(c == 0, out)
+      val lines = out.trim.split("\n")
+      assert(lines.head == "?nm", out.take(200))
+      assert(lines.length == 6, s"want header + 5 regions:\n$out")
+      // --format json renders remote bindings through the same codecs
+      val (cj, oj) = capture("query", "--endpoint", url, q, "--format", "json")
+      assert(cj == 0 && oj.contains("\"bindings\""), oj.take(200))
+      // ASK over the endpoint
+      val (ca, oa) = capture("query", "--endpoint", url,
+        "ASK { ?r <urn:p:region:r_name> ?nm }")
+      assert(ca == 0 && oa.contains("true"), oa)
+      // endpoint errors surface as exit 1, not a stack trace
+      val (ce, _) = capture("query", "--endpoint",
+        "http://127.0.0.1:1/sparql", q)
+      assert(ce == 1)
+    } finally server.stop(0)
+  }
 }

@@ -181,7 +181,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     * gated on (certain-certain joins only), null matches nothing — exactly the
     * semantics of a term no store quad contains.
     */
-  private def toIdRep(sol: Sol, v: String): Sol = sol.reps(v) match {
+  private[engine] def toIdRep(sol: Sol, v: String): Sol = sol.reps(v) match {
     case IdRep => sol
     case TermRep =>
       val converted: DataFrame = sol.consts.get(v) match {

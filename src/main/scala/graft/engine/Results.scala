@@ -155,23 +155,15 @@ object Results {
     * targets, SimpleQueryEvaluation.swift:1305-1319). */
   def describe(c: Compiler, sol: Sol, vs: Seq[String]): DataFrame = {
     val present = vs.filter(sol.reps.contains)
-    val idFrames = present.collect {
-      case v if sol.reps(v) == IdRep => sol.df.select(col(v).as("__tid"))
+    // TermRep targets (constant lists, VALUES, computed BINDs) convert through
+    // the compiler's distributed term→id path (inline UDF + dictionary join on
+    // the target side) — no driver-side collect, so a high-cardinality
+    // DESCRIBE ?x target set cannot OOM the driver.
+    val idFrames = present.map { v =>
+      c.toIdRep(sol, v).df.select(col(s"`$v`").as("__tid"))
+        .filter(col("__tid").isNotNull)
     }
-    // TermRep targets (constant lists, VALUES) resolve ids driver-side: tiny
-    val termIds: Seq[Long] = present.collect {
-      case v if sol.reps(v) == TermRep =>
-        sol.df.select(v).dropDuplicates().collect()
-          .flatMap(r => Option(TV.toTerm(r.getStruct(0))).flatMap(c.store.idOf)).toSeq
-    }.flatten
-    val constFrame =
-      if (termIds.isEmpty) None
-      else Some(c.store.spark.createDataFrame(
-        c.store.spark.sparkContext.parallelize(termIds.map(org.apache.spark.sql.Row(_)), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__tid",
-            org.apache.spark.sql.types.LongType, nullable = false)))))
-    val frames = idFrames ++ constFrame
+    val frames = idFrames
     val q =
       if (frames.isEmpty) c.store.quads.filter(lit(false))
       else {

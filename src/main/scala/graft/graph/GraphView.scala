@@ -43,26 +43,56 @@ final class GraphView(store: RdfStore) {
     q.select(F.col("s"))
   }
 
-  /** Walk an rdf:List from its head, returning member ids in order (driver-side
-    * pointer chase — rdf:Lists are short by construction; reference:
-    * GraphAPI list helpers). */
-  def rdfList(head: Term): Seq[Long] = {
+  /** Walk an rdf:List from its head, returning member ids in order.
+    *
+    * Pointer-doubling over the store's rdf:rest edges — O(log n) Spark jobs
+    * for an n-cell list, not one job per cons cell (reference: GraphAPI list
+    * helpers, which chase driver-side). `pos` accumulates (cell, distance)
+    * for every cell reachable from the head; `hop` doubles its stride each
+    * round. rdf:rest is functional (out-degree 1), so every `hop` generation
+    * stays ≤ the store's cons-cell count and the self-join output is linear,
+    * never quadratic; `hop` must NOT be pruned to reachable cells — the
+    * composition's mid-nodes lie beyond the frontier by construction. Cycles
+    * terminate via the min-distance dedup + growth check. */
+  def rdfList(head: Term): Seq[Long] =
+    store.idOf(head).map(rdfListFrom).getOrElse(Seq.empty)
+
+  /** Id-space variant of [[rdfList]]. */
+  def rdfListFrom(headId: Long): Seq[Long] = {
+    val spark = store.spark
+    import spark.implicits._
     val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     val firstId = store.idOf(Iri(rdf + "first")).getOrElse(return Seq.empty)
     val restId = store.idOf(Iri(rdf + "rest")).getOrElse(return Seq.empty)
     val nilId = store.idOf(Iri(rdf + "nil"))
-    val out = scala.collection.mutable.ListBuffer[Long]()
-    var cur = store.idOf(head)
-    var steps = 0
-    while (cur.isDefined && !nilId.contains(cur.get) && steps < 10000) {
-      val rows = store.quads.filter(F.col("s") === cur.get &&
-          (F.col("p") === firstId || F.col("p") === restId))
-        .select("p", "o").collect()
-      rows.find(_.getLong(0) == firstId).foreach(r => out += r.getLong(1))
-      cur = rows.find(_.getLong(0) == restId).map(_.getLong(1))
-      steps += 1
+    if (nilId.contains(headId)) return Seq.empty
+    val rests = store.quads.filter(F.col("p") === restId)
+      .select(F.col("s").as("u"), F.col("o").as("v"))
+    var pos = Seq((headId, 0L)).toDF("cell", "pos")
+    var hop = rests.withColumn("w", F.lit(1L))
+    var n = 1L
+    var grew = true
+    var round = 0
+    while (grew && round < 21) { // 2^21 cells ≫ any real rdf:List
+      val next = pos.join(hop, pos("cell") === hop("u"))
+        .select(hop("v").as("cell"), (pos("pos") + hop("w")).as("pos"))
+      pos = pos.unionByName(next).groupBy("cell").agg(F.min("pos").as("pos"))
+        .localCheckpoint() // cut lineage: iteration would stack plans
+      val n2 = pos.count()
+      grew = n2 > n
+      n = n2
+      if (grew) {
+        hop = hop.alias("a").join(hop.alias("b"), F.col("a.v") === F.col("b.u"))
+          .select(F.col("a.u").as("u"), F.col("b.v").as("v"),
+            (F.col("a.w") + F.col("b.w")).as("w"))
+          .localCheckpoint()
+      }
+      round += 1
     }
-    out.toSeq
+    val firsts = store.quads.filter(F.col("p") === firstId)
+      .select(F.col("s").as("cell"), F.col("o").as("m"))
+    pos.join(firsts, "cell").orderBy("pos").select("m")
+      .collect().map(_.getLong(0)).toSeq
   }
 
   /** GraphX view of the entity graph: vertices = term ids, edges = predicate ids. */

@@ -2,17 +2,29 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Event-stream analytics (batch shapes of the streaming operators; the streaming
   * variants live in [[graft.streaming.StreamOps]]).
   */
 object EventsOps {
 
-  /** events.parquet stores TIMESTAMP(NANOS); read via nanosAsLong + convert. */
+  /** Normalize `ts` to TimestampType across testdata layouts: a legacy
+    * TIMESTAMP(NANOS) file surfaces as LongType nanos (under the nanosAsLong
+    * read conf), the current layout as TIMESTAMP_NTZ micros. Session timezone
+    * is UTC, so the NTZ→TZ cast preserves the wall-clock == instant identity
+    * the DuckDB oracle's epoch() arithmetic assumes. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    case TimestampType => df
+    case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+  }
+
+  /** events.parquet with `ts` normalized to TimestampType (layout-adaptive). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
   /** Tumbling 5-minute windows per event type (Spark-idiomatic window() fn). */

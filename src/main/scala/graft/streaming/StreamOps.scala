@@ -23,8 +23,8 @@ object StreamOps {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    graft.pipeline.EventsOps.normalizeTs(
+      spark.readStream.schema(schema).parquet(s"$dir/"))
   }
 
   /** Tumbling 5-minute windowed counts with a 10-minute watermark. */

@@ -756,4 +756,22 @@ class EngineSpec extends AnyFunSuite {
     assert(!up.contains("Coalesce 1"),
       "unknown-card REDUCED must NOT funnel through coalesce(1)")
   }
+
+  test("DESCRIBE TermRep targets resolve distributed (no driver collect)") {
+    val eng = new GraftEngine(tiny)
+    // VALUES target: compile-time consts path of toIdRep
+    val viaValues = eng.query(
+      "DESCRIBE ?x WHERE { VALUES ?x { <http://example.org/s1> } }")
+    assert(viaValues.count() == 3) // s1: name, age, knows
+    // computed target: BIND(IRI(...)) — no consts, takes the inline-UDF +
+    // dictionary-join path
+    val viaBind = eng.query(
+      "DESCRIBE ?y WHERE { BIND(IRI(\"http://example.org/s2\") AS ?y) }")
+    val rows = viaBind.collect()
+    assert(rows.length == 1 && rows.head.getString(0).contains("s2"))
+    // absent-term target describes nothing (null id matches no quad)
+    val absent = eng.query(
+      "DESCRIBE ?z WHERE { BIND(IRI(\"http://example.org/nope\") AS ?z) }")
+    assert(absent.count() == 0)
+  }
 }

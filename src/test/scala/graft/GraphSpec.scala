@@ -34,6 +34,35 @@ class GraphSpec extends AnyFunSuite {
     assert(cc.select("component").distinct().count() < 50)
   }
 
+  test("rdf:List walk returns members in order via pointer doubling") {
+    import graft.sources.RdfIO
+    val ttl =
+      """@prefix ex: <http://example.org/> .
+        |ex:menu ex:items ( ex:a ex:b ex:c ex:d ex:e ) .
+        |ex:empty ex:items ( ) .
+        |""".stripMargin
+    val listStore = RdfIO.loadTurtle(spark, ttl)
+    val lgv = new GraphView(listStore)
+    // heads of the two lists (the empty list's "head" is rdf:nil itself)
+    val heads = lgv.out(Iri("http://example.org/menu"),
+      Some(Iri("http://example.org/items"))).collect().map(_.getLong(0))
+    assert(heads.length == 1)
+    val members = lgv.rdfListFrom(heads.head)
+    assert(members.length == 5)
+    val lexById = listStore.terms
+      .filter(org.apache.spark.sql.functions.col("id").isin(members: _*))
+      .select("id", "lex").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val names = members.map(id =>
+      lexById.getOrElse(id, listStore.scheme.decodeIri(id)))
+    assert(names == Seq("a", "b", "c", "d", "e").map("http://example.org/" + _))
+    // empty list: ex:empty's object is rdf:nil → empty walk
+    val emptyHead = lgv.out(Iri("http://example.org/empty"),
+      Some(Iri("http://example.org/items"))).collect().map(_.getLong(0))
+    assert(emptyHead.length == 1 && lgv.rdfListFrom(emptyHead.head).isEmpty)
+    // a term that heads no list walks to nothing
+    assert(lgv.rdfList(Iri("http://example.org/menu")).isEmpty)
+  }
+
   test("federated SERVICE between two local stores") {
     val eng = new GraftEngine(store,
       serviceClient = Some(new LocalServiceClient(Map("urn:svc:self" -> store))))

@@ -12,20 +12,18 @@ class StreamSpec extends AnyFunSuite {
   /** Stream dir containing only the events file (file-source streams a directory). */
   lazy val evDir: String = {
     val dir = "/tmp/graft_stream/events"
-    val fs = new java.io.File(dir)
-    if (!fs.exists()) {
-      fs.mkdirs()
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sf/events.parquet").write.mode("overwrite").parquet(dir)
-    }
+    // always rewrite: a fixture left by a previous run may predate a testdata
+    // regeneration (different values AND a different ts physical type)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet").write.mode("overwrite").parquet(dir)
     dir
   }
 
   def stream() = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(evDir).schema
-    spark.readStream.schema(schema).parquet(evDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    graft.pipeline.EventsOps.normalizeTs(
+      spark.readStream.schema(schema).parquet(evDir))
   }
 
   test("streaming windowed counts equal the batch result") {
@@ -99,17 +97,13 @@ class StreamSpec extends AnyFunSuite {
     // must emit each event_id once (all duplicates arrive in the same batch,
     // well inside the watermark horizon)
     val dir = "/tmp/graft_stream/events_dup"
-    val fs = new java.io.File(dir)
-    if (!fs.exists()) {
-      fs.mkdirs()
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$sf/events.parquet")
-      ev.union(ev).write.mode("overwrite").parquet(dir)
-    }
+    // always rewrite: stale fixtures may predate a testdata regeneration
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    ev.union(ev).write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
-    val dupStream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val dupStream = graft.pipeline.EventsOps.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir))
     val out = StreamOps.runToMemory(
       StreamOps.dedupEvents(dupStream), "dedup_events", OutputMode.Append)
     val distinctIds = spark.read.parquet(s"$sf/events.parquet")

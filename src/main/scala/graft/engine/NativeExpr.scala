@@ -6,6 +6,35 @@ import org.apache.spark.sql.types._
 import graft.algebra._
 import graft.model.{Term, TermRow}
 
+/** JVM-side duration codec for the codegen path: [[NativeExpr]] calls these via
+  * `StaticInvoke` (one compact function call in the generated code) instead of
+  * inlining ~8 regex Column ops per operand — the Column-tree replica doubled
+  * codegen size of EVERY comparison/equality, measurably slowing queries that
+  * never see a duration. Delegating to [[Term.parseDuration]] also makes
+  * interpreter/codegen parity true by construction. */
+object DurJvm {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Months component of a duration literal, or null when the lexical form is
+    * invalid for the given datatype. */
+  def durMonths(lex: UTF8String, dt: UTF8String): java.lang.Long =
+    Term.parseDuration(lex.toString, dt.toString) match {
+      case Some((m, _)) => java.lang.Long.valueOf(m)
+      case None => null
+    }
+
+  /** Micros (day/time remainder) component, or null when invalid. */
+  def durMicros(lex: UTF8String, dt: UTF8String): java.lang.Long =
+    Term.parseDuration(lex.toString, dt.toString) match {
+      case Some((_, us)) => java.lang.Long.valueOf(us)
+      case None => null
+    }
+
+  /** Canonical xsd:dayTimeDuration lexical form of a micros value. */
+  def dayTimeLex(us: Long): UTF8String =
+    UTF8String.fromString(Term.dayTimeDurationOfMicros(us).lexForm)
+}
+
 /** Native (Catalyst-codegen) compilation of SPARQL scalar expressions.
   *
   * Compiles the hot expression surface — comparison, EBV/logical, arithmetic with
@@ -153,37 +182,25 @@ object NativeExpr {
   private def dtIs(t: Column, d: String) = isLit(t) && dtF(t) === d
   private def isDur(t: Column) = isLit(t) && dtF(t).isin(durationTypes.toSeq: _*)
 
-  // ---- xsd:duration value space (native replica of Term.parseDuration) -----
+  // ---- xsd:duration value space (delegates to Term.parseDuration) ----------
+
+  private def durInvoke(fn: String, t: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(StaticInvoke(
+      DurJvm.getClass, LongType, fn,
+      Seq(ColumnBridge.expression(lx(t)), ColumnBridge.expression(dtF(t))),
+      returnNullable = true))
+  }
 
   /** (months, micros) of a duration literal; (null, null) on invalid lexical
     * form — which the comparison/equality branches below surface as the SPARQL
-    * error (SQL NULL), matching [[ExprEval]]'s durOf error. */
-  private def durParts(t: Column): (Column, Column) = {
-    val l = lx(t)
-    // per-datatype lexical validity (restricted types reject foreign fields);
-    // "\\d" requires at least one field, endsWith("T") rejects a bare
-    // time designator — same checks as Term.parseDuration
-    // field widths bounded like Term.DurRe (7 digits / 9 fraction digits) so
-    // the Long arithmetic below can never overflow under ANSI evaluation
-    val genRe = "^-?P(?:\\d{1,7}Y)?(?:\\d{1,7}M)?(?:\\d{1,7}D)?(?:T(?:\\d{1,7}H)?(?:\\d{1,7}M)?(?:\\d{1,7}(?:\\.\\d{1,9})?S)?)?$"
-    val ymRe = "^-?P(?:\\d{1,7}Y)?(?:\\d{1,7}M)?$"
-    val dtRe = "^-?P(?:\\d{1,7}D)?(?:T(?:\\d{1,7}H)?(?:\\d{1,7}M)?(?:\\d{1,7}(?:\\.\\d{1,9})?S)?)?$"
-    val ok = l.rlike("\\d") && !l.endsWith("T") &&
-      ((dtF(t) === xsdDuration && l.rlike(genRe)) ||
-        (dtF(t) === xsdYearMonthDuration && l.rlike(ymRe)) ||
-        (dtF(t) === xsdDayTimeDuration && l.rlike(dtRe)))
-    def g(re: String): Column =
-      coalesce(regexp_extract(l, re, 1).try_cast(LongType), lit(0L))
-    val sign = when(l.startsWith("-"), lit(-1L)).otherwise(lit(1L))
-    val months = sign * (g("^-?P(\\d+)Y") * 12L + g("^-?P(?:\\d+Y)?(\\d+)M"))
-    val secs = coalesce(
-      regexp_extract(l, "(\\d+(?:\\.\\d+)?)S$", 1).try_cast(DecimalType(38, 18)),
-      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 18)))
-    val micros = sign * ((g("^-?P(?:\\d+Y)?(?:\\d+M)?(\\d+)D") * 86400L +
-      g("T(\\d+)H") * 3600L + g("T(?:\\d+H)?(\\d+)M") * 60L) * 1000000L +
-      (secs * 1000000L).cast(LongType))
-    (when(ok, months), when(ok, micros))
-  }
+    * error (SQL NULL), matching [[ExprEval]]'s durOf error. Compiled as two
+    * `StaticInvoke`s into [[DurJvm]] (→ [[Term.parseDuration]]): one compact
+    * call each in the generated code, vs a ~8-regex Column tree that doubled
+    * the codegen of every comparison whether or not durations ever appear. */
+  private def durParts(t: Column): (Column, Column) =
+    (durInvoke("durMonths", t), durInvoke("durMicros", t))
 
   /** 3-way duration compare: months agree → micros, micros agree → months,
     * else null (indeterminate — mirrors ExprEval's partial order). */
@@ -199,34 +216,15 @@ object NativeExpr {
     when(ma.isNull || mb.isNull, nullB).otherwise(ma === mb && ua === ub)
   }
 
-  /** Canonical xsd:dayTimeDuration lexical form of a micros value (native
-    * replica of Term.dayTimeDurationOfMicros). Component extraction avoids
-    * Long→Double division: the double quotient is floor'd then corrected by
-    * one in exact Long arithmetic, so values beyond 2^53 µs stay exact. */
+  /** Canonical xsd:dayTimeDuration lexical form of a micros value — one
+    * `StaticInvoke` into [[DurJvm]] (→ [[Term.dayTimeDurationOfMicros]]),
+    * exact Long component arithmetic by construction. */
   private def dayTimeLex(us: Column): Column = {
-    def ldiv(x: Column, c: Long): Column = {
-      val q0 = floor(x.cast(DoubleType) / c).cast(LongType)
-      when(q0 * c > x, q0 - 1L).when((q0 + 1L) * c <= x, q0 + 1L).otherwise(q0)
-    }
-    val n = abs(us)
-    val days = ldiv(n, 86400000000L)
-    val hrs = ldiv(n % 86400000000L, 3600000000L)
-    val mins = ldiv(n % 3600000000L, 60000000L)
-    val secUs = n % 60000000L
-    val whole = ldiv(secUs, 1000000L)
-    val frac = secUs % 1000000L
-    val secStr = concat(whole.cast(StringType),
-      when(frac > 0L, concat(lit("."),
-        regexp_replace(lpad(frac.cast(StringType), 6, "0"), "0+$", "")))
-        .otherwise(lit("")))
-    val timeStr = concat(
-      when(hrs > 0L, concat(hrs.cast(StringType), lit("H"))).otherwise(lit("")),
-      when(mins > 0L, concat(mins.cast(StringType), lit("M"))).otherwise(lit("")),
-      when(secUs > 0L, concat(secStr, lit("S"))).otherwise(lit("")))
-    when(us === 0L, lit("PT0S")).otherwise(concat(
-      when(us < 0L, lit("-")).otherwise(lit("")), lit("P"),
-      when(days > 0L, concat(days.cast(StringType), lit("D"))).otherwise(lit("")),
-      when(length(timeStr) > 0, concat(lit("T"), timeStr)).otherwise(lit(""))))
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(StaticInvoke(
+      DurJvm.getClass, StringType, "dayTimeLex",
+      Seq(ColumnBridge.expression(us)), returnNullable = false))
   }
 
   private def dayTimeT(us: Column): Column =

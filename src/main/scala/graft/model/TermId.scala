@@ -55,7 +55,17 @@ object TermId {
     * deterministic (same term always encodes the same way) so that equal terms get
     * equal ids without coordination.
     */
-  def tryInline(t: Term): Option[Long] = t match {
+  def tryInline(t: Term): Option[Long] =
+    // Round-trip gate: inline ONLY terms whose decode reproduces the exact
+    // lexical form and datatype. BGP matching is TERM identity, not value
+    // identity — "01"^^xsd:integer and "1"^^xsd:integer are different RDF
+    // terms that compare value-equal only under FILTER `=`. Without the gate
+    // both collapse to one inline id (and xsd:int decodes as xsd:integer),
+    // silently conflating terms and rewriting lexical forms on output.
+    // Non-canonical forms go to the dictionary, preserving identity.
+    rawInline(t).filter(id => decodeInline(id) == t)
+
+  private def rawInline(t: Term): Option[Long] = t match {
     case Lit(l, dt, lang) if lang == null || lang.isEmpty =>
       dt match {
         case Term.xsdBoolean =>

@@ -48,6 +48,9 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: algebra manifest (OPTIONAL/FILTER scoping)") { runArea("algebra") }
   test("w3c: expr-builtin manifest (LANG/DATATYPE/isIRI family)") { runArea("expr-builtin") }
   test("w3c: csv-tsv-res manifest (TSV result round-trip)") { runArea("csv-tsv-res") }
+  test("w3c: basic manifest (term identity, lexical preservation)") { runArea("basic") }
+  test("w3c: dataset manifest (default/named separation)") { runArea("dataset") }
+  test("w3c: distinct manifest (term-level DISTINCT)") { runArea("distinct") }
 
   test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
     // the HTTP SERVICE client ships patterns as AlgebraText-serialized SPARQL:
@@ -60,7 +63,7 @@ class W3CSpec extends AnyFunSuite {
       "functions", "sort", "subquery", "open-world", "type-promotion", "cast",
       "bnode-coreference", "i18n", "bind", "values", "exists", "projexpr",
       "grouping", "regex", "bev", "bound", "expr-equals", "triple-match",
-      "algebra", "expr-builtin")
+      "algebra", "expr-builtin", "basic", "distinct")
     var checked = 0
     for (area <- areas; tc <- W3CRunner.loadManifest(new java.io.File(s"$root/$area"))) {
       val q = new String(java.nio.file.Files.readAllBytes(tc.query.toPath), "UTF-8")
@@ -95,9 +98,9 @@ class W3CSpec extends AnyFunSuite {
       "cast", "bnode-coreference", "i18n", "syntax-query", "solution-seq",
       "bind", "values", "exists", "projexpr",
       "grouping", "regex", "bev", "bound", "ask", "expr-equals", "triple-match",
-      "algebra", "expr-builtin", "csv-tsv-res")
+      "algebra", "expr-builtin", "csv-tsv-res", "basic", "dataset", "distinct")
     val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
-    assert(cases.size == 143, s"expected 143 vendored tests, found ${cases.size}")
+    assert(cases.size == 177, s"expected 177 vendored tests, found ${cases.size}")
     val syntax = cases.count(_.kind != "eval")
     assert(syntax == 22, s"expected 22 syntax (parse-only) tests, found $syntax")
   }

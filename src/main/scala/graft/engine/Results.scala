@@ -167,7 +167,14 @@ object Results {
     val q =
       if (frames.isEmpty) c.store.quads.filter(lit(false))
       else {
-        val ids = frames.reduce(_ unionByName _).dropDuplicates()
+        val ids0 = frames.reduce(_ unionByName _).dropDuplicates()
+        // The target id set is tiny whenever statistics bound the solution
+        // (DESCRIBE <iri>, VALUES, a stats-bounded BGP): broadcast it, or the
+        // semi-join sort-merge-shuffles the ENTIRE store to probe a handful
+        // of ids — a full-dataset shuffle at 100 TB. Unbounded targets keep
+        // the shuffle path (broadcasting them could OOM the driver).
+        val ids = if (sol.card.exists(_ * vs.size <= 1000000L)) broadcast(ids0)
+          else ids0
         c.store.quads.join(ids, c.store.quads("s") === ids("__tid"), "left_semi")
       }
     val dsol = Sol(

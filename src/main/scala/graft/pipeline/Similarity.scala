@@ -61,24 +61,50 @@ object Similarity {
       round(mae, 4).as("mae"))
   }
 
-  /** Seeded random hyperplanes: nTables signatures of nBits each. */
-  private def planes(dim: Int, nTables: Int, nBits: Int, seed: Long): Seq[Seq[Array[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nTables)(Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian())))
+  /** splitmix64 finalizer over a small counter — the SAME wrapping-arithmetic
+    * construction the MinHash oracle replicates in DuckDB (HUGEINT mod-2^64),
+    * so hyperplane signs are computable identically by both engines. */
+  private def mix64(x: Long): Long = {
+    var z = x * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
   }
 
-  /** One UDF computing ALL table signatures per row (a 2-level Scala loop beats
-    * nTables×nBits interpreted higher-order expressions by ~100×). */
-  private def sigsUdf(pls: Seq[Seq[Array[Double]]]) = udf { (e: Seq[Double]) =>
+  /** Seeded Rademacher (±1) hyperplanes: sign = top bit of
+    * mix64(seed + 1 + planeIndex). Sign-hash quality is equivalent to
+    * Gaussian planes for cosine LSH, and — unlike Gaussian floats — the
+    * whole signature computation stays in INTEGER arithmetic (order-free,
+    * bit-identical across engines), which is what makes `sim_lsh_topk` and
+    * `sim_neardup` full value-oracle-checkable in DuckDB. */
+  private def planes(dim: Int, nTables: Int, nBits: Int, seed: Long): Seq[Seq[Array[Int]]] =
+    Seq.tabulate(nTables)(t => Seq.tabulate(nBits)(b => Array.tabulate(dim)(j =>
+      if (mix64(seed + 1L + ((t.toLong * nBits + b) * dim + j)) < 0L) -1 else 1)))
+
+  /** One UDF computing ALL table signatures per row. The embedding is first
+    * quantized per-vector to exact integers q_j = floor(e_j/max|e|*127 + 0.5)
+    * (every step an IEEE double op both engines perform identically), then
+    * each bit is the sign of an integer dot with the ±1 plane — no float
+    * summation anywhere, so bucket assignment is deterministic and
+    * cross-engine reproducible. */
+  private def sigsUdf(pls: Seq[Seq[Array[Int]]]) = udf { (e: Seq[Double]) =>
     val arr = e.toArray
+    var m = 0.0
+    var i0 = 0
+    while (i0 < arr.length) { val a = math.abs(arr(i0)); if (a > m) m = a; i0 += 1 }
+    val q = new Array[Long](arr.length)
+    if (m > 0) {
+      var j = 0
+      while (j < arr.length) { q(j) = math.floor(arr(j) / m * 127.0 + 0.5).toLong; j += 1 }
+    }
     pls.map { tablePlanes =>
       var sig = 0L
       var i = 0
       while (i < tablePlanes.length) {
         val pl = tablePlanes(i)
-        var d = 0.0
+        var d = 0L
         var j = 0
-        while (j < arr.length && j < pl.length) { d += arr(j) * pl(j); j += 1 }
+        while (j < q.length && j < pl.length) { d += q(j) * pl(j); j += 1 }
         if (d > 0) sig |= (1L << i)
         i += 1
       }
@@ -87,7 +113,7 @@ object Similarity {
   }
 
   /** Explode (vec_id, e, nrm) into one row per (table, signature) bucket. */
-  private def bucketize(d: DataFrame, pls: Seq[Seq[Array[Double]]]): DataFrame =
+  private def bucketize(d: DataFrame, pls: Seq[Seq[Array[Int]]]): DataFrame =
     d.withColumn("sigs", sigsUdf(pls)(col("e")))
       .select(col("vec_id"), col("e"), col("nrm"),
         posexplode(col("sigs")).as(Seq("tbl", "sig")))
@@ -109,12 +135,15 @@ object Similarity {
       .select(col("qid"), col("qe"), col("qn"), col("vec_id").as("nid"),
         col("e"), col("nrm"))
       .dropDuplicates("qid", "nid")
+    // rank by the ROUNDED cosine (then id): the raw double sum's last-ulp
+    // depends on summation order, which the oracle engine doesn't share —
+    // rounding first makes the top-k cut deterministic across engines
     val scored = cand.select(col("qid"), col("nid"),
-      (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+      round(dot(col("qe"), col("e")) / (col("qn") * col("nrm")), 4).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"))
+      .select(col("qid"), col("nid"), col("cos"))
   }
 
   /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer

@@ -1044,18 +1044,86 @@ object Battery {
         "abs(x - (lo + (least(floor((x - lo) / sc), 255.0) + 0.5) * sc)))) / len(emb), 4) " +
         "AS mae FROM s")),
 
-    ("sim_lsh_topk",
+    ("sim_lsh_topk", // FULL value oracle: Rademacher planes from splitmix64
+      // (HUGEINT mod-2^64 replica, same template as dd_minhash_lsh), integer
+      // dot signs over exactly-quantized components (floor(v/max*127+0.5) —
+      // every step an IEEE double op both engines share), rounded-cosine rank
       (s: SparkSession, d: String) => graft.pipeline.Similarity.lshTopK(s, d),
-      None),
+      Some(
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +
+        "FROM embeddings), comp AS (SELECT vec_id, u.s.j AS j, u.s.v AS v FROM e, " +
+        "unnest(list_transform(range(1, len(emb)+1), i -> {'j': i-1, 'v': emb[i]})) u(s)), mx " +
+        "AS (SELECT vec_id, max(abs(v)) AS m FROM comp GROUP BY 1), q AS (SELECT c.vec_id, " +
+        "c.j, CASE WHEN m = 0 THEN 0 ELSE CAST(floor(v / m * 127.0 + 0.5) AS BIGINT) END AS q " +
+        "FROM comp c JOIN mx USING(vec_id)), idx AS (SELECT t.range AS t, b.range AS b, " +
+        "j.range AS j FROM range(0,16) t, range(0,6) b, range(0,64) j), p0 AS (SELECT t, b, j, " +
+        "(CAST(42 + 1 + ((t*6 + b)*64 + j) AS HUGEINT) * CAST(11400714819323198485 AS " +
+        "HUGEINT)) % CAST(18446744073709551616 AS HUGEINT) AS z FROM idx), p1a AS (SELECT t, " +
+        "b, j, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS w FROM " +
+        "p0), p1 AS (SELECT t, b, j, (((w // 4294967296) * CAST(13787848793156543929 AS " +
+        "HUGEINT) % 4294967296) * 4294967296 + (w % 4294967296) * CAST(13787848793156543929 AS " +
+        "HUGEINT)) % CAST(18446744073709551616 AS HUGEINT) AS z FROM p1a), p2a AS (SELECT t, " +
+        "b, j, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS w FROM " +
+        "p1), p2 AS (SELECT t, b, j, (((w // 4294967296) * CAST(10723151780598845931 AS " +
+        "HUGEINT) % 4294967296) * 4294967296 + (w % 4294967296) * CAST(10723151780598845931 AS " +
+        "HUGEINT)) % CAST(18446744073709551616 AS HUGEINT) AS z FROM p2a), p3 AS (SELECT t, b, " +
+        "j, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS z FROM p2), planes AS (SELECT " +
+        "t, b, j, CASE WHEN z >= CAST(9223372036854775808 AS UBIGINT) THEN -1 ELSE 1 END AS s " +
+        "FROM p3), dots AS (SELECT q.vec_id, p.t, p.b, sum(q.q * p.s) AS d FROM q JOIN planes " +
+        "p USING(j) GROUP BY 1, 2, 3), sigs AS (SELECT vec_id, t, CAST(sum(CASE WHEN d > 0 " +
+        "THEN 1 << b ELSE 0 END) AS BIGINT) AS sig FROM dots GROUP BY 1, 2), qs AS (SELECT " +
+        "vec_id AS qid, t, sig FROM sigs WHERE vec_id < 10), cand AS (SELECT DISTINCT qs.qid, " +
+        "s2.vec_id AS nid FROM qs JOIN sigs s2 ON s2.t = qs.t AND s2.sig = qs.sig AND " +
+        "s2.vec_id <> qs.qid), dp AS (SELECT c.qid, c.nid, sum(a.v * b.v) AS dp FROM cand c " +
+        "JOIN comp a ON a.vec_id = c.qid JOIN comp b ON b.vec_id = c.nid AND b.j = a.j GROUP " +
+        "BY 1, 2), nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nr FROM comp GROUP BY 1), scored " +
+        "AS (SELECT qid, nid, round(dp.dp / (nq.nr * nn.nr), 4) AS cos FROM dp JOIN nrm nq ON " +
+        "nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid) SELECT qid, nid, cos FROM (SELECT " +
+        "qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM " +
+        "scored) WHERE rk <= 5")),
 
     ("sim_ivf_topk", // IVF inverted-list ANN (approximate → rows-only check)
       (s: SparkSession, d: String) => graft.pipeline.Similarity.ivfTopK(s, d),
       None),
 
-    ("sim_neardup", // planted near-dup positives (corpus has no natural ones)
+    ("sim_neardup", // planted near-dup positives; FULL value oracle — the
+      // planted vectors, quantized signatures, bucket pairs, and rounded
+      // cosine verification all replicate in DuckDB (splitmix64 planes via
+      // the same HUGEINT template)
       (s: SparkSession, d: String) => graft.pipeline.Similarity.nearDupPairs(s, d,
         threshold = 0.9, plant = true),
-      None),
+      Some(
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +
+        "FROM embeddings UNION ALL SELECT vec_id + 1000000 AS vec_id, list_transform(range(1, " +
+        "len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * (1.0 + 0.03 * (((i-1) % 3) - " +
+        "1))) AS emb FROM embeddings WHERE vec_id < 20), comp AS (SELECT vec_id, u.s.j AS j, " +
+        "u.s.v AS v FROM e, unnest(list_transform(range(1, len(emb)+1), i -> {'j': i-1, 'v': " +
+        "emb[i]})) u(s)), mx AS (SELECT vec_id, max(abs(v)) AS m FROM comp GROUP BY 1), q AS " +
+        "(SELECT c.vec_id, c.j, CASE WHEN m = 0 THEN 0 ELSE CAST(floor(v / m * 127.0 + 0.5) AS " +
+        "BIGINT) END AS q FROM comp c JOIN mx USING(vec_id)), idx AS (SELECT t.range AS t, " +
+        "b.range AS b, j.range AS j FROM range(0,8) t, range(0,12) b, range(0,64) j), p0 AS " +
+        "(SELECT t, b, j, (CAST(42 + 1 + ((t*12 + b)*64 + j) AS HUGEINT) * " +
+        "CAST(11400714819323198485 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT) AS z " +
+        "FROM idx), p1a AS (SELECT t, b, j, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> " +
+        "30) AS HUGEINT) AS w FROM p0), p1 AS (SELECT t, b, j, (((w // 4294967296) * " +
+        "CAST(13787848793156543929 AS HUGEINT) % 4294967296) * 4294967296 + (w % 4294967296) * " +
+        "CAST(13787848793156543929 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT) AS z " +
+        "FROM p1a), p2a AS (SELECT t, b, j, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> " +
+        "27) AS HUGEINT) AS w FROM p1), p2 AS (SELECT t, b, j, (((w // 4294967296) * " +
+        "CAST(10723151780598845931 AS HUGEINT) % 4294967296) * 4294967296 + (w % 4294967296) * " +
+        "CAST(10723151780598845931 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT) AS z " +
+        "FROM p2a), p3 AS (SELECT t, b, j, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) " +
+        "AS z FROM p2), planes AS (SELECT t, b, j, CASE WHEN z >= CAST(9223372036854775808 AS " +
+        "UBIGINT) THEN -1 ELSE 1 END AS s FROM p3), dots AS (SELECT q.vec_id, p.t, p.b, " +
+        "sum(q.q * p.s) AS d FROM q JOIN planes p USING(j) GROUP BY 1, 2, 3), sigs AS (SELECT " +
+        "vec_id, t, CAST(sum(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sig FROM " +
+        "dots GROUP BY 1, 2), pairs AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM sigs " +
+        "x JOIN sigs y ON x.t = y.t AND x.sig = y.sig AND x.vec_id < y.vec_id), dp AS (SELECT " +
+        "p.a, p.b, sum(ca.v * cb.v) AS dp FROM pairs p JOIN comp ca ON ca.vec_id = p.a JOIN " +
+        "comp cb ON cb.vec_id = p.b AND cb.j = ca.j GROUP BY 1, 2), nrm AS (SELECT vec_id, " +
+        "sqrt(sum(v*v)) AS nr FROM comp GROUP BY 1) SELECT a, b, round(dp.dp / (na.nr * " +
+        "nb.nr), 4) AS cos FROM dp JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b " +
+        "WHERE round(dp.dp / (na.nr * nb.nr), 4) >= 0.9")),
 
     // ---- text analysis ----
     ("text_tokens",

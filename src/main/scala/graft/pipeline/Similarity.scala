@@ -81,14 +81,11 @@ object Similarity {
     Seq.tabulate(nTables)(t => Seq.tabulate(nBits)(b => Array.tabulate(dim)(j =>
       if (mix64(seed + 1L + ((t.toLong * nBits + b) * dim + j)) < 0L) -1 else 1)))
 
-  /** One UDF computing ALL table signatures per row. The embedding is first
-    * quantized per-vector to exact integers q_j = floor(e_j/max|e|*127 + 0.5)
-    * (every step an IEEE double op both engines perform identically), then
-    * each bit is the sign of an integer dot with the ±1 plane — no float
-    * summation anywhere, so bucket assignment is deterministic and
-    * cross-engine reproducible. */
-  private def sigsUdf(pls: Seq[Seq[Array[Int]]]) = udf { (e: Seq[Double]) =>
-    val arr = e.toArray
+  /** Per-vector exact integer quantization q_j = floor(e_j/max|e|*127 + 0.5):
+    * every step is an IEEE double op both engines perform identically, so the
+    * integers — and everything integer-arithmetic downstream of them — are
+    * bit-identical across engines. */
+  private def quantize127(arr: Array[Double]): Array[Long] = {
     var m = 0.0
     var i0 = 0
     while (i0 < arr.length) { val a = math.abs(arr(i0)); if (a > m) m = a; i0 += 1 }
@@ -97,6 +94,15 @@ object Similarity {
       var j = 0
       while (j < arr.length) { q(j) = math.floor(arr(j) / m * 127.0 + 0.5).toLong; j += 1 }
     }
+    q
+  }
+
+  /** One UDF computing ALL table signatures per row: each bit is the sign of
+    * an integer dot between the quantized vector and a ±1 plane — no float
+    * summation anywhere, so bucket assignment is deterministic and
+    * cross-engine reproducible. */
+  private def sigsUdf(pls: Seq[Seq[Array[Int]]]) = udf { (e: Seq[Double]) =>
+    val q = quantize127(e.toArray)
     pls.map { tablePlanes =>
       var sig = 0L
       var i = 0
@@ -159,64 +165,73 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nLists: Int = 8, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val e = withNorm(emb(spark, dir)).transform(ScratchCache.persist)
+    val eq = e.withColumn("q", udf((v: Seq[Double]) => quantize127(v.toArray))
+        .apply(col("e")))
+      .transform(ScratchCache.persist)
 
-    def normalize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
+    // Centroids are EXACT integer (component-sum, member-count) pairs over the
+    // quantized vectors; assignment score is dot(q, S_c)/n_c as one double
+    // division of exact integers — no float summation anywhere, so training
+    // is order-free, deterministic, and replicable by the DuckDB oracle
+    // (an unrolled-iteration CTE computes the identical integers).
+    // Init: the nLists lowest-id vectors, weight 1.
+    var cents: Array[(Array[Long], Long)] = eq.filter(col("vec_id") < nLists)
+      .orderBy("vec_id").select("q").collect()
+      .map(r => (r.getSeq[Long](0).toArray, 1L))
+
+    def scoreOf(q: Array[Long], c: (Array[Long], Long)): Double = {
+      var d = 0L; var i = 0
+      val cv = c._1
+      while (i < q.length && i < cv.length) { d += q(i) * cv(i); i += 1 }
+      d.toDouble / c._2.toDouble
     }
-    // deterministic init: the nLists lowest-id vectors
-    var centroids: Array[Array[Double]] = e.filter(col("vec_id") < nLists)
-      .orderBy("vec_id").collect()
-      .map(r => normalize(r.getSeq[Double](1).toArray))
-
-    def assignUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      var best = 0; var bestDot = Double.MinValue
+    def assignUdf(cs: Array[(Array[Long], Long)]) = udf { (v: Seq[Long]) =>
+      val q = v.toArray
+      var best = 0; var bestScore = Double.NegativeInfinity
       var c = 0
       while (c < cs.length) {
-        var d = 0.0; var i = 0
-        val cv = cs(c)
-        while (i < arr.length && i < cv.length) { d += arr(i) * cv(i); i += 1 }
-        if (d > bestDot) { bestDot = d; best = c }
+        val s = scoreOf(q, cs(c))
+        if (s > bestScore) { bestScore = s; best = c } // ties keep lowest c
         c += 1
       }
       best
     }
 
     for (_ <- 0 until iters) {
-      val cs = centroids
-      val means = e.withColumn("cl", assignUdf(cs)(col("e")))
-        .select(col("cl"), posexplode(col("e")).as(Seq("pos", "x")))
-        .groupBy("cl", "pos").agg(avg("x").as("m"))
+      val cs = cents
+      val sums = eq.withColumn("cl", assignUdf(cs)(col("q")))
+        .select(col("cl"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cl", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
         .collect()
-      val next = centroids.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centroids = next.map(normalize)
+      val next = cents.map { case (v, n) => (v.clone(), n) } // empty list keeps old
+      val byCl = sums.groupBy(_.getInt(0))
+      byCl.foreach { case (cl, rows) =>
+        val v = next(cl)._1
+        rows.foreach(r => v(r.getInt(1)) = r.getLong(2))
+        next(cl) = (v, rows.head.getLong(3))
+      }
+      cents = next
     }
 
-    val corpus = e.withColumn("cl", assignUdf(centroids)(col("e")))
+    val corpus = eq.withColumn("cl", assignUdf(cents)(col("q")))
       .transform(ScratchCache.persist)
-    val cs = centroids
-    val probeUdf = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      cs.indices.map { c =>
-        var d = 0.0; var i = 0
-        val cv = cs(c)
-        while (i < arr.length && i < cv.length) { d += arr(i) * cv(i); i += 1 }
-        (c, d)
-      }.sortBy(-_._2).take(nProbe).map(_._1)
+    val cs = cents
+    val probeUdf = udf { (v: Seq[Long]) =>
+      val q = v.toArray
+      cs.indices.map(c => (c, scoreOf(q, cs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(nProbe).map(_._1)
     }
     val q = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-        explode(probeUdf(col("e"))).as("cl"))
+        explode(probeUdf(col("q"))).as("cl"))
     val cand = q.join(corpus, Seq("cl")).filter(col("vec_id") =!= col("qid"))
+    // rounded-cosine rank (see lshTopK): deterministic top-k cut across engines
     val scored = cand.select(col("qid"), col("vec_id").as("nid"),
-      (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+      round(dot(col("qe"), col("e")) / (col("qn") * col("nrm")), 4).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"),
-        col("rk").cast("long").as("rk"))
+      .select(col("qid"), col("nid"), col("cos"), col("rk").cast("long").as("rk"))
   }
 
   /** Plant deterministic near-duplicates: for each vec_id < n, add a copy at

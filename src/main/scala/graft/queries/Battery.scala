@@ -1082,9 +1082,47 @@ object Battery {
         "qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM " +
         "scored) WHERE rk <= 5")),
 
-    ("sim_ivf_topk", // IVF inverted-list ANN (approximate → rows-only check)
+    ("sim_ivf_topk", // IVF inverted-list ANN — FULL value oracle: centroids
+      // are exact integer (sum, count) pairs over quantized vectors, the two
+      // Lloyd iterations unroll into CTE stages computing the identical
+      // integers, and assignment/probing order by dot/n (one double division
+      // of exact integers — same IEEE result in both engines)
       (s: SparkSession, d: String) => graft.pipeline.Similarity.ivfTopK(s, d),
-      None),
+      Some(
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +
+        "FROM embeddings), comp AS (SELECT vec_id, u.s.j AS j, u.s.v AS v FROM e, " +
+        "unnest(list_transform(range(1, len(emb)+1), i -> {'j': i-1, 'v': emb[i]})) u(s)), mx " +
+        "AS (SELECT vec_id, max(abs(v)) AS m FROM comp GROUP BY 1), q AS (SELECT c.vec_id, " +
+        "c.j, CASE WHEN m = 0 THEN 0 ELSE CAST(floor(v / m * 127.0 + 0.5) AS BIGINT) END AS q " +
+        "FROM comp c JOIN mx USING(vec_id)), cent0 AS (SELECT vec_id AS c, j, q AS s, CAST(1 " +
+        "AS BIGINT) AS n FROM q WHERE vec_id < 8), d0 AS (SELECT q.vec_id, c0.c, sum(q.q * " +
+        "c0.s) AS d, any_value(c0.n) AS n FROM q JOIN cent0 c0 USING(j) GROUP BY 1, 2), a0 AS " +
+        "(SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY CAST(d AS DOUBLE) / CAST(n AS DOUBLE) DESC, c) AS rk FROM d0) WHERE rk = 1), " +
+        "s1 AS (SELECT a0.c, q.j, sum(q.q) AS s, count(DISTINCT q.vec_id) AS n FROM q JOIN a0 " +
+        "USING(vec_id) GROUP BY 1, 2), cent1 AS (SELECT c0.c, c0.j, COALESCE(s1.s, c0.s) AS s, " +
+        "COALESCE(s1.n, c0.n) AS n FROM cent0 c0 LEFT JOIN s1 ON s1.c = c0.c AND s1.j = c0.j), " +
+        "d1 AS (SELECT q.vec_id, c1.c, sum(q.q * c1.s) AS d, any_value(c1.n) AS n FROM q JOIN " +
+        "cent1 c1 USING(j) GROUP BY 1, 2), a1 AS (SELECT vec_id, c FROM (SELECT vec_id, c, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY CAST(d AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "DESC, c) AS rk FROM d1) WHERE rk = 1), s2 AS (SELECT a1.c, q.j, sum(q.q) AS s, " +
+        "count(DISTINCT q.vec_id) AS n FROM q JOIN a1 USING(vec_id) GROUP BY 1, 2), cent2 AS " +
+        "(SELECT c1.c, c1.j, COALESCE(s2.s, c1.s) AS s, COALESCE(s2.n, c1.n) AS n FROM (SELECT " +
+        "DISTINCT c, j, s, n FROM cent1) c1 LEFT JOIN s2 ON s2.c = c1.c AND s2.j = c1.j), d2 " +
+        "AS (SELECT q.vec_id, c2.c, sum(q.q * c2.s) AS d, any_value(c2.n) AS n FROM q JOIN " +
+        "cent2 c2 USING(j) GROUP BY 1, 2), corpus AS (SELECT vec_id, c AS cl FROM (SELECT " +
+        "vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY CAST(d AS DOUBLE) / CAST(n " +
+        "AS DOUBLE) DESC, c) AS rk FROM d2) WHERE rk = 1), probes AS (SELECT vec_id AS qid, c " +
+        "AS cl FROM (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY CAST(d " +
+        "AS DOUBLE) / CAST(n AS DOUBLE) DESC, c) AS rk FROM d2 WHERE vec_id < 10) WHERE rk <= " +
+        "4), cand AS (SELECT DISTINCT p.qid, co.vec_id AS nid FROM probes p JOIN corpus co ON " +
+        "co.cl = p.cl AND co.vec_id <> p.qid), dp AS (SELECT c.qid, c.nid, sum(a.v * b.v) AS " +
+        "dp FROM cand c JOIN comp a ON a.vec_id = c.qid JOIN comp b ON b.vec_id = c.nid AND " +
+        "b.j = a.j GROUP BY 1, 2), nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nr FROM comp GROUP " +
+        "BY 1), scored AS (SELECT qid, nid, round(dp.dp / (nq.nr * nn.nr), 4) AS cos FROM dp " +
+        "JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid) SELECT qid, nid, cos, " +
+        "rk FROM (SELECT qid, nid, cos, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos " +
+        "DESC, nid) AS BIGINT) AS rk FROM scored) WHERE rk <= 5")),
 
     ("sim_neardup", // planted near-dup positives; FULL value oracle — the
       // planted vectors, quantized signatures, bucket pairs, and rounded

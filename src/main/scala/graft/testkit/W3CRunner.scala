@@ -91,7 +91,11 @@ object W3CRunner {
         Some(s"${tc.name}: negative syntax test parsed — must be rejected")
       } catch { case _: Exception => None }
     val store = buildDataset(spark, tc)
-    val eng = new GraftEngine(store)
+    // <urn:svc:self> federates back to the test dataset itself — lets
+    // manifests exercise SERVICE without a network endpoint (the service
+    // area; other areas never reference the endpoint, so this is inert)
+    val eng = new GraftEngine(store, serviceClient = Some(
+      new graft.engine.LocalServiceClient(Map("urn:svc:self" -> store))))
     val queryText = read(tc.query)
     val resultFile = tc.result.get
     if (resultFile.getName.endsWith(".ttl")) { // CONSTRUCT: graph isomorphism

@@ -51,6 +51,7 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: basic manifest (term identity, lexical preservation)") { runArea("basic") }
   test("w3c: dataset manifest (default/named separation)") { runArea("dataset") }
   test("w3c: distinct manifest (term-level DISTINCT)") { runArea("distinct") }
+  test("w3c: service manifest (in-process federation)") { runArea("service") }
 
   test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
     // the HTTP SERVICE client ships patterns as AlgebraText-serialized SPARQL:
@@ -98,9 +99,9 @@ class W3CSpec extends AnyFunSuite {
       "cast", "bnode-coreference", "i18n", "syntax-query", "solution-seq",
       "bind", "values", "exists", "projexpr",
       "grouping", "regex", "bev", "bound", "ask", "expr-equals", "triple-match",
-      "algebra", "expr-builtin", "csv-tsv-res", "basic", "dataset", "distinct")
+      "algebra", "expr-builtin", "csv-tsv-res", "basic", "dataset", "distinct", "service")
     val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
-    assert(cases.size == 177, s"expected 177 vendored tests, found ${cases.size}")
+    assert(cases.size == 181, s"expected 181 vendored tests, found ${cases.size}")
     val syntax = cases.count(_.kind != "eval")
     assert(syntax == 22, s"expected 22 syntax (parse-only) tests, found $syntax")
   }

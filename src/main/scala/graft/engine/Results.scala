@@ -93,17 +93,36 @@ object Results {
     * set, so the big shuffle carries 8-byte ids, not strings. The final
     * cross-template lexical dedup only sees output-sized input.
     */
-  def construct(c: Compiler, sol0: Sol, templates: Seq[(Node, Node, Node)]): DataFrame = {
+  /** Template blank nodes must instantiate FRESH per solution row (SPARQL
+    * 16.2: the template's bnodes are scoped to one solution — the same label
+    * co-refers WITHIN a row, never across rows). A hidden per-row id seeds
+    * the fresh labels; templates without bnodes skip it entirely (their
+    * per-template native-rep dedup is the scale path and must not be
+    * defeated by a unique rowid). */
+  private def templateBNode(n: Node): Boolean = n match {
+    case T(_: BNode) => true
+    case _ => false
+  }
+
+  def construct(c: Compiler, sol0a: Sol, templates: Seq[(Node, Node, Node)]): DataFrame = {
+    val anyB = templates.exists { case (s, p, o) => Seq(s, p, o).exists(templateBNode) }
+    val sol0 = if (!anyB) sol0a
+      else sol0a.copy(df = sol0a.df.withColumn("__cbrow", monotonically_increasing_id()))
     val dfs = templates.map { case (s, p, o) =>
       val tvars = Seq(s, p, o).collect { case V(v) if sol0.reps.contains(v) => v }.distinct
-      // dedup in native rep first (id-space when the var came from a scan)
+      val hasB = Seq(s, p, o).exists(templateBNode)
+      val cols = tvars.map(v => col(s"`$v`")) ++ (if (hasB) Seq(col("__cbrow")) else Nil)
+      // dedup in native rep first (id-space when the var came from a scan);
+      // a bnode template carries the rowid, so every solution row survives
+      // (each must mint its own bnodes)
       val deduped = Sol(
-        sol0.df.select(tvars.map(v => col(s"`$v`")): _*).dropDuplicates(),
+        sol0.df.select(cols: _*).dropDuplicates(),
         sol0.reps.filter(kv => tvars.contains(kv._1)),
         sol0.certain intersect tvars.toSet, Set.empty,
         sol0.inl intersect tvars.toSet, Set.empty)
       var sol = deduped
       def colOf(n: Node): Column = n match {
+        case T(BNode(b)) => concat(lit(b + "_r"), col("__cbrow"))
         case T(t) => lit(t.lex)
         case V(v) if sol.reps.contains(v) =>
           val (s2, vc) = c.withView(sol, v)
@@ -124,17 +143,28 @@ object Results {
     * compare; [[construct]] above is the lexical driver-contract form. Same
     * scale shape: per-template dedup in native rep before materialization.
     */
-  def constructTerms(c: Compiler, sol0: Sol,
+  def constructTerms(c: Compiler, sol0a: Sol,
       templates: Seq[(Node, Node, Node)]): DataFrame = {
+    val anyB = templates.exists { case (s, p, o) => Seq(s, p, o).exists(templateBNode) }
+    val sol0 = if (!anyB) sol0a
+      else sol0a.copy(df = sol0a.df.withColumn("__cbrow", monotonically_increasing_id()))
     val dfs = templates.map { case (s, p, o) =>
       val tvars = Seq(s, p, o).collect { case V(v) if sol0.reps.contains(v) => v }.distinct
+      val hasB = Seq(s, p, o).exists(templateBNode)
+      val cols = tvars.map(v => col(s"`$v`")) ++ (if (hasB) Seq(col("__cbrow")) else Nil)
       val deduped = Sol(
-        sol0.df.select(tvars.map(v => col(s"`$v`")): _*).dropDuplicates(),
+        sol0.df.select(cols: _*).dropDuplicates(),
         sol0.reps.filter(kv => tvars.contains(kv._1)),
         sol0.certain intersect tvars.toSet, Set.empty,
         sol0.inl intersect tvars.toSet, Set.empty)
       var sol = deduped
       def colOf(n: Node): Column = n match {
+        case T(BNode(b)) => struct(
+          lit(TermRow.KIND_BLANK).as("kind"),
+          concat(lit(b + "_r"), col("__cbrow")).as("lex"),
+          lit(null).cast(StringType).as("dt"),
+          lit(null).cast(StringType).as("lang"),
+          lit(null).cast(DoubleType).as("num"))
         case T(t) => NativeExpr.constTerm(t)
         case V(v) if sol.reps.contains(v) =>
           val (s2, vc) = c.withView(sol, v)

@@ -1220,10 +1220,14 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       serviceClient match {
         case Some(client) =>
           val vars = Algebra.inscope(child).toSeq.sorted
-          val rows = try client.execute(ep, child, vars) catch {
-            case e: Exception if silent => Seq.empty
+          try {
+            val rows = client.execute(ep, child, vars)
+            compile(ATable(vars, rows.map(m => vars.map(m.get))))
+          } catch {
+            // SPARQL 1.1 Federated Query 2.2: SILENT turns a service failure
+            // into a single EMPTY solution (join identity) — not zero rows
+            case _: Exception if silent => compile(ATable(Seq.empty, Seq(Seq.empty)))
           }
-          compile(ATable(vars, rows.map(m => vars.map(m.get))))
         case None =>
           if (silent) compile(ATable(Seq.empty, Seq(Seq.empty)))
           else throw new UnsupportedOperationException(s"no SERVICE client for <$ep>")

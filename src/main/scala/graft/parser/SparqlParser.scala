@@ -302,27 +302,43 @@ final class SparqlParser(input: String) {
 
   private def parseConstruct(): ParsedQuery = {
     expectKw("CONSTRUCT")
-    expectCh('{')
-    val templates = scala.collection.mutable.ListBuffer[(Node, Node, Node)]()
-    while (!peekCh('}')) {
-      val s = parseVarOrTermNode()
-      val p = parseVerbNode()
-      val o = parseVarOrTermNode()
-      templates += ((s, p, o))
-      var more = eatCh(';')
-      while (more && !peekCh('.') && !peekCh('}')) {
-        val p2 = parseVerbNode(); val o2 = parseVarOrTermNode()
-        templates += ((s, p2, o2))
-        more = eatCh(';')
+    def parseTemplateTriples(): Seq[(Node, Node, Node)] = {
+      expectCh('{')
+      val templates = scala.collection.mutable.ListBuffer[(Node, Node, Node)]()
+      while (!peekCh('}')) {
+        val s = parseVarOrTermNode()
+        val p = parseVerbNode()
+        val o = parseVarOrTermNode()
+        templates += ((s, p, o))
+        var more = eatCh(';')
+        while (more && !peekCh('.') && !peekCh('}')) {
+          val p2 = parseVerbNode(); val o2 = parseVarOrTermNode()
+          templates += ((s, p2, o2))
+          more = eatCh(';')
+        }
+        eatCh('.')
       }
-      eatCh('.')
+      expectCh('}')
+      templates.toSeq
     }
-    expectCh('}')
+    ws()
+    if (!peekCh('{')) {
+      // CONSTRUCT WHERE { TriplesTemplate } shortcut (SPARQL 1.1 10.2.3):
+      // the pattern doubles as the template. Grammar puts dataset clauses
+      // before WHERE in this form.
+      val (dg, ng) = parseDatasetClauses()
+      expectKw("WHERE")
+      val templates = parseTemplateTriples()
+      val g: Algebra = BGP(templates.map { case (s, p, o) => QuadPattern(s, p, o) })
+      val mod = parseSolutionModifiers(g, Seq.empty, distinct = false, reduced = false)
+      return ParsedQuery("construct", mod._1, Seq.empty, templates, Seq.empty, dg, ng)
+    }
+    val templates = parseTemplateTriples()
     val (dg, ng) = parseDatasetClauses()
     if (peekKw("WHERE")) eatKw("WHERE")
     val g = parseGroupGraphPattern()
     val mod = parseSolutionModifiers(g, Seq.empty, distinct = false, reduced = false)
-    ParsedQuery("construct", mod._1, Seq.empty, templates.toSeq, Seq.empty, dg, ng)
+    ParsedQuery("construct", mod._1, Seq.empty, templates, Seq.empty, dg, ng)
   }
 
   private def parseVerbNode(): Node = {
@@ -570,10 +586,10 @@ final class SparqlParser(input: String) {
         add(setGraph(inner, gn))
       }
       else if (eatKw("SERVICE")) {
-        eatKw("SILENT")
+        val silent = eatKw("SILENT")
         val svc: Node = tryVar().map(V.apply).getOrElse(N.iri(parsePrefixedOrIri()))
         val inner = parseGroupGraphPattern()
-        add(graft.algebra.AService(svc, inner))
+        add(graft.algebra.AService(svc, inner, silent))
       }
       else if (peekCh('{')) {
         // group or union chain

@@ -101,7 +101,7 @@ class W3CSpec extends AnyFunSuite {
       "grouping", "regex", "bev", "bound", "ask", "expr-equals", "triple-match",
       "algebra", "expr-builtin", "csv-tsv-res", "basic", "dataset", "distinct", "service")
     val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
-    assert(cases.size == 189, s"expected 189 vendored tests, found ${cases.size}")
+    assert(cases.size == 194, s"expected 194 vendored tests, found ${cases.size}")
     val syntax = cases.count(_.kind != "eval")
     assert(syntax == 22, s"expected 22 syntax (parse-only) tests, found $syntax")
   }

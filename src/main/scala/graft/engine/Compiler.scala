@@ -2017,7 +2017,47 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       acc
     }
 
+    // Bound-endpoint fast path: when statistics bound the edge set under the
+    // broadcast cap, broadcasting would ALREADY route every edge through the
+    // driver (a broadcast is a driver-side collect + re-ship) — so running
+    // the seeded BFS on the driver is strictly less data movement and turns
+    // ~2 Spark jobs per closure level into one edge-collect job plus a
+    // LocalRelation result. The SAME stats bound gates both paths, so big or
+    // unbounded edge sets (the 100 TB shape) still take the distributed
+    // fixpoint; var-var closures always do (their output is edge-set-sized
+    // or larger, which must not materialize on the driver).
+    def localBfs(seedId: Long, reverse: Boolean): Seq[Long] = {
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      edges.select(col("__ca"), col("__cb")).collect().foreach { r =>
+        val (x, y) = if (reverse) (r.getLong(1), r.getLong(0)) else (r.getLong(0), r.getLong(1))
+        adj.computeIfAbsent(x, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += y
+      }
+      val visited = new java.util.HashSet[Long]()
+      var frontier0 = List(seedId)
+      while (frontier0.nonEmpty) {
+        frontier0 = for {
+          u <- frontier0
+          vs = adj.get(u); if vs != null
+          v <- vs; if visited.add(v)
+        } yield v
+      }
+      import scala.jdk.CollectionConverters._
+      visited.asScala.toSeq
+    }
+    def localSeq(ids: Seq[Long]): DataFrame = {
+      import spark.implicits._
+      ids.toDF("__cid")
+    }
+
     val pairs: DataFrame = (s, o) match {
+      case (T(t), _) if broadcastSmall =>
+        val sid = store.idOf(t).getOrElse(Long.MinValue)
+        localSeq(localBfs(sid, reverse = false))
+          .select(lit(sid).as("__ca"), col("__cid").as("__cb"))
+      case (_, T(t)) if broadcastSmall =>
+        val oid = store.idOf(t).getOrElse(Long.MinValue)
+        localSeq(localBfs(oid, reverse = true))
+          .select(col("__cid").as("__ca"), lit(oid).as("__cb"))
       case (T(t), _) =>
         val sid = store.idOf(t).getOrElse(Long.MinValue)
         fix(edges.filter(col("__ca") === sid), edges, rev = false)

@@ -15,24 +15,59 @@ import graft.model.{Term, TermRow}
 object DurJvm {
   import org.apache.spark.unsafe.types.UTF8String
 
-  /** Months component of a duration literal, or null when the lexical form is
-    * invalid for the given datatype. */
-  def durMonths(lex: UTF8String, dt: UTF8String): java.lang.Long =
-    Term.parseDuration(lex.toString, dt.toString) match {
-      case Some((m, _)) => java.lang.Long.valueOf(m)
-      case None => null
-    }
-
-  /** Micros (day/time remainder) component, or null when invalid. */
-  def durMicros(lex: UTF8String, dt: UTF8String): java.lang.Long =
-    Term.parseDuration(lex.toString, dt.toString) match {
-      case Some((_, us)) => java.lang.Long.valueOf(us)
-      case None => null
-    }
-
   /** Canonical xsd:dayTimeDuration lexical form of a micros value. */
   def dayTimeLex(us: Long): UTF8String =
     UTF8String.fromString(Term.dayTimeDurationOfMicros(us).lexForm)
+}
+
+/** JVM-side SPARQL value comparison/equality for the codegen path.
+  *
+  * The inline Column-tree replica of sparqlCompare was the single largest
+  * codegen emitter in the engine: an 8-branch type-dispatch `when` chain whose
+  * every branch re-generates both operand subtrees (CaseWhen branches are
+  * conditionally evaluated, so Catalyst's subexpression elimination cannot
+  * share across them) — ONE comparison could exceed Janino's 64 KB method
+  * limit, silently dropping the whole stage out of whole-stage codegen. Each
+  * comparison now compiles to a single `StaticInvoke` call site, and since
+  * these methods delegate to [[ExprEval.valueCompare]]/[[ExprEval.valueEquals]]
+  * — the row interpreter the differential suite treats as ground truth —
+  * interpreter/codegen parity holds by construction.
+  *
+  * `kind` arrives pre-coalesced to 0 for a null term struct (a nullable
+  * primitive-int argument would read as garbage under `propagateNull = false`;
+  * object-typed args pass as plain nulls). */
+object CmpJvm {
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.model.{BNode, Iri, Lit}
+
+  private def termOf(kind: Int, lex: UTF8String, dt: UTF8String,
+      lang: UTF8String): Term =
+    if (kind == 0 || lex == null) null
+    else kind match {
+      case TermRow.KIND_BLANK => BNode(lex.toString)
+      case TermRow.KIND_IRI => Iri(lex.toString)
+      case _ =>
+        val lg = if (lang == null) null else lang.toString
+        Lit(lex.toString, if (dt == null) null else dt.toString, lg)
+    }
+
+  /** 3-way SPARQL value compare; null = error (incomparable / unbound). */
+  def cmp(kA: Int, lexA: UTF8String, dtA: UTF8String, lgA: UTF8String,
+      kB: Int, lexB: UTF8String, dtB: UTF8String, lgB: UTF8String): java.lang.Integer = {
+    val a = termOf(kA, lexA, dtA, lgA); val b = termOf(kB, lexB, dtB, lgB)
+    if (a == null || b == null) return null
+    try java.lang.Integer.valueOf(ExprEval.valueCompare(a, b))
+    catch { case _: EvalError => null }
+  }
+
+  /** SPARQL '=' value equality; null = error (open-world / unbound). */
+  def eq(kA: Int, lexA: UTF8String, dtA: UTF8String, lgA: UTF8String,
+      kB: Int, lexB: UTF8String, dtB: UTF8String, lgB: UTF8String): java.lang.Boolean = {
+    val a = termOf(kA, lexA, dtA, lgA); val b = termOf(kB, lexB, dtB, lgB)
+    if (a == null || b == null) return null
+    try java.lang.Boolean.valueOf(ExprEval.valueEquals(a, b))
+    catch { case _: EvalError => null }
+  }
 }
 
 /** Native (Catalyst-codegen) compilation of SPARQL scalar expressions.
@@ -182,39 +217,9 @@ object NativeExpr {
   private def dtIs(t: Column, d: String) = isLit(t) && dtF(t) === d
   private def isDur(t: Column) = isLit(t) && dtF(t).isin(durationTypes.toSeq: _*)
 
-  // ---- xsd:duration value space (delegates to Term.parseDuration) ----------
-
-  private def durInvoke(fn: String, t: Column): Column = {
-    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(StaticInvoke(
-      DurJvm.getClass, LongType, fn,
-      Seq(ColumnBridge.expression(lx(t)), ColumnBridge.expression(dtF(t))),
-      returnNullable = true))
-  }
-
-  /** (months, micros) of a duration literal; (null, null) on invalid lexical
-    * form — which the comparison/equality branches below surface as the SPARQL
-    * error (SQL NULL), matching [[ExprEval]]'s durOf error. Compiled as two
-    * `StaticInvoke`s into [[DurJvm]] (→ [[Term.parseDuration]]): one compact
-    * call each in the generated code, vs a ~8-regex Column tree that doubled
-    * the codegen of every comparison whether or not durations ever appear. */
-  private def durParts(t: Column): (Column, Column) =
-    (durInvoke("durMonths", t), durInvoke("durMicros", t))
-
-  /** 3-way duration compare: months agree → micros, micros agree → months,
-    * else null (indeterminate — mirrors ExprEval's partial order). */
-  private def durCmp(a: Column, b: Column): Column = {
-    val (ma, ua) = durParts(a); val (mb, ub) = durParts(b)
-    when(ma.isNull || mb.isNull, lit(null).cast(IntegerType))
-      .when(ma === mb, cmp3(ua, ub))
-      .when(ua === ub, cmp3(ma, mb))
-  }
-
-  private def durEq(a: Column, b: Column): Column = {
-    val (ma, ua) = durParts(a); val (mb, ub) = durParts(b)
-    when(ma.isNull || mb.isNull, nullB).otherwise(ma === mb && ua === ub)
-  }
+  // duration comparison/equality now ride through [[CmpJvm]] with every other
+  // literal family; only the canonical dayTimeDuration FORMATTER still has a
+  // dedicated DurJvm entry point (dateTime subtraction constructs durations)
 
   /** Canonical xsd:dayTimeDuration lexical form of a micros value — one
     * `StaticInvoke` into [[DurJvm]] (→ [[Term.dayTimeDurationOfMicros]]),
@@ -275,35 +280,28 @@ object NativeExpr {
     when(x.isNull || y.isNull, lit(null).cast(IntegerType))
       .when(x < y, -1).when(x > y, 1).otherwise(0)
 
-  /** SPARQL value comparison (reference sparqlCompare, Expression.swift:903-957):
-    * 3-way result, null = incomparable (error). */
-  private def cmpCol(a: Column, b: Column): Column = {
-    val numCmp =
-      when(isIntFam(a) && isIntFam(b), cmp3(longOf(a), longOf(b)))
-        .when(!isFltDbl(a) && !isFltDbl(b), cmp3(decOf(a), decOf(b))) // exact decimal
-        .otherwise(cmp3(nm(a), nm(b)))
-    when(isNum(a) && isNum(b), numCmp)
-      .when(numericDt(a) && numericDt(b), lit(null).cast(IntegerType)) // bad lexical
-      .when(stringy(a) && stringy(b) && (lg(a) <=> lg(b)), cmp3(lx(a), lx(b)))
-      .when(boolLit(a) && boolLit(b),
-        cmp3((lx(a) === "true").cast(IntegerType), (lx(b) === "true").cast(IntegerType)))
-      .when(dtIs(a, xsdDateTime) && dtIs(b, xsdDateTime), cmp3(tsOf(a), tsOf(b)))
-      .when(dtIs(a, xsdDate) && dtIs(b, xsdDate), cmp3(lx(a), lx(b)))
-      .when(dtIs(a, xsdTime) && dtIs(b, xsdTime), cmp3(lx(a), lx(b)))
-      .when(isDur(a) && isDur(b), durCmp(a, b))
+  private def cmpInvoke(fn: String, rt: DataType, a: Column, b: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(StaticInvoke(
+      CmpJvm.getClass, rt, fn,
+      Seq(coalesce(k(a), lit(0)), lx(a), dtF(a), lg(a),
+        coalesce(k(b), lit(0)), lx(b), dtF(b), lg(b))
+        .map(ColumnBridge.expression),
+      propagateNull = false, returnNullable = true))
   }
+
+  /** SPARQL value comparison (reference sparqlCompare, Expression.swift:903-957):
+    * 3-way result, null = incomparable (error). ONE `StaticInvoke` call site
+    * into [[CmpJvm]] → [[ExprEval.valueCompare]] — the inline when-chain
+    * replica could exceed Janino's 64 KB method cap on a single comparison
+    * (see [[CmpJvm]]). */
+  private def cmpCol(a: Column, b: Column): Column =
+    cmpInvoke("cmp", IntegerType, a, b)
 
   /** SPARQL '=' value equality (reference valueEquals): boolean-or-null. */
   private def eqCol(a: Column, b: Column): Column =
-    when(a.isNull || b.isNull, nullB)
-      .when(k(a) =!= KIND_LITERAL || k(b) =!= KIND_LITERAL, a === b)
-      .when(numericDt(a) && numericDt(b),
-        when(nm(a).isNull || nm(b).isNull, nullB)
-          .otherwise(cmpCol(a, b) === 0))
-      .when(dtIs(a, xsdDateTime) && dtIs(b, xsdDateTime), cmp3(tsOf(a), tsOf(b)) === 0)
-      .when(isDur(a) && isDur(b), durEq(a, b)) // value space: "P1Y" = "P12M"
-      .when(a === b, lit(true))
-      .when(dtF(a) === dtF(b) && (lg(a) <=> lg(b)), lit(false))
+    cmpInvoke("eq", BooleanType, a, b)
 
   /** Effective boolean value of a term column (Term.ebv). */
   private def ebvOf(t: Column): Column =

@@ -32,7 +32,11 @@ object W3CRunner {
         * must parse), or `syntax-neg` (NegativeSyntaxTest11 — must be
         * rejected). Syntax tests carry no data/result; their mf:action is the
         * query file itself (W3C sparql11 manifest convention). */
-      kind: String = "eval")
+      kind: String = "eval",
+      /** mf:resultCardinality mf:LaxCardinality (the W3C REDUCED convention):
+        * compare solutions ignoring multiplicity — REDUCED may legally return
+        * any cardinality between DISTINCT and the full bag. */
+      laxCardinality: Boolean = false)
 
   private def read(f: java.io.File): String =
     new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
@@ -70,11 +74,15 @@ object W3CRunner {
         val graphData = bySubj.getOrElse(action, Nil).collect {
           case (_, Iri(p), o) if p == QT + "graphData" => fileOf(o)
         }
+        val lax = obj(e, MF + "resultCardinality").exists {
+          case Iri(v) => v == MF + "LaxCardinality"
+          case _ => false
+        }
         TestCase(name,
           fileOf(obj(action, QT + "query").get),
           obj(action, QT + "data").map(fileOf),
           Some(fileOf(obj(e, MF + "result").get)),
-          graphData)
+          graphData, "eval", lax)
       }
     }
   }
@@ -146,7 +154,9 @@ object W3CRunner {
       }
       val ordered = topOrdered(graft.parser.SparqlParser.parse(queryText).algebra)
       val ok =
-        if (ordered) gotRows == expRows // sort tests are authored bnode-free
+        if (tc.laxCardinality) // REDUCED: any multiplicity, same solution set
+          Isomorphism.solutionsEqual(gotRows.distinct, expRows.distinct)
+        else if (ordered) gotRows == expRows // sort tests are authored bnode-free
         else Isomorphism.solutionsEqual(gotRows, expRows)
       if (ok) None
       else Some(s"${tc.name}: results differ (${if (ordered) "ordered" else "multiset"})\n" +

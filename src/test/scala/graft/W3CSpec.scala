@@ -52,6 +52,8 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: dataset manifest (default/named separation)") { runArea("dataset") }
   test("w3c: distinct manifest (term-level DISTINCT)") { runArea("distinct") }
   test("w3c: service manifest (in-process federation)") { runArea("service") }
+  test("w3c: expr-ops manifest (arithmetic/comparison operators)") { runArea("expr-ops") }
+  test("w3c: reduced manifest (LaxCardinality compare)") { runArea("reduced") }
 
   test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
     // the HTTP SERVICE client ships patterns as AlgebraText-serialized SPARQL:
@@ -64,7 +66,7 @@ class W3CSpec extends AnyFunSuite {
       "functions", "sort", "subquery", "open-world", "type-promotion", "cast",
       "bnode-coreference", "i18n", "bind", "values", "exists", "projexpr",
       "grouping", "regex", "bev", "bound", "expr-equals", "triple-match",
-      "algebra", "expr-builtin", "basic", "distinct")
+      "algebra", "expr-builtin", "basic", "distinct", "expr-ops", "reduced")
     var checked = 0
     for (area <- areas; tc <- W3CRunner.loadManifest(new java.io.File(s"$root/$area"))) {
       val q = new String(java.nio.file.Files.readAllBytes(tc.query.toPath), "UTF-8")
@@ -99,9 +101,10 @@ class W3CSpec extends AnyFunSuite {
       "cast", "bnode-coreference", "i18n", "syntax-query", "solution-seq",
       "bind", "values", "exists", "projexpr",
       "grouping", "regex", "bev", "bound", "ask", "expr-equals", "triple-match",
-      "algebra", "expr-builtin", "csv-tsv-res", "basic", "dataset", "distinct", "service")
+      "algebra", "expr-builtin", "csv-tsv-res", "basic", "dataset", "distinct", "service",
+      "expr-ops", "reduced")
     val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
-    assert(cases.size == 194, s"expected 194 vendored tests, found ${cases.size}")
+    assert(cases.size == 205, s"expected 205 vendored tests, found ${cases.size}")
     val syntax = cases.count(_.kind != "eval")
     assert(syntax == 22, s"expected 22 syntax (parse-only) tests, found $syntax")
   }

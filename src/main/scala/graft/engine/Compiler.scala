@@ -1277,19 +1277,35 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       s2.copy(df = s2.df.filter(c === true))
   }
 
-  /** OPTIONAL with filter: Filter(expr, Join(L,R)) ∪ Diff(L,R,expr) — the
-    * decomposition required for correct SPARQL scoping when the filter references
-    * LHS vars (reference QueryPlanner.swift:480-552; SURVEY.md §7.4 risk 3).
-    */
-  private def compileLeftJoinFilter(l: Sol, r: Sol, e: Expr): Sol = {
-    val joined = joinSols(l, r, "inner")
-    val matched = compileFilter(e, joined)
-    // Diff: keep L rows with NO compatible R row passing expr
-    val anti = joinSols(l, r, "left_anti", extraFilter = Some { (ls, rs) =>
-      // build expr condition over the combined (renamed-right) frame
-      condOverJoined(ls, rs, e)
-    })
-    unionSols(matched, anti)
+  /** OPTIONAL with filter: LeftJoin(Ω1, Ω2, expr). The SPARQL definition
+    * Filter(expr, Join(L,R)) ∪ Diff(L,R,expr) (reference
+    * QueryPlanner.swift:480-552; SURVEY.md §7.4 risk 3) is EXACTLY a SQL
+    * left-outer join whose condition is compatibility ∧ EBV(expr)=true:
+    * matched rows are Filter(expr, Join), preserved rows are Diff (no
+    * compatible right row passes expr — an erroring expr passes nothing,
+    * which `cond === true` encodes for free). Compiling it as ONE join
+    * halves the work of the union-of-two-joins decomposition, which
+    * evaluated both inputs twice. EXISTS inside the filter still takes the
+    * decomposition: only [[compileFilter]] owns the semi-join machinery,
+    * and a join condition can't host it. */
+  private def compileLeftJoinFilter(l: Sol, r: Sol, e: Expr): Sol =
+    if (hasExists(e)) {
+      val joined = joinSols(l, r, "inner")
+      val matched = compileFilter(e, joined)
+      // Diff: keep L rows with NO compatible R row passing expr
+      val anti = joinSols(l, r, "left_anti", extraFilter = Some { (ls, rs) =>
+        condOverJoined(ls, rs, e)
+      })
+      unionSols(matched, anti)
+    } else
+      joinSols(l, r, "left_outer", extraFilter = Some { (ls, rs) =>
+        condOverJoined(ls, rs, e)
+      })
+
+  private def hasExists(e: Expr): Boolean = e match {
+    case _: EExists => true
+    case ECall(_, args) => args.exists(hasExists)
+    case _ => false
   }
 
   /** Build an EBV condition usable inside a join condition, where right-side
@@ -1298,30 +1314,38 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   private def condOverJoined(l: Sol, r: Sol, e: Expr): (Sol, Sol, Column) = {
     val fv = Expr.freeVars(e).toSeq.sorted
     var ls = l; var rs = r
+    // right side: columns already renamed with __r_ prefix
+    def rightView(bare: String): Column = rs.reps(bare) match {
+      case TermRep => col(bt("__r_" + bare))
+      case IdRep =>
+        val tcol = "__r___t_" + bare
+        if (!rs.df.columns.contains(tcol)) {
+          val t = dictSide(store.terms.select(col("id").as("__tid2"),
+            struct(col("kind"), col("lex"), col("dt"), col("lang"), col("num")).as("__tv2")))
+          val joined = rs.df.join(t, col(bt("__r_" + bare)) === col("__tid2"), "left")
+            .withColumn(tcol,
+              when(col("__tid2").isNotNull, col("__tv2"))
+                .otherwise(decodeInlineUdf(col(bt("__r_" + bare)))))
+            .drop("__tid2", "__tv2")
+          rs = rs.copy(df = joined)
+        }
+        col(bt(tcol))
+    }
     val views: Seq[Column] = fv.map { v =>
-      if (ls.reps.contains(v)) {
-        val (s2, c) = withView(ls, v); ls = s2; c
-      } else {
-        // right side: columns already renamed with __r_ prefix
-        val bare = v
-        if (rs.reps.contains(bare)) {
-          rs.reps(bare) match {
-            case TermRep => col(bt("__r_" + bare))
-            case IdRep =>
-              val tcol = "__r___t_" + bare
-              if (!rs.df.columns.contains(tcol)) {
-                val t = dictSide(store.terms.select(col("id").as("__tid2"),
-                  struct(col("kind"), col("lex"), col("dt"), col("lang"), col("num")).as("__tv2")))
-                val joined = rs.df.join(t, col(bt("__r_" + bare)) === col("__tid2"), "left")
-                  .withColumn(tcol,
-                    when(col("__tid2").isNotNull, col("__tv2"))
-                      .otherwise(decodeInlineUdf(col(bt("__r_" + bare)))))
-                  .drop("__tid2", "__tv2")
-                rs = rs.copy(df = joined)
-              }
-              col(bt(tcol))
-          }
-        } else lit(null).cast(TermRow.schema)
+      val lv: Option[Column] =
+        if (ls.reps.contains(v)) Some { val (s2, c) = withView(ls, v); ls = s2; c }
+        else None
+      val rv: Option[Column] = if (rs.reps.contains(v)) Some(rightView(v)) else None
+      (lv, rv) match {
+        // a var in scope on BOTH sides evaluates over the MERGED solution:
+        // μ(v) = μ1(v) if bound else μ2(v) (compatible rows agree when both
+        // bound, so the coalesce is exact merge semantics — reading only the
+        // left column returned null for a left-unbound shared var even when
+        // the right row bound it)
+        case (Some(a), Some(b)) => coalesce(a, b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case _ => lit(null).cast(TermRow.schema)
       }
     }
     // shallow conditions (the common OPTIONAL-filter shape) compile natively

@@ -100,9 +100,13 @@ object Dedup {
     * exactly in the DuckDB oracle. 60 bits is ample for per-doc shingle
     * dedup. */
   def shingles(d: DataFrame, w: Int): DataFrame =
-    d.select(col("doc_id"), expr(
-        s"transform(sequence(0, greatest(size(split(text, ' ')) - $w, 0) - 1), " +
-        s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $w)))").as("shs"))
+    // split ONCE into a materialized words array: with the split inside the
+    // transform lambda it re-tokenized the whole text per shingle index —
+    // O(words²) work and allocation per document
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, greatest(size(ws) - $w, 0) - 1), " +
+        s"i -> concat_ws(' ', slice(ws, i + 1, $w)))").as("shs"))
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .select(col("doc_id"),
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType).as("h"))
@@ -225,28 +229,31 @@ object Dedup {
     * corpus size. */
   def ngramJaccardOf(d: DataFrame, n: Int = 3,
       threshold: Double = 0.4, maxBlockDocs: Int = 4096): DataFrame = {
-    val grams = d.select(col("doc_id"), col("source"),
-        col("n_chars"), expr(
+    // the exploded per-n-gram frame carries ONLY (doc_id, h): the distinct —
+    // the biggest shuffle of this operator — moves 16-byte rows instead of
+    // rows dragging the source string and length along (those are doc-level
+    // attributes, re-attached below from the 2-rows-per-doc membership frame)
+    val grams = d.select(col("doc_id"), expr(
         s"transform(sequence(0, greatest(length(text) - $n, 0)), " +
         s"i -> substring(text, i + 1, $n))").as("gs"))
-      .select(col("doc_id"), col("source"), col("n_chars"), explode(col("gs")).as("g"))
-      .select(col("doc_id"), col("source"), col("n_chars"), xxhash64(col("g")).as("h"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
       .distinct()
       .transform(ScratchCache.persist)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // staggered double-bucketing: every doc lands in floor(len/64) and
     // floor((len+32)/64)+M, so near-dups straddling a bucket boundary still share
-    // a block; (a,b,h) is deduped before counting so the ratio stays exact
-    val blocked0 = grams.withColumn("lenb",
-      explode(array((col("n_chars") / 64).cast(IntegerType),
-        ((col("n_chars") + 32) / 64).cast(IntegerType) + 1000000)))
-    // guard the quadratic join: drop blocks over the membership cap. Counted
-    // on the DOC-LEVEL membership frame (one row per doc per bucket — ~1000×
-    // smaller than the exploded per-n-gram frame), and the broadcast side is
-    // the OVERSIZED list, whose size is bounded by corpus/maxBlockDocs (the
-    // keep-list grows with #sources × #length-buckets, unbounded).
+    // a block; (a,b,h) is deduped before counting so the ratio stays exact.
+    // Guard the quadratic join: drop blocks over the membership cap — BOTH the
+    // anti-join and the membership join run on the doc-level frame (one row
+    // per doc per bucket, ~1000× smaller than the gram frame; AQE broadcasts
+    // it when small). The broadcast side is the OVERSIZED list, whose size is
+    // bounded by corpus/maxBlockDocs (the keep-list grows with #sources ×
+    // #length-buckets, unbounded).
     val oversized = ngramOversizedBlocks(d, maxBlockDocs).select("source", "lenb")
-    val blocked = blocked0.join(broadcast(oversized), Seq("source", "lenb"), "left_anti")
+    val okMemb = blockMembership(d)
+      .join(broadcast(oversized), Seq("source", "lenb"), "left_anti")
+    val blocked = grams.join(okMemb, Seq("doc_id"))
     val inter = blocked.alias("x").join(blocked.alias("y"),
         col("x.source") === col("y.source") && col("x.lenb") === col("y.lenb") &&
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))

@@ -102,11 +102,16 @@ object Dedup {
   def shingles(d: DataFrame, w: Int): DataFrame =
     // split ONCE into a materialized words array: with the split inside the
     // transform lambda it re-tokenized the whole text per shingle index —
-    // O(words²) work and allocation per document
+    // O(words²) work and allocation per document. The size guard matters:
+    // for size(ws) ≤ w, sequence(0, size-w-1) counts DOWNWARD through
+    // negative indices and slice() then throws on index 0 — short docs
+    // produce no shingles instead of failing the job.
     d.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), expr(
-        s"transform(sequence(0, greatest(size(ws) - $w, 0) - 1), " +
-        s"i -> concat_ws(' ', slice(ws, i + 1, $w)))").as("shs"))
+        s"CASE WHEN size(ws) > $w THEN " +
+        s"transform(sequence(0, size(ws) - $w - 1), " +
+        s"i -> concat_ws(' ', slice(ws, i + 1, $w))) " +
+        s"ELSE array() END").as("shs"))
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .select(col("doc_id"),
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType).as("h"))
@@ -201,6 +206,43 @@ object Dedup {
           .cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHam)
+  }
+
+  /** Benchmark decontamination: flag corpus documents whose token-n-gram
+    * overlap with an EVALUATION set exceeds `threshold` — the standard
+    * training-data hygiene step (drop/flag training docs that leak benchmark
+    * content). Uses the same md5-prefix shingle hash as [[minhashLsh]], so it
+    * is fully value-oracle-checkable.
+    *
+    * Scale shape: the eval set is small by nature (benchmarks are thousands
+    * of docs; the corpus is billions), so its DISTINCT n-gram hash set is
+    * broadcast and the corpus side is a map-side semi-join — nothing shuffles
+    * at corpus scale except the per-doc gram counts, which [[shingles]]
+    * already pays for its distinct.
+    *
+    * Output: (doc_id, n_grams, hits, overlap) for flagged corpus docs.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+      threshold: Double = 0.05): DataFrame = {
+    val cg = shingles(corpus, n).transform(ScratchCache.persist)
+    val eg = shingles(evalSet, n).select("h").distinct()
+    val totals = cg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = cg.join(broadcast(eg), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("overlap", round(col("hits") / col("n_grams"), 4))
+      .filter(col("overlap") >= threshold)
+      .select("doc_id", "n_grams", "hits", "overlap")
+  }
+
+  /** [[decontaminate]] over the documents table, with the deterministic
+    * doc_id % 20 == 0 slice standing in for the held-out benchmark. */
+  def decontaminateDir(spark: SparkSession, dir: String, n: Int = 8,
+      threshold: Double = 0.05): DataFrame = {
+    val d = docs(spark, dir)
+    decontaminate(d.filter(col("doc_id") % 20 =!= 0),
+      d.filter(col("doc_id") % 20 === 0), n, threshold)
   }
 
   /** Transitive clusters over the SimHash near-dup pair graph (GraphX

@@ -1023,6 +1023,25 @@ object Battery {
         "FROM i JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
         "WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.3")),
 
+    ("dd_decontaminate", // benchmark decontamination: corpus docs sharing
+      // token-8-grams with the held-out doc_id%20==0 slice above threshold.
+      // Oracle-exact: same md5-prefix shingle hash as dd_minhash_lsh, and the
+      // same size-w shingle-count convention (starts 1..len-8; len<=8 -> none)
+      (s: SparkSession, d: String) => graft.pipeline.Dedup.decontaminateDir(s, d),
+      Some("WITH g AS (SELECT DISTINCT doc_id, " +
+        "CAST(concat('0x', substring(md5(array_to_string(ws[i:i+7], ' ')),1,15)) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t, " +
+        "LATERAL (SELECT unnest(range(1, greatest(len(ws) - 7, 1))) AS i) u), " +
+        "ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0), " +
+        "cg AS (SELECT * FROM g WHERE doc_id % 20 <> 0), " +
+        "tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1), " +
+        "hit AS (SELECT doc_id, count(*) AS hits FROM cg " +
+        "WHERE h IN (SELECT h FROM ev) GROUP BY 1) " +
+        "SELECT t.doc_id, n_grams, coalesce(hits, 0) AS hits, " +
+        "round(CAST(coalesce(hits, 0) AS DOUBLE) / n_grams, 4) AS overlap " +
+        "FROM tot t LEFT JOIN hit USING(doc_id) " +
+        "WHERE round(CAST(coalesce(hits, 0) AS DOUBLE) / n_grams, 4) >= 0.05")),
+
     // ---- similarity search ----
     ("sim_topk_brute",
       (s: SparkSession, d: String) => graft.pipeline.Similarity.bruteTopK(s, d),

@@ -34,6 +34,25 @@ class PipelineSpec extends AnyFunSuite {
     dir
   }
 
+  test("decontaminate flags corpus docs overlapping the eval set; short docs don't crash") {
+    import spark.implicits._
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 12
+    val corpus = Seq(
+      (1L, leaked + "plus a training tail here", "en", "srcA", 1L),
+      (2L, "completely different words entirely unrelated content here " * 10, "en", "srcA", 1L),
+      (3L, "tiny doc", "en", "srcA", 1L)) // < 8 words: zero shingles, no crash
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val evalSet = Seq((100L, leaked, "en", "eval", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val flagged = Dedup.decontaminate(corpus, evalSet, n = 8, threshold = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("overlap")).toMap
+    assert(flagged.contains(1L), s"leaked doc not flagged: $flagged")
+    assert(flagged(1L) > 0.5) // most of doc 1's DISTINCT 8-grams come from the
+    // eval doc (the repeated base phrase dedups to few distinct grams, so the
+    // novel tail weighs more than its share of the raw text)
+    assert(!flagged.contains(2L) && !flagged.contains(3L))
+  }
+
   test("exact dedup clusters byte-identical texts") {
     val r = Dedup.exact(spark, plantedDir).filter(col("n") > 1).collect()
     assert(r.length == 1)

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * between dedup and the trainer: deterministic split assignment, stratified
+  * sampling, GPT-style sequence packing, and quality-ranked duplicate-cluster
+  * representative selection. All are value-oracle-checkable (deterministic,
+  * no RNG — hashes stand in for randomness) and shuffle-bounded at 100 TB:
+  *
+  *  - [[hashSplit]] is pure map-side (no shuffle at all);
+  *  - [[stratifiedSample]] shuffles once on the stratum key;
+  *  - [[packChunks]] shuffles once on the stream key and runs one window;
+  *  - [[clusterRep]] works on the output-sized near-dup cluster frame.
+  */
+object Curation {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic CONTENT-hash train/valid/test split: bucket =
+    * md5(text)-derived value in [0,100); `< trainPct` → train, next
+    * `validPct` → valid, rest → test.
+    *
+    * Hashing the CONTENT (not the doc id) makes the split leakage-proof by
+    * construction: byte-identical duplicates land in the same bucket, so a
+    * doc can never appear in train while its exact copy sits in test. It is
+    * also stable under re-sharding/re-ingestion (ids may change, bytes
+    * don't). Map-side only — at 100 TB this is a projection over the scan,
+    * no shuffle, no state. */
+  def hashSplit(spark: SparkSession, dir: String,
+      trainPct: Int = 90, validPct: Int = 5): DataFrame =
+    docs(spark, dir).select(
+        col("doc_id"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType) % 100)
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+
+  /** Exact-k uniform-without-replacement sample per stratum: rank docs inside
+    * each `source` by (md5(text), doc_id) — a deterministic stand-in for a
+    * random permutation — and keep the first k.
+    *
+    * Scale shape: one shuffle on the stratum key, then a per-stratum sort.
+    * For strata of millions of docs the full sort is wasteful — the
+    * rank-by-hash formulation admits a two-phase refinement (per-partition
+    * top-k, then top-k of top-ks) because the k smallest hashes of a stratum
+    * are the k smallest of its partitions' top-ks; Spark's window is kept
+    * here because AQE splits skewed strata and k is tiny. */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        row_number().over(w).cast(LongType).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  /** GPT-style sequence packing (concat-and-chunk): within each `source`
+    * stream, documents in doc_id order are concatenated into one token
+    * stream that is cut every `budget` tokens. Emits, per document, the
+    * chunk it starts in, its token offset inside that chunk, and whether it
+    * spans a chunk boundary (real packing pipelines then split or drop the
+    * spanning tail). Token count = whitespace tokens, matching
+    * [[TextStats.tokens]].
+    *
+    * Scale shape: one shuffle on the stream key + one running-sum window per
+    * stream — the same cost as any cumulative metric. No collect, no
+    * sequential driver pass: chunk assignment is a pure function of the
+    * exclusive running sum, so the window IS the packer. */
+  def packChunks(spark: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("cum") / budget).as("chunk_id"),
+        (col("cum") % budget).as("chunk_off"),
+        (floor((col("cum") + col("n_tokens") - 1) / budget) >
+          floor(col("cum") / budget)).as("spans"))
+  }
+
+  /** Quality-ranked duplicate-cluster representative selection: close the
+    * SimHash near-dup graph into clusters ([[Dedup.simhashClusters]]), then
+    * keep the HIGHEST-QUALITY member of each cluster (longest text, ties to
+    * the smallest doc_id) instead of the arbitrary min-id member. Docs
+    * outside any cluster represent themselves.
+    *
+    * Output: (doc_id, rep, is_rep) for every document — `rep` is the doc to
+    * keep, `is_rep` marks the kept ones; filtering `is_rep` yields the
+    * deduplicated corpus.
+    *
+    * Scale shape: the cluster frame is output-sized (near-dup graphs are
+    * ≪ corpus); the rep choice is one window over the cluster key; the final
+    * join brings cluster labels back to the full corpus on doc_id. */
+  def clusterRep(spark: SparkSession, dir: String, maxHam: Int = 10): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("n_chars"))
+    val clustered = Dedup.simhashClusters(spark, dir, maxHam)
+      .withColumnRenamed("keep", "cluster")
+    val labeled = d.join(clustered, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labeled
+      .withColumn("rep", first(col("doc_id")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("doc_id"), col("rep"), (col("doc_id") === col("rep")).as("is_rep"))
+  }
+}

@@ -222,10 +222,26 @@ object Dedup {
     *
     * Output: (doc_id, n_grams, hits, overlap) for flagged corpus docs.
     */
+  /** [[shingles]] with xxhash64 instead of the md5-prefix hash: for operators
+    * whose OUTPUT is hash-free (overlap counts/ratios) the hash only has to
+    * be consistent within the job, so the codegen'd 64-bit hash replaces the
+    * md5 hex round-trip. (MinHash keeps md5 — its signatures ARE the output
+    * the oracle replays.) */
+  private def shinglesFast(d: DataFrame, w: Int): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(
+        s"CASE WHEN size(ws) > $w THEN " +
+        s"transform(sequence(0, size(ws) - $w - 1), " +
+        s"i -> concat_ws(' ', slice(ws, i + 1, $w))) " +
+        s"ELSE array() END").as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .distinct()
+
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
       threshold: Double = 0.05): DataFrame = {
-    val cg = shingles(corpus, n).transform(ScratchCache.persist)
-    val eg = shingles(evalSet, n).select("h").distinct()
+    val cg = shinglesFast(corpus, n).transform(ScratchCache.persist)
+    val eg = shinglesFast(evalSet, n).select("h").distinct()
     val totals = cg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val hits = cg.join(broadcast(eg), Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
@@ -271,18 +287,16 @@ object Dedup {
     * corpus size. */
   def ngramJaccardOf(d: DataFrame, n: Int = 3,
       threshold: Double = 0.4, maxBlockDocs: Int = 4096): DataFrame = {
-    // the exploded per-n-gram frame carries ONLY (doc_id, h): the distinct —
-    // the biggest shuffle of this operator — moves 16-byte rows instead of
-    // rows dragging the source string and length along (those are doc-level
-    // attributes, re-attached below from the 2-rows-per-doc membership frame)
-    val grams = d.select(col("doc_id"), expr(
-        s"transform(sequence(0, greatest(length(text) - $n, 0)), " +
-        s"i -> substring(text, i + 1, $n))").as("gs"))
-      .select(col("doc_id"), explode(col("gs")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
-      .distinct()
-      .transform(ScratchCache.persist)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // ONE row per document, computed ENTIRELY map-side: the doc's distinct
+    // gram set as an array (array_distinct over the gram transform — no
+    // explode, no dedup shuffle, no collect). Pair intersections are then a
+    // codegen'd array_intersect over the two ~|grams/doc| arrays per
+    // candidate pair, so the gram-level equi-join (|pairs × shared grams|
+    // rows, the old dominant shuffle) never materializes — the operator's
+    // only shuffle is the doc-level block self-join.
+    val gramArrs = d.select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(0, greatest(length(text) - $n, 0)), " +
+        s"i -> substring(text, i + 1, $n)))").as("hs"))
     // staggered double-bucketing: every doc lands in floor(len/64) and
     // floor((len+32)/64)+M, so near-dups straddling a bucket boundary still share
     // a block; (a,b,h) is deduped before counting so the ratio stays exact.
@@ -295,17 +309,23 @@ object Dedup {
     val oversized = ngramOversizedBlocks(d, maxBlockDocs).select("source", "lenb")
     val okMemb = blockMembership(d)
       .join(broadcast(oversized), Seq("source", "lenb"), "left_anti")
-    val blocked = grams.join(okMemb, Seq("doc_id"))
+    val blocked = gramArrs.join(okMemb, Seq("doc_id"))
+    // Doc-level block self-join: ~(block size)² pair rows per block (bounded
+    // by maxBlockDocs), each carrying the two gram arrays. A pair sharing
+    // BOTH staggered buckets yields two identical rows — the final groupBy
+    // max dedups them. The intersection itself never shuffles: it is a
+    // per-row array_intersect evaluated where the join row is produced.
     val inter = blocked.alias("x").join(blocked.alias("y"),
         col("x.source") === col("y.source") && col("x.lenb") === col("y.lenb") &&
-          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("x.h").as("h"))
-      .distinct()
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        size(array_intersect(col("x.hs"), col("y.hs"))).cast(LongType).as("inter"),
+        size(col("x.hs")).cast(LongType).as("sa"),
+        size(col("y.hs")).cast(LongType).as("sb"))
       .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"))
+      .agg(max(col("inter")).as("inter"), max(col("sa")).as("sa"),
+        max(col("sb")).as("sb"))
     inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
       .withColumn("jaccard", round(col("inter") /
         (col("sa") + col("sb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

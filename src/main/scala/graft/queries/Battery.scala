@@ -1025,11 +1025,13 @@ object Battery {
 
     ("dd_decontaminate", // benchmark decontamination: corpus docs sharing
       // token-8-grams with the held-out doc_id%20==0 slice above threshold.
-      // Oracle-exact: same md5-prefix shingle hash as dd_minhash_lsh, and the
-      // same size-w shingle-count convention (starts 1..len-8; len<=8 -> none)
+      // Oracle-exact: the output is hash-free (counts/ratios), so the oracle
+      // joins on the raw grams while Spark joins on xxhash64(gram) — identical
+      // sets absent a 64-bit collision (same convention as dd_ngram_jaccard);
+      // same size-w shingle-count rule on both sides (starts 1..len-8)
       (s: SparkSession, d: String) => graft.pipeline.Dedup.decontaminateDir(s, d),
       Some("WITH g AS (SELECT DISTINCT doc_id, " +
-        "CAST(concat('0x', substring(md5(array_to_string(ws[i:i+7], ' ')),1,15)) AS BIGINT) AS h " +
+        "array_to_string(ws[i:i+7], ' ') AS h " +
         "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t, " +
         "LATERAL (SELECT unnest(range(1, greatest(len(ws) - 7, 1))) AS i) u), " +
         "ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0), " +
@@ -1323,7 +1325,69 @@ object Battery {
         "round(256.0 / greatest(width, height), 4) AS scale, " +
         "CAST(floor(width * round(256.0 / greatest(width, height), 4)) AS INTEGER) AS out_w, " +
         "CAST(floor(height * round(256.0 / greatest(width, height), 4)) AS INTEGER) AS out_h " +
-        "FROM f"))
+        "FROM f")),
+
+    // ---- corpus curation (split / sample / pack / cluster-rep) ----
+
+    ("curate_split", // deterministic content-hash train/valid/test split —
+      // md5(text)-derived bucket, so exact duplicates can never straddle
+      // train and test (leakage-proof by construction). Map-side only.
+      (s: SparkSession, d: String) => graft.pipeline.Curation.hashSplit(s, d),
+      Some("SELECT doc_id, " +
+        "CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket, " +
+        "CASE WHEN CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) % 100 < 90 " +
+        "THEN 'train' WHEN CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) % 100 < 95 " +
+        "THEN 'valid' ELSE 'test' END AS split FROM documents")),
+
+    ("curate_sample", // exact-k uniform-without-replacement sample per source
+      // stratum: rank by (md5(text), doc_id) — a deterministic permutation —
+      // keep the first 8 of each stratum
+      (s: SparkSession, d: String) => graft.pipeline.Curation.stratifiedSample(s, d),
+      Some("SELECT doc_id, source, rk FROM (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk " +
+        "FROM documents) WHERE rk <= 8")),
+
+    ("curate_pack", // GPT-style concat-and-chunk sequence packing: per-source
+      // token stream cut every 256 tokens; chunk/offset/boundary-span per doc
+      // from ONE running-sum window (the window IS the packer — no driver pass)
+      (s: SparkSession, d: String) => graft.pipeline.Curation.packChunks(s, d),
+      Some("WITH t AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source " +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS cum FROM t) SELECT doc_id, source, n_tokens, " +
+        "CAST(floor(cum / 256.0) AS BIGINT) AS chunk_id, " +
+        "CAST(cum % 256 AS BIGINT) AS chunk_off, " +
+        "floor((cum + n_tokens - 1) / 256.0) > floor(cum / 256.0) AS spans FROM c")),
+
+    ("curate_cluster_rep", // quality-ranked duplicate-cluster representative:
+      // SimHash near-dup clusters (same recursive-CTE closure as
+      // dd_simhash_clusters), rep = longest text (ties → smallest doc_id);
+      // docs outside any cluster represent themselves
+      (s: SparkSession, d: String) => graft.pipeline.Curation.clusterRep(s, d),
+      Some("WITH RECURSIVE t AS (SELECT doc_id, " +
+        "CAST(concat('0x', substring(md5(tok),1,15)) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)), " +
+        "bb AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
+        "FROM t, range(0,60) u(i) GROUP BY 1,2), " +
+        "sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) " +
+        "ELSE 0 END) AS BIGINT) AS simhash FROM bb GROUP BY 1), " +
+        "bd AS (SELECT doc_id, simhash, b, (simhash >> CAST(b*15 AS INT)) & 32767 AS bh " +
+        "FROM sig, range(0,4) u(b)), " +
+        "p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b2 FROM bd x JOIN bd y " +
+        "ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.simhash, y.simhash)) <= 10), " +
+        "e AS (SELECT a AS x, b2 AS y FROM p UNION SELECT b2, a FROM p), " +
+        "r(n, m) AS (SELECT x AS n, x AS m FROM (SELECT x FROM e UNION SELECT y FROM e) " +
+        "UNION SELECT r.n, e.y FROM r JOIN e ON r.m = e.x), " +
+        "cl AS (SELECT n AS doc_id, min(m) AS cluster FROM r GROUP BY 1), " +
+        "lab AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster, d.n_chars " +
+        "FROM documents d LEFT JOIN cl USING(doc_id)), " +
+        "rep AS (SELECT cluster, doc_id AS rep FROM (SELECT cluster, doc_id, " +
+        "row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rn " +
+        "FROM lab) WHERE rn = 1) " +
+        "SELECT l.doc_id, rp.rep, l.doc_id = rp.rep AS is_rep " +
+        "FROM lab l JOIN rep rp USING(cluster)"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

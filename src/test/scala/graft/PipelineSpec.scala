@@ -201,4 +201,63 @@ class PipelineSpec extends AnyFunSuite {
     // the synthetic corpus has no natural pairs at cos >= 0.9 (max ≈ 0.6)
     assert(pairs == expected, s"unexpected extra pairs: ${(pairs -- expected).mkString(",")}")
   }
+
+  test("hash split: total partition, duplicates co-assigned, deterministic") {
+    val s = Curation.hashSplit(spark, sf)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(s.count() == n) // every doc assigned exactly once
+    assert(s.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "valid", "test")))
+    // content-hash property: byte-identical texts land in the same split
+    val sp = Curation.hashSplit(spark, plantedDir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(sp(9005L) == sp(9006L), "exact dups split apart (leakage)")
+    // deterministic across evaluations
+    assert(Curation.hashSplit(spark, sf).exceptAll(s).count() == 0)
+  }
+
+  test("stratified sample: exactly k per stratum, members of the stratum") {
+    val k = 8
+    val s = Curation.stratifiedSample(spark, sf, k)
+    val perSrc = s.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc.keySet == sizes.keySet)
+    perSrc.foreach { case (src, c) => assert(c == math.min(k.toLong, sizes(src))) }
+    assert(s.filter(col("rk") < 1 || col("rk") > k).count() == 0)
+  }
+
+  test("sequence packing: chunk math consistent with per-stream running sums") {
+    val budget = 256
+    val p = Curation.packChunks(spark, sf, budget)
+    // offsets stay inside the chunk; spans iff the doc crosses the boundary
+    assert(p.filter(col("chunk_off") < 0 || col("chunk_off") >= budget).count() == 0)
+    assert(p.filter(col("spans") =!=
+      (col("chunk_off") + col("n_tokens") > budget)).count() == 0)
+    // stream totals: last doc's start offset + its tokens == stratum token sum
+    import org.apache.spark.sql.expressions.Window
+    val last = p.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("doc_id").desc))).filter(col("rn") === 1)
+      .select(col("source"),
+        (col("chunk_id") * budget + col("chunk_off") + col("n_tokens")).as("end"))
+    val tot = p.groupBy("source").agg(sum("n_tokens").as("t"))
+    assert(last.join(tot, "source").filter(col("end") =!= col("t")).count() == 0)
+  }
+
+  test("cluster representative: highest-quality member kept per near-dup cluster") {
+    val r = Curation.clusterRep(spark, plantedDir, maxHam = 10)
+    val m = r.collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(m.size == 6)
+    // exact dups 9005/9006 share a rep; near pair 9001/9002 shares a rep and
+    // the rep is the LONGER text (9001 len == 9002 len? nearA/nearB differ by
+    // final word: "xi" vs "omicron" -> 9002 longer), ties impossible here
+    assert(m(9005L)._1 == m(9006L)._1)
+    assert(m(9001L)._1 == m(9002L)._1 && m(9001L)._1 == 9002L,
+      s"rep should be the longest member: $m")
+    // reps marked exactly on rep rows; non-clustered docs represent themselves
+    m.foreach { case (id, (rep, isRep)) => assert(isRep == (id == rep)) }
+    assert(m(9003L)._1 == 9003L && m(9004L)._1 == 9004L)
+  }
 }

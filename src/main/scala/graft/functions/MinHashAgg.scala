@@ -88,3 +88,46 @@ object MinHashAgg {
     ColumnBridge.column(
       MinHashAgg(ColumnBridge.expression(h), k, seed).toAggregateExpression())
 }
+
+/** MAP-SIDE MinHash: the full k-lane signature of a per-document shingle-hash
+  * ARRAY, as a scalar expression — no aggregation, no shuffle. Identical lane
+  * definition to [[MinHashAgg]] (splitmix64 over h + (seed+i)·GOLDEN), so the
+  * two are interchangeable; this one pairs with a map-side-built distinct
+  * gram array, turning signature computation into a pure projection.
+  * Per-row cost is k·|hs| mixes (~10⁴ for typical docs) — the CodegenFallback
+  * eval is noise next to that loop. Empty arrays yield null (no shingles). */
+case class MinHashSig(child: Expression, k: Int, seed: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val buf = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val m = MinHashAgg.mix(h + (seed + i) * MinHashAgg.GOLDEN)
+        if (m < buf(i)) buf(i) = m
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(buf)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Column API: `minhashSig(hsArrayCol, k, seed)` → array<long> of k minima. */
+  def apply(hs: Column, k: Int, seed: Long): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hs), k, seed))
+}

@@ -117,6 +117,18 @@ object Dedup {
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType).as("h"))
       .distinct()
 
+  /** [[shingles]] as ONE map-side row per document: the distinct shingle-hash
+    * set as an array. Same md5-prefix hash (it runs inside the transform
+    * lambda), same short-doc guard — but no explode and no dedup shuffle;
+    * per-doc distinct-ness comes from array_distinct in the projection. */
+  def shingleArrays(d: DataFrame, w: Int): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(
+        s"array_distinct(CASE WHEN size(ws) > $w THEN " +
+        s"transform(sequence(0, size(ws) - $w - 1), " +
+        s"i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, $w))), 1, 15), " +
+        s"16, 10) AS BIGINT)) ELSE CAST(array() AS ARRAY<BIGINT>) END)").as("hs"))
+
   /** MinHash signatures + LSH banding + exact-Jaccard verification.
     * Output: (a, b, jaccard) pairs with jaccard >= threshold, a < b.
     */
@@ -124,14 +136,19 @@ object Dedup {
       shingleW: Int = 3, threshold: Double = 0.5, seed: Long = 42): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val sh = shingles(docs(spark, dir), shingleW)
+    // per-doc distinct shingle-hash ARRAY, built entirely map-side (the
+    // md5-prefix hash runs inside the transform lambda): no explode, no
+    // dedup shuffle. Signatures are then a pure projection (MinHashSig runs
+    // the same splitmix64 lanes as the MinHashAgg aggregate, over the array)
+    // — signature computation costs ZERO shuffles; the operator's first
+    // exchange is the LSH band self-join. The same arrays drive the exact-
+    // Jaccard verification below via per-pair array_intersect, replacing the
+    // two gram-level joins of the exploded formulation.
+    val sh = shingleArrays(docs(spark, dir), shingleW)
       .transform(ScratchCache.persist)
-
-    // all k minhash lanes in ONE array-state aggregate (custom Catalyst
-    // TypedImperativeAggregate): one agg buffer and one tight splitmix64 loop
-    // per shingle, not k independent min(xxhash64) aggregates
-    val sigs = sh.groupBy("doc_id")
-      .agg(graft.functions.MinHashAgg(col("h"), k, seed).as("sig"))
+    val sigs = sh.select(col("doc_id"),
+      graft.functions.MinHashSig(col("hs"), k, seed).as("sig"))
+      .filter(col("sig").isNotNull)
 
     // band key = the band's signature slice itself (4 longs). Joining on the
     // slice instead of a hash of it keeps the key computable by BOTH engines
@@ -151,16 +168,16 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
 
-    // exact Jaccard verification of candidates only; the second join keys on
-    // (b, h) so matching shingles join directly instead of exploding per-b
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a"), col("h")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+    // exact Jaccard verification of candidates only: attach the two gram
+    // arrays (doc-level rows) and intersect per pair in codegen — candidate
+    // count bounds the work, and no gram-level rows ever shuffle
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ha"), col("hb"))).cast(LongType).as("inter"),
+        size(col("ha")).cast(LongType).as("sa"),
+        size(col("hb")).cast(LongType).as("sb"))
       .withColumn("jaccard", round(col("inter") /
         (col("sa") + col("sb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
@@ -222,28 +239,32 @@ object Dedup {
     *
     * Output: (doc_id, n_grams, hits, overlap) for flagged corpus docs.
     */
-  /** [[shingles]] with xxhash64 instead of the md5-prefix hash: for operators
-    * whose OUTPUT is hash-free (overlap counts/ratios) the hash only has to
-    * be consistent within the job, so the codegen'd 64-bit hash replaces the
-    * md5 hex round-trip. (MinHash keeps md5 — its signatures ARE the output
-    * the oracle replays.) */
-  private def shinglesFast(d: DataFrame, w: Int): DataFrame =
+  /** [[shingleArrays]] with xxhash64 instead of the md5-prefix hash: for
+    * operators whose OUTPUT is hash-free (overlap counts/ratios) the hash
+    * only has to be consistent within the job, so the codegen'd 64-bit hash
+    * replaces the md5 hex round-trip. (MinHash keeps md5 — its signatures
+    * ARE the output the oracle replays.) */
+  private def shingleArraysFast(d: DataFrame, w: Int): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), expr(
-        s"CASE WHEN size(ws) > $w THEN " +
+        s"array_distinct(CASE WHEN size(ws) > $w THEN " +
         s"transform(sequence(0, size(ws) - $w - 1), " +
-        s"i -> concat_ws(' ', slice(ws, i + 1, $w))) " +
-        s"ELSE array() END").as("shs"))
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      .distinct()
+        s"i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $w)))) " +
+        s"ELSE CAST(array() AS ARRAY<BIGINT>) END)").as("hs"))
 
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
       threshold: Double = 0.05): DataFrame = {
-    val cg = shinglesFast(corpus, n).transform(ScratchCache.persist)
-    val eg = shinglesFast(evalSet, n).select("h").distinct()
-    val totals = cg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hits = cg.join(broadcast(eg), Seq("h"), "left_semi")
+    // per-doc distinct gram arrays are built map-side; the corpus side
+    // explodes ONCE into the broadcast semi-join (no dedup shuffle — arrays
+    // are already per-doc distinct), and totals are a map-side size()
+    val cg = shingleArraysFast(corpus, n).transform(ScratchCache.persist)
+    val eg = shingleArraysFast(evalSet, n)
+      .select(explode(col("hs")).as("h")).distinct()
+    val totals = cg.select(col("doc_id"),
+        size(col("hs")).cast(LongType).as("n_grams"))
+      .filter(col("n_grams") > 0)
+    val hits = cg.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(eg), Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
     totals.join(hits, Seq("doc_id"), "left")
       .withColumn("hits", coalesce(col("hits"), lit(0L)))

@@ -17,9 +17,12 @@ object ProfileQ {
       else Seq("q_path_plus", "q_path_plus", "q_path_star", "q_path_star")
     for (q <- qs) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir).count()
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.count()
       graft.pipeline.ScratchCache.drain()
       println(f"$q%-16s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+        println(df.queryExecution.executedPlan.toString.take(12000))
     }
     spark.stop()
   }

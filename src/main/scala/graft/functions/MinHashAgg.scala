@@ -131,3 +131,46 @@ object MinHashSig {
   def apply(hs: Column, k: Int, seed: Long): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hs), k, seed))
 }
+
+/** MAP-SIDE SimHash: the `bits`-bit signature of a token-hash ARRAY as a
+  * scalar expression — one tight ±1-per-bit accumulation loop per document,
+  * no explode, no 60-sum groupBy, no shuffle. Token multiplicity is
+  * preserved (the array is NOT deduplicated), matching the aggregate
+  * formulation and the DuckDB oracle exactly: bit i of the result is set
+  * iff Σ_tokens (±1 by bit i of token hash) > 0. */
+case class SimHashSig(child: Expression, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val acc = new Array[Int](bits)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < bits) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < bits) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+  /** Column API: `simhashSig(tokenHashArrayCol, bits)` → long signature. */
+  def apply(hs: Column, bits: Int): Column =
+    ColumnBridge.column(SimHashSig(ColumnBridge.expression(hs), bits))
+}

@@ -190,21 +190,18 @@ object Dedup {
     * compute identically, making the signature oracle-checkable end-to-end. */
   val SimHashBits = 60
 
-  /** 60-bit SimHash per document (one groupBy with 60 per-bit weighted sums). */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType).as("h"))
-    val bitAggs = (0 until SimHashBits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
-    }
-    val sums = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until SimHashBits).map { i =>
-      when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), sig.as("simhash"))
-  }
+  /** 60-bit SimHash per document, computed ENTIRELY map-side: the md5-prefix
+    * token hashes come from a transform lambda over the split array (token
+    * multiplicity preserved — no dedup) and the ±1-per-bit accumulation runs
+    * in the SimHashSig scalar expression. No explode, no 60-sum groupBy, no
+    * shuffle — signatures are a projection over the document scan, which is
+    * the correct 100 TB shape (the old formulation shuffled every token). */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      graft.functions.SimHashSig(expr(
+        "transform(split(text, ' '), " +
+        "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"),
+        SimHashBits).as("simhash"))
 
   /** SimHash near-dup pairs: 4 x 15-bit band buckets, verified by hamming <= maxHam. */
   def simhashPairs(spark: SparkSession, dir: String, maxHam: Int = 3): DataFrame = {

@@ -189,15 +189,18 @@ object Results {
     // the compiler's distributed term→id path (inline UDF + dictionary join on
     // the target side) — no driver-side collect, so a high-cardinality
     // DESCRIBE ?x target set cannot OOM the driver.
-    val idFrames = present.map { v =>
-      c.toIdRep(sol, v).df.select(col(s"`$v`").as("__tid"))
-        .filter(col("__tid").isNotNull)
-    }
-    val frames = idFrames
+    // ONE evaluation of the solution for ALL target vars: fold each var to
+    // id representation, then explode the id columns into a single target
+    // frame — a DESCRIBE ?x ?y list no longer re-runs the WHERE pattern per
+    // variable.
     val q =
-      if (frames.isEmpty) c.store.quads.filter(lit(false))
+      if (present.isEmpty) c.store.quads.filter(lit(false))
       else {
-        val ids0 = frames.reduce(_ unionByName _).dropDuplicates()
+        val idSol = present.foldLeft(sol)((s, v) => c.toIdRep(s, v))
+        val ids0 = idSol.df
+          .select(explode(array(present.map(v => col(s"`$v`")): _*)).as("__tid"))
+          .filter(col("__tid").isNotNull)
+          .dropDuplicates()
         // The target id set is tiny whenever statistics bound the solution
         // (DESCRIBE <iri>, VALUES, a stats-bounded BGP): broadcast it, or the
         // semi-join sort-merge-shuffles the ENTIRE store to probe a handful

@@ -19,7 +19,18 @@ object Battery {
   import java.util.concurrent.ConcurrentHashMap
   private val comps = new ConcurrentHashMap[String, Compiler]()
 
+  /** The battery's DEFAULT store is the persisted subject-bucketed layout —
+    * the configuration a 100 TB deployment runs (predicate-partitioned
+    * parquet, subject-bucketed, statistics manifest): star/fk subject joins
+    * are bucket-aligned and run with NO exchange. The in-memory
+    * dictionary-encoded store remains available via [[memCompiler]] and is
+    * exercised by q_bgp_star_mem. Both stores hold identical quads; every
+    * oracle is layout-independent. */
   def compiler(spark: SparkSession, dir: String): Compiler =
+    bucketedCompiler(spark, dir)
+
+  /** Compiler over the in-memory cached store (no persisted layout). */
+  def memCompiler(spark: SparkSession, dir: String): Compiler =
     comps.computeIfAbsent(dir, d =>
       new Compiler(RelToRdf.cached(spark, d), ExprEval.Ctx(nowEpochUs = 1766188800000000L)))
 
@@ -79,6 +90,19 @@ object Battery {
           qp(V("c"), p("customer", "c_acctbal"), V("c_acctbal")),
           qp(V("c"), p("customer", "c_mktsegment"), V("c_mktsegment")))),
         "c_name" -> "string", "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+      Some("SELECT c_name, c_acctbal, c_mktsegment FROM customer")),
+
+    ("q_bgp_star_mem", // same star, over the IN-MEMORY dictionary-encoded
+      // store (the non-persisted path: ad-hoc loads, tests, REPL sessions)
+      (s: SparkSession, d: String) => {
+        val c = memCompiler(s, d)
+        Results.native(c, c.compile(Rewriter.rewrite(BGP(Seq(
+          qp(V("c"), p("customer", "c_name"), V("c_name")),
+          qp(V("c"), p("customer", "c_acctbal"), V("c_acctbal")),
+          qp(V("c"), p("customer", "c_mktsegment"), V("c_mktsegment")))))),
+          Seq("c_name" -> "string", "c_acctbal" -> "double",
+            "c_mktsegment" -> "string"))
+      },
       Some("SELECT c_name, c_acctbal, c_mktsegment FROM customer")),
 
     ("q_bgp_star_bucketed", // same star, but over the persisted subject-

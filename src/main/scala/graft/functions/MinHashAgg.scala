@@ -174,3 +174,42 @@ object SimHashSig {
   def apply(hs: Column, bits: Int): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(hs), bits))
 }
+
+/** |A ∩ B| of two SORTED array<long> columns by a single merge scan — no
+  * hash-set build, no result-array allocation (Spark's array_intersect pays
+  * both per call). The dedup verifiers evaluate this once per candidate
+  * pair, so the per-call constant is the whole cost. Inputs MUST be sorted
+  * ascending (the map-side gram projections sort once per document). */
+case class SortedIntersectSize(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var (i, j) = (0, 0)
+    var n = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectSize {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -124,10 +124,10 @@ object Dedup {
   def shingleArrays(d: DataFrame, w: Int): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), expr(
-        s"array_distinct(CASE WHEN size(ws) > $w THEN " +
+        s"sort_array(array_distinct(CASE WHEN size(ws) > $w THEN " +
         s"transform(sequence(0, size(ws) - $w - 1), " +
         s"i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, $w))), 1, 15), " +
-        s"16, 10) AS BIGINT)) ELSE CAST(array() AS ARRAY<BIGINT>) END)").as("hs"))
+        s"16, 10) AS BIGINT)) ELSE CAST(array() AS ARRAY<BIGINT>) END))").as("hs"))
 
   /** MinHash signatures + LSH banding + exact-Jaccard verification.
     * Output: (a, b, jaccard) pairs with jaccard >= threshold, a < b.
@@ -175,7 +175,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
       .join(sh.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
       .select(col("a"), col("b"),
-        size(array_intersect(col("ha"), col("hb"))).cast(LongType).as("inter"),
+        graft.functions.SortedIntersectSize(col("ha"), col("hb")).as("inter"),
         size(col("ha")).cast(LongType).as("sa"),
         size(col("hb")).cast(LongType).as("sb"))
       .withColumn("jaccard", round(col("inter") /
@@ -313,8 +313,8 @@ object Dedup {
     // rows, the old dominant shuffle) never materializes — the operator's
     // only shuffle is the doc-level block self-join.
     val gramArrs = d.select(col("doc_id"), expr(
-        s"array_distinct(transform(sequence(0, greatest(length(text) - $n, 0)), " +
-        s"i -> substring(text, i + 1, $n)))").as("hs"))
+        s"sort_array(array_distinct(transform(sequence(0, greatest(length(text) - $n, 0)), " +
+        s"i -> xxhash64(substring(text, i + 1, $n)))))").as("hs"))
     // staggered double-bucketing: every doc lands in floor(len/64) and
     // floor((len+32)/64)+M, so near-dups straddling a bucket boundary still share
     // a block; (a,b,h) is deduped before counting so the ratio stays exact.
@@ -337,7 +337,7 @@ object Dedup {
         col("x.source") === col("y.source") && col("x.lenb") === col("y.lenb") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        size(array_intersect(col("x.hs"), col("y.hs"))).cast(LongType).as("inter"),
+        graft.functions.SortedIntersectSize(col("x.hs"), col("y.hs")).as("inter"),
         size(col("x.hs")).cast(LongType).as("sa"),
         size(col("y.hs")).cast(LongType).as("sb"))
       .groupBy("a", "b")

@@ -202,6 +202,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == expected, s"unexpected extra pairs: ${(pairs -- expected).mkString(",")}")
   }
 
+  /** Planted-positive ANN dir: every query (vec_id < 10) has a twin at
+    * vec_id + 1000000 with cosine ≈ 0.999 — far above the corpus's natural
+    * max (~0.6), so the twin IS the true nearest neighbor. */
+  lazy val plantedEmbDir: String = {
+    val dir = "/tmp/graft_planted_emb"
+    Similarity.plantNearDups(Similarity.emb(spark, sf), n = 10)
+      .select(col("vec_id"), col("e").cast("array<float>").as("embedding"), col("label"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("lsh top-k retrieves planted true-nearest twins (recall >= 0.9)") {
+    val got = Similarity.lshTopK(spark, plantedEmbDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = (0L until 10L).count(q => got.contains((q, q + 1000000L)))
+    assert(hit >= 9, s"planted twins found for only $hit/10 queries")
+  }
+
+  test("ivf top-k retrieves planted true-nearest twins (recall >= 0.9)") {
+    val got = Similarity.ivfTopK(spark, plantedEmbDir, nLists = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = (0L until 10L).count(q => got.contains((q, q + 1000000L)))
+    assert(hit >= 9, s"planted twins found for only $hit/10 queries")
+  }
+
   test("hash split: total partition, duplicates co-assigned, deterministic") {
     val s = Curation.hashSplit(spark, sf)
     val n = spark.read.parquet(s"$sf/documents.parquet").count()

@@ -88,6 +88,32 @@ object Curation {
           floor(col("cum") / budget)).as("spans"))
   }
 
+  /** Domain-mixture reweighting: per-source token mass and the sampling
+    * weight that reshapes the corpus to a TARGET mixture (uniform across
+    * sources by default — the weight is target_share / natural_share, the
+    * multiplier a sampler applies to each domain's documents). The static-
+    * weights half of DoReMi-style mixture tuning, and the bookkeeping every
+    * multi-source pretraining corpus needs.
+    *
+    * Scale shape: one map-side token count + one groupBy(source) — the
+    * result is |domains| rows. */
+  def domainMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("nt"))
+    // totals via an unpartitioned window over the |domains|-row aggregate —
+    // one job, no driver round-trip (the frame is domain-count sized)
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .withColumn("__tot", sum(col("n_tokens")).over(w))
+      .withColumn("__nsrc", count(lit(1)).over(w))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("__tot"), 6).as("natural_share"),
+        round((lit(1.0) / col("__nsrc")) / (col("n_tokens") / col("__tot")), 4)
+          .as("weight"))
+  }
+
   /** Quality-ranked duplicate-cluster representative selection: close the
     * SimHash near-dup graph into clusters ([[Dedup.simhashClusters]]), then
     * keep the HIGHEST-QUALITY member of each cluster (longest text, ties to

@@ -111,6 +111,24 @@ object TextStats {
       .select((floor(col("n_tokens") / 10) * 10).cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
 
+  /** Corpus-wide vocabulary induction: the top-k tokens by occurrence count
+    * (ties broken lexicographically), ranked — the frequency table a
+    * tokenizer-training step starts from.
+    *
+    * Scale shape: the token count is the canonical map-side-combine groupBy
+    * (partial counts per partition, one shuffle keyed by token); the top-k
+    * cut is a TakeOrderedAndProject (per-partition heaps, no global sort);
+    * the rank window runs over k rows only. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+  }
+
   /** Language-ID heuristic: score languages by marker-word hits, deterministic
     * priority on ties. (The synthetic corpus is English-vocabulary; the *mechanism*
     * — per-language marker scoring — is what matters.)

@@ -1411,7 +1411,26 @@ object Battery {
         "row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rn " +
         "FROM lab) WHERE rn = 1) " +
         "SELECT l.doc_id, rp.rep, l.doc_id = rp.rep AS is_rep " +
-        "FROM lab l JOIN rep rp USING(cluster)"))
+        "FROM lab l JOIN rep rp USING(cluster)")),
+
+    ("curate_domain_mix", // per-source token mass + uniform-target sampling
+      // weight (target_share / natural_share) — static mixture reweighting
+      (s: SparkSession, d: String) => graft.pipeline.Curation.domainMixture(s, d),
+      Some("WITH a AS (SELECT source, count(*) AS n_docs, " +
+        "sum(len(string_split(text, ' '))) AS n_tokens FROM documents GROUP BY 1), " +
+        "t AS (SELECT sum(n_tokens) AS tot, count(*) AS nsrc FROM a) " +
+        "SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "round(n_tokens / CAST(tot AS DOUBLE), 6) AS natural_share, " +
+        "round((1.0 / nsrc) / (n_tokens / CAST(tot AS DOUBLE)), 4) AS weight " +
+        "FROM a, t")),
+
+    ("text_vocab_topk", // corpus-wide top-100 tokens by count (ties lexical),
+      // ranked — tokenizer-training frequency table
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.vocabTopK(s, d),
+      Some("SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk " +
+        "FROM (SELECT tok, count(*) AS cnt FROM (SELECT unnest(string_split(" +
+        "text, ' ')) AS tok FROM documents) u GROUP BY tok) c " +
+        "ORDER BY cnt DESC, tok LIMIT 100"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -227,6 +227,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(hit >= 9, s"planted twins found for only $hit/10 queries")
   }
 
+  test("domain mixture: shares sum to 1, uniform target weights invert shares") {
+    val m = Curation.domainMixture(spark, sf).collect()
+    val shares = m.map(_.getAs[Double]("natural_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-3)
+    // weight * natural_share == target share (uniform): constant across sources
+    val prods = m.map(r => r.getAs[Double]("weight") * r.getAs[Double]("natural_share"))
+    assert(prods.max - prods.min < 1e-2, s"non-uniform target: ${prods.mkString(",")}")
+  }
+
+  test("vocab top-k: ranked by count desc, counts match a direct recount") {
+    val v = TextStats.vocabTopK(spark, sf, k = 20).collect()
+      .sortBy(_.getAs[Long]("rk"))
+    assert(v.length == 20)
+    val cnts = v.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "not sorted")
+    val top = v.head
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === top.getString(0)).count()
+    assert(direct == top.getAs[Long]("cnt"))
+  }
+
   test("hash split: total partition, duplicates co-assigned, deterministic") {
     val s = Curation.hashSplit(spark, sf)
     val n = spark.read.parquet(s"$sf/documents.parquet").count()

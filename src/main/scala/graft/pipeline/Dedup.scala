@@ -270,6 +270,35 @@ object Dedup {
       .select("doc_id", "n_grams", "hits", "overlap")
   }
 
+  /** Corpus-boilerplate detection (C4-style repeated-content flagging):
+    * token n-grams shared by more than `minDocs` documents are "boilerplate"
+    * (headers, footers, license blocks, templated text); each document
+    * reports how much of it is made of such grams. Downstream filters drop
+    * or trim docs above a boilerplate fraction.
+    *
+    * Scale shape: gram doc-frequencies are one map-side-combine groupBy over
+    * the exploded per-doc distinct gram frame; the per-doc fraction is one
+    * more groupBy keyed by doc. Both shuffles move (hash, count) pairs only.
+    * Output: (doc_id, n_grams, bp_grams, bp_frac) for docs with any
+    * boilerplate gram. */
+  def boilerplate(corpus: DataFrame, n: Int = 8, minDocs: Int = 4): DataFrame = {
+    val cg = shingleArraysFast(corpus, n)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .transform(ScratchCache.persist)
+    val common = cg.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > minDocs).select("h")
+    val totals = cg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = cg.join(common, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("bp_grams"))
+    totals.join(hits, Seq("doc_id"))
+      .withColumn("bp_frac", round(col("bp_grams") / col("n_grams"), 4))
+      .select("doc_id", "n_grams", "bp_grams", "bp_frac")
+  }
+
+  def boilerplateDir(spark: SparkSession, dir: String, n: Int = 8,
+      minDocs: Int = 4): DataFrame =
+    boilerplate(docs(spark, dir), n, minDocs)
+
   /** [[decontaminate]] over the documents table, with the deterministic
     * doc_id % 20 == 0 slice standing in for the held-out benchmark. */
   def decontaminateDir(spark: SparkSession, dir: String, n: Int = 8,

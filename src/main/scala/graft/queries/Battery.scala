@@ -1424,6 +1424,23 @@ object Battery {
         "round((1.0 / nsrc) / (n_tokens / CAST(tot AS DOUBLE)), 4) AS weight " +
         "FROM a, t")),
 
+    ("dd_boilerplate", // C4-style repeated-content flagging: token-8-grams
+      // in > 4 docs are boilerplate; per-doc boilerplate fraction. Same
+      // raw-gram oracle convention as dd_decontaminate (xxhash64 vs raw
+      // grams, identical sets absent a 64-bit collision)
+      (s: SparkSession, d: String) => graft.pipeline.Dedup.boilerplateDir(s, d),
+      Some("WITH g AS (SELECT DISTINCT doc_id, " +
+        "array_to_string(ws[i:i+7], ' ') AS h " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t, " +
+        "LATERAL (SELECT unnest(range(1, greatest(len(ws) - 7, 1))) AS i) u), " +
+        "cm AS (SELECT h FROM g GROUP BY h HAVING count(*) > 4), " +
+        "tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1), " +
+        "hit AS (SELECT doc_id, count(*) AS bp_grams FROM g " +
+        "WHERE h IN (SELECT h FROM cm) GROUP BY 1) " +
+        "SELECT t.doc_id, n_grams, bp_grams, " +
+        "round(CAST(bp_grams AS DOUBLE) / n_grams, 4) AS bp_frac " +
+        "FROM tot t JOIN hit USING(doc_id)")),
+
     ("text_vocab_topk", // corpus-wide top-100 tokens by count (ties lexical),
       // ranked — tokenizer-training frequency table
       (s: SparkSession, d: String) => graft.pipeline.TextStats.vocabTopK(s, d),

@@ -227,6 +227,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(hit >= 9, s"planted twins found for only $hit/10 queries")
   }
 
+  test("boilerplate: repeated block flagged across docs, unique text is not") {
+    import spark.implicits._
+    val block = "this boilerplate footer repeats on every single page of the site "
+    val rows = (1L to 6L).map(i =>
+      (i, block + s"unique tail $i with distinct words number $i only", "en", "srcA", 1L)) :+
+      ((7L, "entirely unique document with no shared content at all here today now", "en", "srcA", 1L))
+    val bp = Dedup.boilerplate(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"), n = 8, minDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("bp_frac")).toMap
+    assert(!bp.contains(7L), "unique doc flagged as boilerplate")
+    (1L to 6L).foreach(i => assert(bp.getOrElse(i, 0.0) > 0.2,
+      s"doc $i boilerplate fraction too low: ${bp.get(i)}"))
+  }
+
   test("domain mixture: shares sum to 1, uniform target weights invert shares") {
     val m = Curation.domainMixture(spark, sf).collect()
     val shares = m.map(_.getAs[Double]("natural_share"))

@@ -56,14 +56,40 @@ object Dedup {
     val p = ScratchCache.persist(
       pairs.select(col("a").cast(LongType), col("b").cast(LongType)))
     val nEdges = p.count()
-    val parts = math.min(spark.sparkContext.defaultParallelism.toLong,
-      nEdges / 500000L + 1L).toInt
-    val edgeRdd = p.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-      .coalesce(parts)
-    val g = Graph.fromEdges(edgeRdd, defaultValue = 0)
-    val comps = g.connectedComponents().vertices.toDF("doc_id", "component")
-    val reps = comps.groupBy("component").agg(min("doc_id").as("keep"))
-    comps.join(reps, "component").select(col("doc_id"), col("keep"))
+    if (nEdges <= 500000L) {
+      // SMALL pair graph (the overwhelmingly common case — near-dup graphs
+      // are output-sized): one bounded collect + driver union-find replaces
+      // a Pregel run whose per-iteration scheduling dwarfs the work. ≤500k
+      // edges ≈ 8 MB on the driver; bigger graphs take the distributed path.
+      val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val verts = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      // component label = min member id, matching the GraphX/oracle convention
+      val label = verts.iterator.map(v => v -> find(v)).toMap
+      val minOf = label.groupMapReduce(_._2)(_._1)(math.min)
+      verts.iterator.map(v => (v, minOf(label(v)))).toSeq
+        .toDF("doc_id", "keep")
+    } else {
+      val parts = math.min(spark.sparkContext.defaultParallelism.toLong,
+        nEdges / 500000L + 1L).toInt
+      val edgeRdd = p.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+        .coalesce(parts)
+      val g = Graph.fromEdges(edgeRdd, defaultValue = 0)
+      val comps = g.connectedComponents().vertices.toDF("doc_id", "component")
+      val reps = comps.groupBy("component").agg(min("doc_id").as("keep"))
+      comps.join(reps, "component").select(col("doc_id"), col("keep"))
+    }
   }
 
   /** Exact dedup: clusters of byte-identical texts. */

@@ -172,9 +172,14 @@ object Dedup {
     // two gram-level joins of the exploded formulation.
     val sh = shingleArrays(docs(spark, dir), shingleW)
       .transform(ScratchCache.persist)
-    val sigs = sh.select(col("doc_id"),
+    sh.count() // materialize before fan-out (band explode + 2 verify joins)
+    val sigs = ScratchCache.persist(sh.select(col("doc_id"),
       graft.functions.MinHashSig(col("hs"), k, seed).as("sig"))
-      .filter(col("sig").isNotNull)
+      .filter(col("sig").isNotNull))
+    // materialized before the band explode: Generate re-evaluates an
+    // un-materialized input per OUTPUT row — 16 bands would recompute the
+    // full k-lane signature 16x per document
+    sigs.count()
 
     // band key = the band's signature slice itself (4 longs). Joining on the
     // slice instead of a hash of it keeps the key computable by BOTH engines
@@ -233,6 +238,7 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String, maxHam: Int = 3): DataFrame = {
     val sig = simhash(spark, dir)
       .transform(ScratchCache.persist)
+    sig.count() // materialize before the band explode + self-join fan-out
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF).as("bh")))
@@ -279,8 +285,11 @@ object Dedup {
       threshold: Double = 0.05): DataFrame = {
     // per-doc distinct gram arrays are built map-side; the corpus side
     // explodes ONCE into the broadcast semi-join (no dedup shuffle — arrays
-    // are already per-doc distinct), and totals are a map-side size()
+    // are already per-doc distinct), and totals are a map-side size().
+    // The arrays frame is materialized BEFORE the explode — Generate
+    // re-evaluates an un-materialized lambda input per OUTPUT row.
     val cg = shingleArraysFast(corpus, n).transform(ScratchCache.persist)
+    cg.count()
     val eg = shingleArraysFast(evalSet, n)
       .select(explode(col("hs")).as("h")).distinct()
     val totals = cg.select(col("doc_id"),
@@ -308,15 +317,23 @@ object Dedup {
     * Output: (doc_id, n_grams, bp_grams, bp_frac) for docs with any
     * boilerplate gram. */
   def boilerplate(corpus: DataFrame, n: Int = 8, minDocs: Int = 4): DataFrame = {
-    val cg = shingleArraysFast(corpus, n)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-      .transform(ScratchCache.persist)
-    val common = cg.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > minDocs).select("h")
-    val totals = cg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hits = cg.join(common, Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("bp_grams"))
-    totals.join(hits, Seq("doc_id"))
+    // materialize the ARRAYS frame before exploding: Generate re-evaluates
+    // its (interpreted) gram-lambda input per OUTPUT row, so exploding the
+    // un-materialized projection costs |grams| lambda evaluations instead
+    // of |docs| (measured 4.5× on this operator)
+    val arrs = ScratchCache.persist(shingleArraysFast(corpus, n))
+    arrs.count()
+    val cg = arrs.select(col("doc_id"), explode(col("hs")).as("h"))
+    // one pass: per-gram doc-frequency, re-attached to the gram frame (both
+    // sides hash-partitioned on h — the aggregate reuses the exchange), then
+    // ONE per-doc aggregate computing total and boilerplate gram counts
+    // together. No semi-join, no totals⋈hits join.
+    val dfreq = cg.groupBy("h").agg(count(lit(1)).as("df"))
+    cg.join(dfreq, Seq("h"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") > minDocs, 1L).otherwise(0L)).as("bp_grams"))
+      .filter(col("bp_grams") > 0)
       .withColumn("bp_frac", round(col("bp_grams") / col("n_grams"), 4))
       .select("doc_id", "n_grams", "bp_grams", "bp_frac")
   }

@@ -27,9 +27,15 @@ object TextStats {
   private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
 
   /** Quality heuristics: stopword ratio, type/token ratio, digit & punct density. */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    qualityOf(docs(spark, dir))
+
+  /** [[quality]] over an explicit (doc_id, text, …) frame. Pure map-side
+    * projections — the SAME plan works unmodified on a streaming frame
+    * (StreamOps.qualityStream): scoring needs no state, no watermark. */
+  def qualityOf(d: DataFrame): DataFrame = {
     val stopList = stopwords.map(s => s"'$s'").mkString(", ")
-    docs(spark, dir).select(
+    d.select(
       col("doc_id"),
       round(expr(s"size(filter(split(text, ' '), w -> w IN ($stopList)))") /
         size(split(col("text"), " ")), 4).as("stop_ratio"),

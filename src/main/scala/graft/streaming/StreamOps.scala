@@ -71,6 +71,15 @@ object StreamOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Streaming document quality scoring: the batch quality heuristics
+    * ([[graft.pipeline.TextStats.qualityOf]]) applied to a document stream.
+    * The scores are pure map-side projections, so the streaming plan is the
+    * batch plan — no state store, no watermark, per-micro-batch throughput
+    * equals the batch scan rate. This is the shape an ingest-time quality
+    * gate runs at: score on arrival, filter before landing. */
+  def qualityStream(docsStream: DataFrame): DataFrame =
+    graft.pipeline.TextStats.qualityOf(docsStream)
+
   /** Drive a streaming query to completion over the static directory (test/demo
     * harness: memory sink + processAllAvailable).
     */

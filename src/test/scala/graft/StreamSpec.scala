@@ -111,4 +111,17 @@ class StreamSpec extends AnyFunSuite {
     assert(out.count() == distinctIds)
     assert(out.select("event_id").distinct().count() == distinctIds)
   }
+
+  test("streaming quality scores equal the batch result") {
+    val dir = "/tmp/graft_stream/docs"
+    spark.read.parquet(s"$sf/documents.parquet").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val got = StreamOps.runToMemory(
+      StreamOps.qualityStream(spark.readStream.schema(schema).parquet(dir)),
+      "stream_quality", OutputMode.Append)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val exp = graft.pipeline.TextStats.quality(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(got == exp)
+  }
 }

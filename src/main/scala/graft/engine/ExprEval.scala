@@ -481,7 +481,9 @@ object ExprEval {
     })
     case "round" => numTerm(numOf(ev(args(0), b, c)) match {
       case n @ NInt(_) => n
-      case NDec(v) => NDec(v.setScale(0, BigDecimal.RoundingMode.HALF_UP))
+      // XPath fn:round: ties go toward POSITIVE infinity (-1.5 → -1), which
+      // is floor(x + 0.5) — not HALF_UP (that sends -1.5 to -2)
+      case NDec(v) => NDec((v + 0.5).setScale(0, BigDecimal.RoundingMode.FLOOR))
       case NFlt(v) => NFlt(math.round(v).toFloat); case NDbl(v) => NDbl(math.round(v).toDouble)
     })
     case "ceil" => numTerm(numOf(ev(args(0), b, c)) match {

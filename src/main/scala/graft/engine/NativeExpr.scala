@@ -512,7 +512,10 @@ object NativeExpr {
         l => abs(l), d => abs(d), f => abs(f).cast(FloatType), dc => abs(dc)))
       case "round" => term(args(0)).map(numUnary(_,
         l => l, d => floor(d + 0.5).cast(DoubleType), // round-half-up toward +inf
-        f => floor(f + 0.5).cast(FloatType), dc => round(dc, 0)))
+        f => floor(f + 0.5).cast(FloatType),
+        // XPath ties toward +inf for decimals too: floor(x + 0.5), not
+        // Spark's round() (HALF_UP sends -1.5 to -2)
+        dc => floor(dc + lit(0.5)).cast(DEC)))
       case "ceil" => term(args(0)).map(numUnary(_,
         l => l, d => ceil(d).cast(DoubleType), f => ceil(f).cast(FloatType),
         dc => ceil(dc).cast(DEC)))

@@ -54,6 +54,7 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: service manifest (in-process federation)") { runArea("service") }
   test("w3c: expr-ops manifest (arithmetic/comparison operators)") { runArea("expr-ops") }
   test("w3c: reduced manifest (LaxCardinality compare)") { runArea("reduced") }
+  test("w3c: expr-edge manifest (builtin edge cases: STRBEFORE/AFTER lang rules, langMatches ranges, ROUND ties, IN, sameTerm, COALESCE, CONCAT lang, TZ, argument-compat errors)") { runArea("expr-edge") }
 
   test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
     // the HTTP SERVICE client ships patterns as AlgebraText-serialized SPARQL:

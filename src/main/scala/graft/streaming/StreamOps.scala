@@ -80,6 +80,57 @@ object StreamOps {
   def qualityStream(docsStream: DataFrame): DataFrame =
     graft.pipeline.TextStats.qualityOf(docsStream)
 
+  /** Streaming near-duplicate detection against a STATIC corpus: incoming
+    * documents are MinHash-signed map-side (per-micro-batch projection — the
+    * same zero-shuffle path as the batch operator), band-bucketed, and
+    * stream-static joined against the corpus's band table; candidates are
+    * verified by exact Jaccard over the two gram arrays. This is the
+    * ingest-time gate "is this new doc a near-dup of anything we already
+    * hold" — the static side is computed once and reused by every
+    * micro-batch.
+    *
+    * Output: (doc_id, match_id, jaccard) for stream docs with a corpus
+    * near-dup at or above `threshold`. */
+  def nearDupStream(docsStream: DataFrame, corpus: DataFrame,
+      k: Int = 64, bands: Int = 16, shingleW: Int = 3,
+      threshold: Double = 0.5, seed: Long = 42): DataFrame = {
+    import graft.pipeline.Dedup
+    import graft.functions.MinHashSig
+    val rowsPerBand = k / bands
+    def banded(d: DataFrame) = {
+      val sigs = Dedup.shingleArrays(d, shingleW)
+        .select(col("doc_id"), col("hs"), MinHashSig(col("hs"), k, seed).as("sig"))
+        .filter(col("sig").isNotNull)
+      val bandCols = (0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand).as("bs"))
+      }
+      sigs.select(col("doc_id"), col("hs"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("hs"),
+          col("bk.band").as("band"), col("bk.bs").as("bs"))
+    }
+    // static side materialized once (persist), streamed side recomputed per
+    // micro-batch — the stream-static join broadcasts nothing and keeps the
+    // state-free semantics (no watermark needed: the corpus is fixed)
+    val corp = graft.pipeline.ScratchCache.persist(
+      banded(corpus)
+        .withColumnRenamed("doc_id", "match_id").withColumnRenamed("hs", "mhs"))
+    corp.count()
+    banded(docsStream).join(corp, Seq("band", "bs"))
+      .filter(col("doc_id") =!= col("match_id"))
+      .select(col("doc_id"), col("match_id"),
+        graft.functions.SortedIntersectSize(col("hs"), col("mhs")).as("inter"),
+        size(col("hs")).cast("long").as("sa"), size(col("mhs")).cast("long").as("sb"))
+      // a pair sharing several bands emits several IDENTICAL rows (state-free
+      // at-least-once flagging; an idempotent upsert sink keyed on
+      // (doc_id, match_id) absorbs them — a streaming dropDuplicates would
+      // hold unbounded state for no semantic gain)
+      .withColumn("jaccard", round(col("inter") /
+        (col("sa") + col("sb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id", "match_id", "jaccard")
+  }
+
   /** Drive a streaming query to completion over the static directory (test/demo
     * harness: memory sink + processAllAvailable).
     */

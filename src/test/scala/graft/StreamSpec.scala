@@ -112,6 +112,27 @@ class StreamSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == distinctIds)
   }
 
+  test("streaming near-dup detection flags stream docs against the static corpus") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 12
+    val corpus = Seq(
+      (1L, base + "lambda mu nu xi", "en", "srcA", 1L),
+      (2L, "completely different words entirely unrelated content here " * 10, "en", "srcA", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val streamRows = Seq(
+      (100L, base + "lambda mu nu omicron", "en", "srcB", 1L), // near-dup of 1
+      (101L, "yet another disjoint vocabulary nothing shared at all " * 10, "en", "srcB", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/tmp/graft_stream/neardup"
+    streamRows.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val flagged = StreamOps.runToMemory(
+      StreamOps.nearDupStream(spark.readStream.schema(schema).parquet(dir), corpus),
+      "stream_neardup", OutputMode.Append)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((100L, 1L)), s"got $flagged")
+  }
+
   test("streaming quality scores equal the batch result") {
     val dir = "/tmp/graft_stream/docs"
     spark.read.parquet(s"$sf/documents.parquet").write.mode("overwrite").parquet(dir)

@@ -399,6 +399,10 @@ object Dedup {
     val oversized = ngramOversizedBlocks(d, maxBlockDocs).select("source", "lenb")
     val okMemb = blockMembership(d)
       .join(broadcast(oversized), Seq("source", "lenb"), "left_anti")
+    // NO materialization barrier here: the self-join's two sides each
+    // recompute the map-side gram arrays (cheap, |docs|-proportional, and
+    // pipelined straight into the join's sort) — caching the array rows
+    // measured slower than recomputing them
     val blocked = gramArrs.join(okMemb, Seq("doc_id"))
     // Doc-level block self-join: ~(block size)² pair rows per block (bounded
     // by maxBlockDocs), each carrying the two gram arrays. A pair sharing

@@ -34,6 +34,31 @@ object EventsOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("total"))
 
+  /** Ordered funnel analysis (view → click → purchase): for each user who
+    * viewed, did a click STRICTLY AFTER the first view occur, and a purchase
+    * strictly after that first qualifying click? The staged-min formulation
+    * (first view, first click after it, first purchase after that) is the
+    * standard funnel semantics and is expressible as three narrow
+    * aggregations on the user key — after the first shuffle the stage joins
+    * are co-partitioned, so the funnel costs one real exchange regardless of
+    * stage count. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = e.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = e.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    v.join(c.select(col("user_id"), lit(true).as("c0")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(true).as("p0")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("c0"), lit(false)).as("clicked"),
+        coalesce(col("p0"), lit(false)).as("purchased"))
+  }
+
   /** Sessionization: per-user session count with a 30-minute inactivity gap
     * (batch analogue of mapGroupsWithState sessionization).
     */

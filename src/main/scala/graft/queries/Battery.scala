@@ -1307,6 +1307,20 @@ object Battery {
         "AS fingerprint FROM documents")),
 
     // ---- event-stream analytics (batch shapes; streaming in graft.streaming) ----
+    ("ev_funnel", // ordered view→click→purchase funnel per user: staged mins
+      // (first view, first click after it, first purchase after that)
+      (s: SparkSession, d: String) => graft.pipeline.EventsOps.funnel(s, d),
+      Some("WITH v AS (SELECT user_id, min(ts) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING(user_id) " +
+        "WHERE event_type = 'click' AND ts > t1 GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING(user_id) " +
+        "WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1) " +
+        "SELECT v.user_id, c.user_id IS NOT NULL AS clicked, " +
+        "p.user_id IS NOT NULL AS purchased " +
+        "FROM v LEFT JOIN c ON v.user_id = c.user_id " +
+        "LEFT JOIN p ON v.user_id = p.user_id")),
+
     ("ev_window5m",
       (s: SparkSession, d: String) => graft.pipeline.EventsOps.window5m(s, d),
       Some("SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS bucket, " +

@@ -234,6 +234,110 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rk").cast("long").as("rk"))
   }
 
+  /** Product-quantization ANN: each vector is split into `m` subvectors;
+    * per subspace a `ksub`-centroid codebook is trained (same exact-integer
+    * Lloyd scheme as [[ivfTopK]]: centroids are integer (sum, count) pairs
+    * over the quantized components, init = the ksub lowest-id vectors, ties
+    * to the lowest code); a vector's code is its per-subspace nearest
+    * centroid (squared L2, compared as the IEEE double Σ(n·x−S)²/n² both
+    * engines compute identically from identical integers). Queries score
+    * candidates with an ADC table — approximate distance = the SUM over
+    * subspaces of the query-to-codeword distance, accumulated in FIXED
+    * subspace order so the float sum is cross-engine deterministic.
+    *
+    * Scale shape: the scan side reads `m` small codes per vector (8 bytes
+    * at m=8) instead of the full float vector — PQ's point is that the
+    * exhaustive candidate scan touches ~1/32 of the bytes; codebooks are
+    * tiny (m × ksub × dim/m ints) and ship in the closure. Training
+    * aggregates are (sub, code, j)-keyed groupBys — corpus-sized shuffles
+    * of integer triples, and only `iters` of them.
+    *
+    * Output: (qid, nid, adist, rk) — top-k by rounded ADC distance. */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val e = emb(spark, dir)
+    val eq = ScratchCache.persist(
+      e.withColumn("q", udf((v: Seq[Double]) => quantize127(v.toArray))
+        .apply(col("e"))).select("vec_id", "q"))
+    eq.count()
+    val dim = eq.select(size(col("q"))).first().getInt(0)
+    val sub = dim / m
+
+    // cents(s)(c) = (component sums over members, member count)
+    var cents: Array[Array[(Array[Long], Long)]] = {
+      val seeds = eq.filter(col("vec_id") < ksub).orderBy("vec_id")
+        .select("q").collect().map(_.getSeq[Long](0).toArray)
+      Array.tabulate(m)(s => seeds.map(v => (v.slice(s * sub, (s + 1) * sub), 1L)))
+    }
+
+    /** Squared L2 between integer subvector x and centroid S/n, as the
+      * double Σ(n·x_j − S_j)² / n² — exact int64 numerator, one IEEE
+      * division; identical in DuckDB. */
+    def distOf(x: Array[Long], off: Int, c: (Array[Long], Long)): Double = {
+      val (sv, n) = c
+      var acc = 0L
+      var j = 0
+      while (j < sv.length) {
+        val d = n * x(off + j) - sv(j)
+        acc += d * d
+        j += 1
+      }
+      acc.toDouble / (n.toDouble * n.toDouble)
+    }
+    def codesUdf(cs: Array[Array[(Array[Long], Long)]]) = udf { (v: Seq[Long]) =>
+      val x = v.toArray
+      Array.tabulate(m) { s =>
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cs(s).length) {
+          val d = distOf(x, s * sub, cs(s)(c))
+          if (d < bestD) { bestD = d; best = c } // ties keep lowest c
+          c += 1
+        }
+        best
+      }
+    }
+
+    for (_ <- 0 until iters) {
+      val cs = cents
+      val sums = eq.withColumn("codes", codesUdf(cs)(col("q")))
+        .select(posexplode(col("q")).as(Seq("pos", "x")), col("codes"))
+        .select((col("pos") / sub).cast("int").as("s"), (col("pos") % sub).as("j"),
+          col("x"), expr(s"codes[CAST(pos / $sub AS INT)]").as("c"))
+        .groupBy("s", "c", "j").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.map { case (v, n) => (v.clone(), n) })
+      sums.foreach { r =>
+        val (s, c, j) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(s)(c)._1(j) = r.getLong(3)
+        next(s)(c) = (next(s)(c)._1, r.getLong(4))
+      }
+      cents = next
+    }
+
+    val coded = ScratchCache.persist(
+      eq.withColumn("codes", codesUdf(cents)(col("q"))))
+    coded.count()
+    val cs = cents
+    // ADC in FIXED ascending-subspace order (cross-engine deterministic sum)
+    val adcUdf = udf { (qv: Seq[Long], codes: Seq[Int]) =>
+      val x = qv.toArray
+      var acc = 0.0
+      var s = 0
+      while (s < m) { acc += distOf(x, s * sub, cs(s)(codes(s))); s += 1 }
+      acc
+    }
+    val qs = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val scored = broadcast(qs).join(coded, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(adcUdf(col("qq"), col("codes")), 4).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist").asc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Plant deterministic near-duplicates: for each vec_id < n, add a copy at
     * vec_id + idOffset with coordinates scaled by a small cyclic factor
     * (cosine vs the original ≈ 0.999). Gives the near-dup path known positives

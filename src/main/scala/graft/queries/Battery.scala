@@ -1169,6 +1169,64 @@ object Battery {
         "rk FROM (SELECT qid, nid, cos, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos " +
         "DESC, nid) AS BIGINT) AS rk FROM scored) WHERE rk <= 5")),
 
+    ("sim_pq_topk", // product-quantization ANN — FULL value oracle: per-
+      // subspace codebooks are exact integer (sum, count) pairs (same
+      // unrolled-Lloyd scheme as sim_ivf_topk), assignment compares the IEEE
+      // double sum((n*x-S)^2)/n^2 both engines build from identical
+      // integers, and the ADC distance left-folds the 8 subspace terms in
+      // fixed order so the float sum is cross-engine deterministic
+      (s: SparkSession, d: String) => graft.pipeline.Similarity.pqTopK(s, d),
+      Some(
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +
+        "FROM embeddings), comp AS (SELECT vec_id, u.s.j AS j, u.s.v AS v FROM e, " +
+        "unnest(list_transform(range(1, len(emb)+1), i -> {'j': i-1, 'v': emb[i]})) u(s)), " +
+        "mx AS (SELECT vec_id, max(abs(v)) AS m FROM comp GROUP BY 1), " +
+        "q AS (SELECT c.vec_id, CAST(c.j // 8 AS INT) AS s, CAST(c.j % 8 AS INT) AS jj, " +
+        "CASE WHEN m = 0 THEN 0 ELSE CAST(floor(v / m * 127.0 + 0.5) AS BIGINT) END AS x " +
+        "FROM comp c JOIN mx USING(vec_id)), " +
+        "cent0 AS (SELECT CAST(vec_id AS INT) AS c, s, jj, x AS sv, CAST(1 AS BIGINT) AS n " +
+        "FROM q WHERE vec_id < 16), " +
+        "d0 AS (SELECT q.vec_id, q.s, c0.c, sum((c0.n * q.x - c0.sv) * (c0.n * q.x - c0.sv)) " +
+        "AS d2, any_value(c0.n) AS n FROM q JOIN cent0 c0 ON c0.s = q.s AND c0.jj = q.jj " +
+        "GROUP BY 1, 2, 3), " +
+        "a0 AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, row_number() OVER (PARTITION " +
+        "BY vec_id, s ORDER BY CAST(d2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), " +
+        "c) AS rk FROM d0) WHERE rk = 1), " +
+        "s1 AS (SELECT a0.s, a0.c, q.jj, sum(q.x) AS sv, count(*) AS n FROM q JOIN a0 ON " +
+        "a0.vec_id = q.vec_id AND a0.s = q.s GROUP BY 1, 2, 3), " +
+        "cent1 AS (SELECT c0.s, c0.c, c0.jj, COALESCE(s1.sv, c0.sv) AS sv, " +
+        "COALESCE(s1.n, c0.n) AS n FROM cent0 c0 LEFT JOIN s1 ON s1.s = c0.s AND " +
+        "s1.c = c0.c AND s1.jj = c0.jj), " +
+        "d1 AS (SELECT q.vec_id, q.s, c1.c, sum((c1.n * q.x - c1.sv) * (c1.n * q.x - c1.sv)) " +
+        "AS d2, any_value(c1.n) AS n FROM q JOIN cent1 c1 ON c1.s = q.s AND c1.jj = q.jj " +
+        "GROUP BY 1, 2, 3), " +
+        "a1 AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, row_number() OVER (PARTITION " +
+        "BY vec_id, s ORDER BY CAST(d2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), " +
+        "c) AS rk FROM d1) WHERE rk = 1), " +
+        "s2 AS (SELECT a1.s, a1.c, q.jj, sum(q.x) AS sv, count(*) AS n FROM q JOIN a1 ON " +
+        "a1.vec_id = q.vec_id AND a1.s = q.s GROUP BY 1, 2, 3), " +
+        "cent2 AS (SELECT c1.s, c1.c, c1.jj, COALESCE(s2.sv, c1.sv) AS sv, " +
+        "COALESCE(s2.n, c1.n) AS n FROM cent1 c1 LEFT JOIN s2 ON s2.s = c1.s AND " +
+        "s2.c = c1.c AND s2.jj = c1.jj), " +
+        "d2f AS (SELECT q.vec_id, q.s, c2.c, sum((c2.n * q.x - c2.sv) * (c2.n * q.x - c2.sv)) " +
+        "AS d2, any_value(c2.n) AS n FROM q JOIN cent2 c2 ON c2.s = q.s AND c2.jj = q.jj " +
+        "GROUP BY 1, 2, 3), " +
+        "dist AS (SELECT vec_id, s, c, CAST(d2 AS DOUBLE) / (CAST(n AS DOUBLE) * " +
+        "CAST(n AS DOUBLE)) AS dd FROM d2f), " +
+        "af AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, row_number() OVER (PARTITION " +
+        "BY vec_id, s ORDER BY dd, c) AS rk FROM dist) WHERE rk = 1), " +
+        "pairs AS (SELECT dq.vec_id AS qid, af.vec_id AS nid, dq.s, dq.dd FROM af JOIN dist " +
+        "dq ON dq.s = af.s AND dq.c = af.c AND dq.vec_id < 10 AND af.vec_id <> dq.vec_id), " +
+        "piv AS (SELECT qid, nid, max(CASE WHEN s = 0 THEN dd END) AS x0, " +
+        "max(CASE WHEN s = 1 THEN dd END) AS x1, max(CASE WHEN s = 2 THEN dd END) AS x2, " +
+        "max(CASE WHEN s = 3 THEN dd END) AS x3, max(CASE WHEN s = 4 THEN dd END) AS x4, " +
+        "max(CASE WHEN s = 5 THEN dd END) AS x5, max(CASE WHEN s = 6 THEN dd END) AS x6, " +
+        "max(CASE WHEN s = 7 THEN dd END) AS x7 FROM pairs GROUP BY 1, 2), " +
+        "adf AS (SELECT qid, nid, round(((((((x0 + x1) + x2) + x3) + x4) + x5) + x6) + x7, 4) " +
+        "AS adist FROM piv) " +
+        "SELECT qid, nid, adist, rk FROM (SELECT qid, nid, adist, CAST(row_number() OVER " +
+        "(PARTITION BY qid ORDER BY adist, nid) AS BIGINT) AS rk FROM adf) WHERE rk <= 5")),
+
     ("sim_neardup", // planted near-dup positives; FULL value oracle — the
       // planted vectors, quantized signatures, bucket pairs, and rounded
       // cosine verification all replicate in DuckDB (splitmix64 planes via

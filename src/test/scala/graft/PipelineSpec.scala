@@ -263,6 +263,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(direct == top.getAs[Long]("cnt"))
   }
 
+  test("pq top-k retrieves planted true-nearest twins") {
+    val got = Similarity.pqTopK(spark, plantedEmbDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = (0L until 10L).count(q => got.contains((q, q + 1000000L)))
+    // PQ is the coarsest index here (16 codewords / 8-dim subspace): allow
+    // one quantization miss where LSH/IVF demand >= 9
+    assert(hit >= 8, s"planted twins found for only $hit/10 queries")
+  }
+
   test("hash split: total partition, duplicates co-assigned, deterministic") {
     val s = Curation.hashSplit(spark, sf)
     val n = spark.read.parquet(s"$sf/documents.parquet").count()

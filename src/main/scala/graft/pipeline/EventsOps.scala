@@ -59,6 +59,21 @@ object EventsOps {
         coalesce(col("p0"), lit(false)).as("purchased"))
   }
 
+  /** Weekly cohort retention: users are cohorted by their first active
+    * week; for each (cohort week, week offset) count the distinct users
+    * still active. Two narrow user-keyed aggregations plus one
+    * (cohort, offset)-keyed count — the textbook retention matrix, all
+    * integer arithmetic (epoch-week buckets), no timezone sensitivity. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val wk = events(spark, dir).select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 604800L).as("w"))
+      .distinct()
+    val first = wk.groupBy("user_id").agg(min("w").as("w0"))
+    wk.join(first, "user_id")
+      .groupBy(col("w0").as("cohort"), (col("w") - col("w0")).as("off"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   /** Sessionization: per-user session count with a 30-minute inactivity gap
     * (batch analogue of mapGroupsWithState sessionization).
     */

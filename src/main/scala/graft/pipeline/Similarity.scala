@@ -234,6 +234,23 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rk").cast("long").as("rk"))
   }
 
+  /** Range similarity search: ALL corpus vectors within cosine >= `minCos`
+    * of each query (vec_id < nQueries), not just the top-k — the dedup/
+    * retrieval primitive when the neighbor count is unknown. Brute exact
+    * scan (|q| × corpus map-side work against a broadcast query set); the
+    * bucketed LSH path ([[nearDupPairsOf]]) is the scale alternative when
+    * minCos is high. */
+  def rangeSearch(spark: SparkSession, dir: String, nQueries: Int = 10,
+      minCos: Double = 0.3): DataFrame = {
+    val e = withNorm(emb(spark, dir)).transform(ScratchCache.persist)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    broadcast(qs).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("qe"), col("e")) / (col("qn") * col("nrm")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Product-quantization ANN: each vector is split into `m` subvectors;
     * per subspace a `ksub`-centroid codebook is trained (same exact-integer
     * Lloyd scheme as [[ivfTopK]]: centroids are integer (sum, count) pairs

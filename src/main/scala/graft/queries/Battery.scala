@@ -1169,6 +1169,20 @@ object Battery {
         "rk FROM (SELECT qid, nid, cos, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos " +
         "DESC, nid) AS BIGINT) AS rk FROM scored) WHERE rk <= 5")),
 
+    ("sim_range", // range similarity: all neighbors with cosine >= 0.3 of
+      // each query — unknown-count retrieval primitive (rounded-cosine cut,
+      // same cross-engine convention as the top-k entries)
+      (s: SparkSession, d: String) => graft.pipeline.Similarity.rangeSearch(s, d),
+      Some("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) " +
+        "AS emb FROM embeddings), comp AS (SELECT vec_id, u.s.j AS j, u.s.v AS v FROM e, " +
+        "unnest(list_transform(range(1, len(emb)+1), i -> {'j': i-1, 'v': emb[i]})) u(s)), " +
+        "nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nr FROM comp GROUP BY 1), " +
+        "dp AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dp FROM comp a " +
+        "JOIN comp b ON b.j = a.j AND a.vec_id < 10 AND b.vec_id <> a.vec_id GROUP BY 1, 2) " +
+        "SELECT qid, nid, round(dp.dp / (nq.nr * nn.nr), 4) AS cos FROM dp " +
+        "JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid " +
+        "WHERE round(dp.dp / (nq.nr * nn.nr), 4) >= 0.3")),
+
     ("sim_pq_topk", // product-quantization ANN — FULL value oracle: per-
       // subspace codebooks are exact integer (sum, count) pairs (same
       // unrolled-Lloyd scheme as sim_ivf_topk), assignment compares the IEEE
@@ -1378,6 +1392,15 @@ object Battery {
         "p.user_id IS NOT NULL AS purchased " +
         "FROM v LEFT JOIN c ON v.user_id = c.user_id " +
         "LEFT JOIN p ON v.user_id = p.user_id")),
+
+    ("ev_retention", // weekly cohort retention matrix: first-active-week
+      // cohorts x week offset, distinct active users
+      (s: SparkSession, d: String) => graft.pipeline.EventsOps.retention(s, d),
+      Some("WITH wk AS (SELECT DISTINCT user_id, " +
+        "CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w FROM events), " +
+        "f AS (SELECT user_id, min(w) AS w0 FROM wk GROUP BY 1) " +
+        "SELECT w0 AS cohort, w - w0 AS off, count(DISTINCT wk.user_id) AS n_users " +
+        "FROM wk JOIN f USING(user_id) GROUP BY 1, 2")),
 
     ("ev_window5m",
       (s: SparkSession, d: String) => graft.pipeline.EventsOps.window5m(s, d),

@@ -272,6 +272,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(hit >= 8, s"planted twins found for only $hit/10 queries")
   }
 
+  test("funnel: purchase implies click (staged ordering), viewers all present") {
+    val f = EventsOps.funnel(spark, sf)
+    assert(f.filter(col("purchased") && !col("clicked")).count() == 0,
+      "a purchase cannot complete the funnel without the click stage")
+    val viewers = EventsOps.events(spark, sf)
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(f.count() == viewers)
+  }
+
+  test("retention: offset-0 equals cohort size, later offsets never exceed it") {
+    val r = EventsOps.retention(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val cohorts = r.keys.map(_._1).toSet
+    cohorts.foreach { c =>
+      val base = r((c, 0L)) // every user is active in their own first week
+      r.foreach { case ((c2, off), n) if c2 == c && off > 0 =>
+        assert(n <= base, s"cohort $c offset $off: $n > $base")
+      case _ => ()
+      }
+    }
+  }
+
+  test("range search: planted twins returned, cut respected") {
+    val got = Similarity.rangeSearch(spark, plantedEmbDir, minCos = 0.3)
+    assert(got.filter(col("cos") < 0.3).count() == 0)
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach(q => assert(pairs.contains((q, q + 1000000L)),
+      s"twin of query $q missing"))
+  }
+
   test("hash split: total partition, duplicates co-assigned, deterministic") {
     val s = Curation.hashSplit(spark, sf)
     val n = spark.read.parquet(s"$sf/documents.parquet").count()

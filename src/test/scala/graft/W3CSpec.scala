@@ -54,6 +54,7 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: service manifest (in-process federation)") { runArea("service") }
   test("w3c: expr-ops manifest (arithmetic/comparison operators)") { runArea("expr-ops") }
   test("w3c: reduced manifest (LaxCardinality compare)") { runArea("reduced") }
+  test("w3c: aggregates-edge manifest (SUM error poisoning, DISTINCT, default separator, COUNT(*) vs COUNT(?v), GROUP BY expression keys)") { runArea("aggregates-edge") }
   test("w3c: expr-edge manifest (builtin edge cases: STRBEFORE/AFTER lang rules, langMatches ranges, ROUND ties, IN, sameTerm, COALESCE, CONCAT lang, TZ, argument-compat errors)") { runArea("expr-edge") }
 
   test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
@@ -103,9 +104,9 @@ class W3CSpec extends AnyFunSuite {
       "bind", "values", "exists", "projexpr",
       "grouping", "regex", "bev", "bound", "ask", "expr-equals", "triple-match",
       "algebra", "expr-builtin", "csv-tsv-res", "basic", "dataset", "distinct", "service",
-      "expr-ops", "reduced")
+      "expr-ops", "reduced", "expr-edge", "aggregates-edge")
     val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
-    assert(cases.size == 205, s"expected 205 vendored tests, found ${cases.size}")
+    assert(cases.size == 224, s"expected 224 vendored tests, found ${cases.size}")
     val syntax = cases.count(_.kind != "eval")
     assert(syntax == 22, s"expected 22 syntax (parse-only) tests, found $syntax")
   }

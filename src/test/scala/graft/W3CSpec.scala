@@ -68,7 +68,8 @@ class W3CSpec extends AnyFunSuite {
       "functions", "sort", "subquery", "open-world", "type-promotion", "cast",
       "bnode-coreference", "i18n", "bind", "values", "exists", "projexpr",
       "grouping", "regex", "bev", "bound", "expr-equals", "triple-match",
-      "algebra", "expr-builtin", "basic", "distinct", "expr-ops", "reduced")
+      "algebra", "expr-builtin", "basic", "distinct", "expr-ops", "reduced",
+      "expr-edge", "aggregates-edge")
     var checked = 0
     for (area <- areas; tc <- W3CRunner.loadManifest(new java.io.File(s"$root/$area"))) {
       val q = new String(java.nio.file.Files.readAllBytes(tc.query.toPath), "UTF-8")

@@ -44,8 +44,13 @@ object Battery {
       // on-disk store written by an earlier build
       val out = "/tmp/graft_store_v2_" +
         Integer.toHexString(d.hashCode).replace('-', 'n')
-      if (!new java.io.File(s"$out/meta.json").exists())
+      // rebuild if absent OR written by a different term-codec/mapping build
+      // (a stale cached store would silently decode wrong ids)
+      if (graft.store.StorePersist.savedCodecVersion(out) !=
+          graft.store.StorePersist.CodecVersion) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         graft.store.StorePersist.save(RelToRdf.cached(spark, d), out)
+      }
       new Compiler(graft.store.StorePersist.open(spark, out),
         ExprEval.Ctx(nowEpochUs = 1766188800000000L))
     })

@@ -45,6 +45,22 @@ object StorePersist {
     * lands last in the on-disk schema. */
   private val PartitionCol = "p"
 
+  /** Version of the term codec + relational→RDF mapping baked into saved
+    * stores. BUMP THIS whenever TermId encoding, IriScheme, or RelToRdf
+    * change shape: cached on-disk stores written by an older build would
+    * otherwise be silently reused with wrong ids. [[savedCodecVersion]]
+    * lets callers detect and rebuild stale caches. */
+  val CodecVersion = 2
+
+  /** The codec version a saved store was written with (0 = pre-versioning). */
+  def savedCodecVersion(dir: String): Int = {
+    val p = java.nio.file.Paths.get(dir, "meta.json")
+    if (!java.nio.file.Files.exists(p)) -1
+    else "\"codecVersion\":(\\d+)".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .map(_.group(1).toInt).getOrElse(0)
+  }
+
   def save(store: RdfStore, dir: String, buckets: Int = 32): Unit = {
     val spark = store.spark
     val tbl = quadsTable(dir)
@@ -81,6 +97,7 @@ object StorePersist {
          |"spgAllInline":${store.spgAllInline},
          |"namedGraphs":$named,
          |"buckets":$buckets,
+         |"codecVersion":$CodecVersion,
          |"layout":"ps",
          |"schemaDDL":"$dataCols",
          |"profiles":$profiles}""".stripMargin

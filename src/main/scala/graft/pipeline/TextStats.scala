@@ -117,6 +117,45 @@ object TextStats {
       .select((floor(col("n_tokens") / 10) * 10).cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
 
+  /** Character-trigram language profiles: the most frequent trigrams of each
+    * language's function words — the classic n-gram-profile language-ID
+    * signal (Cavnar & Trenkle 1994 style, profile fixed in code so the
+    * operator is deterministic and oracle-replicable). */
+  private val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "and", "nd ", " an", "ing", "ng ", " of",
+      "of ", " to", "to ", "ion", " in", "ed ", "is ", " is", "at ", "es ", "er "),
+    "de" -> Seq("der", "er ", " de", "ie ", "die", "und", "nd ", " un", "ein",
+      "ich", "ch ", " ei", "sch", "en ", "das", " da", "ung", "ist", " is", "cht"),
+    "fr" -> Seq("es ", " de", "de ", "le ", " le", "ent", "nt ", "la ", " la",
+      "et ", " et", "les", "que", " qu", "ue ", "des", "ion", "eur", " pa", "re "))
+
+  /** N-gram language-ID: score = fraction of the document's character
+    * trigrams (occurrence-weighted) that hit each language's profile;
+    * winner by (score, fixed language priority). Entirely map-side — the
+    * trigram transform, the per-profile membership counts, and the argmax
+    * are projections over the scan (no shuffle at any scale). */
+  def langidNgram(spark: SparkSession, dir: String): DataFrame = {
+    val grams = expr(
+      "CASE WHEN length(text) >= 3 THEN transform(sequence(0, length(text) - 3), " +
+      "i -> substring(lower(text), i + 1, 3)) ELSE CAST(array() AS ARRAY<STRING>) END")
+    val scored = docs(spark, dir).select(col("doc_id"), grams.as("gs"))
+    val scoreCols = trigramProfiles.map { case (lang, prof) =>
+      val set = prof.map(g => s"'${g.replace("'", "''")}'").mkString(", ")
+      (lang, expr(s"size(filter(gs, g -> g IN ($set)))") / size(col("gs")))
+    }
+    val withScores = scored.select(col("doc_id") +:
+      scoreCols.map { case (l, c) => round(c, 4).as(s"s_$l") }: _*)
+    // argmax with fixed priority on ties (en, then de, then fr)
+    val best =
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+        col("s_en") > 0, "en")
+      .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+      .when(col("s_fr") > 0, "fr")
+      .otherwise("unknown")
+    withScores.select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"),
+      best.as("pred_lang"))
+  }
+
   /** Corpus-wide vocabulary induction: the top-k tokens by occurrence count
     * (ties broken lexicographically), ranked — the frequency table a
     * tokenizer-training step starts from.

@@ -1541,6 +1541,32 @@ object Battery {
         "round(CAST(bp_grams AS DOUBLE) / n_grams, 4) AS bp_frac " +
         "FROM tot t JOIN hit USING(doc_id)")),
 
+    ("text_langid_ngram", // Cavnar-Trenkle-style character-trigram profile
+      // language-ID: occurrence-weighted profile-hit fractions per language,
+      // argmax with fixed tie priority — fully map-side
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.langidNgram(s, d),
+      Some {
+        val profs = Seq(
+          "en" -> Seq("the", "he ", " th", "and", "nd ", " an", "ing", "ng ", " of",
+            "of ", " to", "to ", "ion", " in", "ed ", "is ", " is", "at ", "es ", "er "),
+          "de" -> Seq("der", "er ", " de", "ie ", "die", "und", "nd ", " un", "ein",
+            "ich", "ch ", " ei", "sch", "en ", "das", " da", "ung", "ist", " is", "cht"),
+          "fr" -> Seq("es ", " de", "de ", "le ", " le", "ent", "nt ", "la ", " la",
+            "et ", " et", "les", "que", " qu", "ue ", "des", "ion", "eur", " pa", "re "))
+        val scores = profs.map { case (l, p) =>
+          val set = p.map(g => s"'${g.replace("'", "''")}'").mkString(", ")
+          s"round(CAST(len(list_filter(gs, g -> g IN ($set))) AS DOUBLE) / len(gs), 4) AS s_$l"
+        }.mkString(", ")
+        "WITH g AS (SELECT doc_id, CASE WHEN length(text) >= 3 THEN " +
+        "list_transform(range(0, length(text) - 2), i -> substring(lower(text), " +
+        "CAST(i + 1 AS INT), 3)) ELSE [] END AS gs FROM documents), " +
+        s"sc AS (SELECT doc_id, $scores FROM g) " +
+        "SELECT doc_id, s_en, s_de, s_fr, CASE " +
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en' " +
+        "WHEN s_de >= s_fr AND s_de > 0 THEN 'de' " +
+        "WHEN s_fr > 0 THEN 'fr' ELSE 'unknown' END AS pred_lang FROM sc"
+      }),
+
     ("text_vocab_topk", // corpus-wide top-100 tokens by count (ties lexical),
       // ranked — tokenizer-training frequency table
       (s: SparkSession, d: String) => graft.pipeline.TextStats.vocabTopK(s, d),

@@ -302,6 +302,20 @@ class PipelineSpec extends AnyFunSuite {
       s"twin of query $q missing"))
   }
 
+  test("trigram langid: separates english, german, french sample texts") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the quick brown fox is running to the house of the king and the queen", "x", "s", 1L),
+      (2L, "der schnelle braune fuchs und das kleine kind sind nicht in der schule", "x", "s", 1L),
+      (3L, "le renard brun et rapide est dans la maison avec les enfants du roi", "x", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/tmp/graft_langid"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextStats.langidNgram(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr"), s"got $got")
+  }
+
   test("hash split: total partition, duplicates co-assigned, deterministic") {
     val s = Curation.hashSplit(spark, sf)
     val n = spark.read.parquet(s"$sf/documents.parquet").count()

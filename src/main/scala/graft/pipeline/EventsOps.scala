@@ -90,6 +90,38 @@ object EventsOps {
       .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** As-of join: each purchase event matched to the MOST RECENT strictly-
+    * earlier view event of the same user (the classic point-in-time join of
+    * feature pipelines: "state as of the moment of the label event").
+    *
+    * Scale shape — deliberately NOT a join: both event roles ride ONE
+    * window pass over the user-keyed stream (`last(view_ts) ignoring nulls`
+    * with rows preceding the current row), so the whole operator costs a
+    * single hash exchange on `user_id` + an in-partition sort, independent of
+    * how many candidate rights each left row has. A join formulation
+    * (`p.ts > v.ts` range join) explodes to |p|×|v| per user before the
+    * aggregate prunes it; the window formulation never materializes those
+    * pairs, which is what survives a 100 TB event log with hot users.
+    * Strictness: rows order by (ts, is_view) so a view at the exact purchase
+    * timestamp sorts AFTER the purchase and is excluded — matching the
+    * oracle's `p.ts > v.ts` ASOF condition. Purchases with no prior view
+    * drop (inner as-of semantics). */
+  def asofJoin(spark: SparkSession, dir: String,
+      leftType: String = "purchase", rightType: String = "view"): DataFrame = {
+    val e = events(spark, dir)
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === rightType).cast("int").as("is_right"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("is_right"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    e.withColumn("view_ts",
+        last(when(col("is_right") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_right") === 0 && col("view_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("view_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
+
   /** JSON property extraction (props is a JSON string). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

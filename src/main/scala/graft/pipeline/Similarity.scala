@@ -152,6 +152,93 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
+  /** Assignment score of quantized vector q against centroid c = (S, n):
+    * dot(q, S)/n — one double division of exact integers, no float summation,
+    * so assignment is order-free and replicable by the DuckDB oracle. */
+  private def centScore(q: Array[Long], c: (Array[Long], Long)): Double = {
+    var d = 0L; var i = 0
+    val cv = c._1
+    while (i < q.length && i < cv.length) { d += q(i) * cv(i); i += 1 }
+    d.toDouble / c._2.toDouble
+  }
+
+  private def coarseAssignUdf(cs: Array[(Array[Long], Long)]) = udf { (v: Seq[Long]) =>
+    val q = v.toArray
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val s = centScore(q, cs(c))
+      if (s > bestScore) { bestScore = s; best = c } // ties keep lowest c
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic coarse k-means over the quantized frame: centroids are
+    * EXACT integer (component-sum, member-count) pairs; init = the nLists
+    * lowest-id vectors at weight 1; `iters` Lloyd steps, each one groupBy
+    * over (list, dim) — no RNG anywhere, so an unrolled-iteration oracle CTE
+    * computes the identical integers. Shared by [[ivfTopK]] and
+    * [[semDedup]]. */
+  private def trainCoarse(eq: DataFrame, nLists: Int,
+      iters: Int): Array[(Array[Long], Long)] = {
+    var cents: Array[(Array[Long], Long)] = eq.filter(col("vec_id") < nLists)
+      .orderBy("vec_id").select("q").collect()
+      .map(r => (r.getSeq[Long](0).toArray, 1L))
+    for (_ <- 0 until iters) {
+      val cs = cents
+      val sums = eq.withColumn("cl", coarseAssignUdf(cs)(col("q")))
+        .select(col("cl"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cl", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map { case (v, n) => (v.clone(), n) } // empty list keeps old
+      val byCl = sums.groupBy(_.getInt(0))
+      byCl.foreach { case (cl, rows) =>
+        val v = next(cl)._1
+        rows.foreach(r => v(r.getInt(1)) = r.getLong(2))
+        next(cl) = (v, rows.head.getLong(3))
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with a coarse k-means,
+    * then — WITHIN each cluster only — flag any vector whose cosine to a
+    * lower-id cluster-mate is ≥ `tau` (the lower id survives as the
+    * representative; the witness rule is deterministic, no RNG).
+    *
+    * Scale shape: this is the paper's own trick for making semantic dedup
+    * tractable — the only pairwise work is within a cluster, so cost is
+    * Σ|cluster|², tuned by nLists (production: nLists ∝ corpus/√target so
+    * clusters stay bounded), never |corpus|². Clustering reuses the exact
+    * deterministic Lloyd trainer ([[trainCoarse]]), assignment is map-side,
+    * and the pair join is an equi-join on the cluster id.
+    *
+    * Output: (vec_id, cl, keep) for every corpus vector. */
+  def semDedup(spark: SparkSession, dir: String, nLists: Int = 8,
+      iters: Int = 2, tau: Double = 0.4): DataFrame = {
+    val e = withNorm(emb(spark, dir)).transform(ScratchCache.persist)
+    val eq = e.withColumn("q", udf((v: Seq[Double]) => quantize127(v.toArray))
+        .apply(col("e")))
+      .transform(ScratchCache.persist)
+    val cents = trainCoarse(eq, nLists, iters)
+    val corpus = eq.withColumn("cl", coarseAssignUdf(cents)(col("q")))
+      .select("vec_id", "cl", "e", "nrm")
+      .transform(ScratchCache.persist)
+    // rounded cosine (cross-engine-deterministic threshold cut, see lshTopK)
+    val dups = corpus.alias("x").join(corpus.alias("y"),
+        col("x.cl") === col("y.cl") && col("x.vec_id") > col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"),
+        round(dot(col("x.e"), col("y.e")) / (col("x.nrm") * col("y.nrm")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+      .select("vec_id").distinct()
+    corpus.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cl"),
+        not(coalesce(col("dup"), lit(false))).as("keep"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
     * partitions the corpus into `nLists` inverted lists; each query probes its
     * `nProbe` nearest lists and reranks exactly within them.
@@ -168,57 +255,13 @@ object Similarity {
     val eq = e.withColumn("q", udf((v: Seq[Double]) => quantize127(v.toArray))
         .apply(col("e")))
       .transform(ScratchCache.persist)
-
-    // Centroids are EXACT integer (component-sum, member-count) pairs over the
-    // quantized vectors; assignment score is dot(q, S_c)/n_c as one double
-    // division of exact integers — no float summation anywhere, so training
-    // is order-free, deterministic, and replicable by the DuckDB oracle
-    // (an unrolled-iteration CTE computes the identical integers).
-    // Init: the nLists lowest-id vectors, weight 1.
-    var cents: Array[(Array[Long], Long)] = eq.filter(col("vec_id") < nLists)
-      .orderBy("vec_id").select("q").collect()
-      .map(r => (r.getSeq[Long](0).toArray, 1L))
-
-    def scoreOf(q: Array[Long], c: (Array[Long], Long)): Double = {
-      var d = 0L; var i = 0
-      val cv = c._1
-      while (i < q.length && i < cv.length) { d += q(i) * cv(i); i += 1 }
-      d.toDouble / c._2.toDouble
-    }
-    def assignUdf(cs: Array[(Array[Long], Long)]) = udf { (v: Seq[Long]) =>
-      val q = v.toArray
-      var best = 0; var bestScore = Double.NegativeInfinity
-      var c = 0
-      while (c < cs.length) {
-        val s = scoreOf(q, cs(c))
-        if (s > bestScore) { bestScore = s; best = c } // ties keep lowest c
-        c += 1
-      }
-      best
-    }
-
-    for (_ <- 0 until iters) {
-      val cs = cents
-      val sums = eq.withColumn("cl", assignUdf(cs)(col("q")))
-        .select(col("cl"), posexplode(col("q")).as(Seq("pos", "x")))
-        .groupBy("cl", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map { case (v, n) => (v.clone(), n) } // empty list keeps old
-      val byCl = sums.groupBy(_.getInt(0))
-      byCl.foreach { case (cl, rows) =>
-        val v = next(cl)._1
-        rows.foreach(r => v(r.getInt(1)) = r.getLong(2))
-        next(cl) = (v, rows.head.getLong(3))
-      }
-      cents = next
-    }
-
-    val corpus = eq.withColumn("cl", assignUdf(cents)(col("q")))
+    val cents = trainCoarse(eq, nLists, iters)
+    val corpus = eq.withColumn("cl", coarseAssignUdf(cents)(col("q")))
       .transform(ScratchCache.persist)
     val cs = cents
     val probeUdf = udf { (v: Seq[Long]) =>
       val q = v.toArray
-      cs.indices.map(c => (c, scoreOf(q, cs(c))))
+      cs.indices.map(c => (c, centScore(q, cs(c))))
         .sortBy { case (c, s) => (-s, c) }.take(nProbe).map(_._1)
     }
     val q = corpus.filter(col("vec_id") < nQueries)

@@ -174,6 +174,36 @@ object TextStats {
     counts.withColumn("rk", row_number().over(w).cast("long"))
   }
 
+  /** Per-document top-k terms by TF-IDF (keyword extraction — the relevance
+    * signal quality-classifier features and dedup-by-topic both start from).
+    * score = tf · ln(N/df), rounded to 4 decimals BEFORE the rank cut so the
+    * top-k boundary is deterministic across engines (ln's last ulp is not
+    * contractually identical between JVM and the oracle engine — same
+    * rounded-rank device as the cosine in [[Similarity]]); ties break on the
+    * token.
+    *
+    * Scale shape: tf is the canonical map-side-combine groupBy on
+    * (doc, token); df aggregates the tf frame again on token (|vocab| rows,
+    * far smaller than the exploded stream); the scoring join is tok-keyed —
+    * vocabulary-sized, NOT corpus-sized — and the per-doc rank window
+    * re-shuffles on doc_id only the |docs|·|distinct terms per doc| tf rows.
+    * No step touches |docs|² or collects to the driver; N is one count()
+    * aggregate. */
+  def tfidfTop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.count()
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rk"))
+  }
+
   /** Language-ID heuristic: score languages by marker-word hits, deterministic
     * priority on ties. (The synthetic corpus is English-vocabulary; the *mechanism*
     * — per-language marker scoring — is what matters.)

@@ -79,6 +79,36 @@ object Battery {
   // each entry: name -> ((spark, sfDir) => DataFrame, oracleSql option)
   // ---------------------------------------------------------------------------
 
+  /** Shared oracle-CTE prefix replicating [[graft.pipeline.Similarity]]'s
+    * deterministic coarse k-means (quantize → 2 unrolled Lloyd iterations →
+    * final assignment): ends with `corpus(vec_id, cl)`, plus `comp`/`d2` in
+    * scope. Used by sim_ivf_topk and dd_semantic. */
+  private val ivfCorpusCte: String =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +
+    "FROM embeddings), comp AS (SELECT vec_id, u.s.j AS j, u.s.v AS v FROM e, " +
+    "unnest(list_transform(range(1, len(emb)+1), i -> {'j': i-1, 'v': emb[i]})) u(s)), mx " +
+    "AS (SELECT vec_id, max(abs(v)) AS m FROM comp GROUP BY 1), q AS (SELECT c.vec_id, " +
+    "c.j, CASE WHEN m = 0 THEN 0 ELSE CAST(floor(v / m * 127.0 + 0.5) AS BIGINT) END AS q " +
+    "FROM comp c JOIN mx USING(vec_id)), cent0 AS (SELECT vec_id AS c, j, q AS s, CAST(1 " +
+    "AS BIGINT) AS n FROM q WHERE vec_id < 8), d0 AS (SELECT q.vec_id, c0.c, sum(q.q * " +
+    "c0.s) AS d, any_value(c0.n) AS n FROM q JOIN cent0 c0 USING(j) GROUP BY 1, 2), a0 AS " +
+    "(SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id " +
+    "ORDER BY CAST(d AS DOUBLE) / CAST(n AS DOUBLE) DESC, c) AS rk FROM d0) WHERE rk = 1), " +
+    "s1 AS (SELECT a0.c, q.j, sum(q.q) AS s, count(DISTINCT q.vec_id) AS n FROM q JOIN a0 " +
+    "USING(vec_id) GROUP BY 1, 2), cent1 AS (SELECT c0.c, c0.j, COALESCE(s1.s, c0.s) AS s, " +
+    "COALESCE(s1.n, c0.n) AS n FROM cent0 c0 LEFT JOIN s1 ON s1.c = c0.c AND s1.j = c0.j), " +
+    "d1 AS (SELECT q.vec_id, c1.c, sum(q.q * c1.s) AS d, any_value(c1.n) AS n FROM q JOIN " +
+    "cent1 c1 USING(j) GROUP BY 1, 2), a1 AS (SELECT vec_id, c FROM (SELECT vec_id, c, " +
+    "row_number() OVER (PARTITION BY vec_id ORDER BY CAST(d AS DOUBLE) / CAST(n AS DOUBLE) " +
+    "DESC, c) AS rk FROM d1) WHERE rk = 1), s2 AS (SELECT a1.c, q.j, sum(q.q) AS s, " +
+    "count(DISTINCT q.vec_id) AS n FROM q JOIN a1 USING(vec_id) GROUP BY 1, 2), cent2 AS " +
+    "(SELECT c1.c, c1.j, COALESCE(s2.s, c1.s) AS s, COALESCE(s2.n, c1.n) AS n FROM (SELECT " +
+    "DISTINCT c, j, s, n FROM cent1) c1 LEFT JOIN s2 ON s2.c = c1.c AND s2.j = c1.j), d2 " +
+    "AS (SELECT q.vec_id, c2.c, sum(q.q * c2.s) AS d, any_value(c2.n) AS n FROM q JOIN " +
+    "cent2 c2 USING(j) GROUP BY 1, 2), corpus AS (SELECT vec_id, c AS cl FROM (SELECT " +
+    "vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY CAST(d AS DOUBLE) / CAST(n " +
+    "AS DOUBLE) DESC, c) AS rk FROM d2) WHERE rk = 1), "
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- scans / BGP / joins ----
@@ -1074,6 +1104,25 @@ object Battery {
         "WHERE round(CAST(coalesce(hits, 0) AS DOUBLE) / n_grams, 4) >= 0.05")),
 
     // ---- similarity search ----
+    ("dd_semantic", // SemDeDup (arXiv:2303.09540): coarse k-means clusters,
+      // then within-cluster-only pairwise cosine; prune any vector with a
+      // lower-id semantic twin (cos >= tau) in its cluster. Oracle reuses
+      // the unrolled-Lloyd corpus CTE; tau=0.4 because the synthetic
+      // corpus's cosine ceiling is ~0.55 (production: ~0.95)
+      (s: SparkSession, d: String) => graft.pipeline.Similarity.semDedup(s, d),
+      Some(ivfCorpusCte +
+        "nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nr FROM comp GROUP BY 1), " +
+        "pr AS (SELECT x.vec_id AS a, y.vec_id AS b FROM corpus x JOIN corpus y " +
+        "ON x.cl = y.cl AND x.vec_id > y.vec_id), " +
+        "dp AS (SELECT pr.a, pr.b, sum(ca.v * cb.v) AS dp FROM pr " +
+        "JOIN comp ca ON ca.vec_id = pr.a " +
+        "JOIN comp cb ON cb.vec_id = pr.b AND cb.j = ca.j GROUP BY 1, 2), " +
+        "dups AS (SELECT DISTINCT a AS vec_id FROM dp " +
+        "JOIN nrm na ON na.vec_id = dp.a JOIN nrm nb ON nb.vec_id = dp.b " +
+        "WHERE round(dp.dp / (na.nr * nb.nr), 4) >= 0.4) " +
+        "SELECT c.vec_id, CAST(c.cl AS INT) AS cl, d.vec_id IS NULL AS keep " +
+        "FROM corpus c LEFT JOIN dups d USING(vec_id)")),
+
     ("sim_topk_brute",
       (s: SparkSession, d: String) => graft.pipeline.Similarity.bruteTopK(s, d),
       Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
@@ -1139,30 +1188,7 @@ object Battery {
       // of exact integers — same IEEE result in both engines)
       (s: SparkSession, d: String) => graft.pipeline.Similarity.ivfTopK(s, d),
       Some(
-        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +
-        "FROM embeddings), comp AS (SELECT vec_id, u.s.j AS j, u.s.v AS v FROM e, " +
-        "unnest(list_transform(range(1, len(emb)+1), i -> {'j': i-1, 'v': emb[i]})) u(s)), mx " +
-        "AS (SELECT vec_id, max(abs(v)) AS m FROM comp GROUP BY 1), q AS (SELECT c.vec_id, " +
-        "c.j, CASE WHEN m = 0 THEN 0 ELSE CAST(floor(v / m * 127.0 + 0.5) AS BIGINT) END AS q " +
-        "FROM comp c JOIN mx USING(vec_id)), cent0 AS (SELECT vec_id AS c, j, q AS s, CAST(1 " +
-        "AS BIGINT) AS n FROM q WHERE vec_id < 8), d0 AS (SELECT q.vec_id, c0.c, sum(q.q * " +
-        "c0.s) AS d, any_value(c0.n) AS n FROM q JOIN cent0 c0 USING(j) GROUP BY 1, 2), a0 AS " +
-        "(SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY CAST(d AS DOUBLE) / CAST(n AS DOUBLE) DESC, c) AS rk FROM d0) WHERE rk = 1), " +
-        "s1 AS (SELECT a0.c, q.j, sum(q.q) AS s, count(DISTINCT q.vec_id) AS n FROM q JOIN a0 " +
-        "USING(vec_id) GROUP BY 1, 2), cent1 AS (SELECT c0.c, c0.j, COALESCE(s1.s, c0.s) AS s, " +
-        "COALESCE(s1.n, c0.n) AS n FROM cent0 c0 LEFT JOIN s1 ON s1.c = c0.c AND s1.j = c0.j), " +
-        "d1 AS (SELECT q.vec_id, c1.c, sum(q.q * c1.s) AS d, any_value(c1.n) AS n FROM q JOIN " +
-        "cent1 c1 USING(j) GROUP BY 1, 2), a1 AS (SELECT vec_id, c FROM (SELECT vec_id, c, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY CAST(d AS DOUBLE) / CAST(n AS DOUBLE) " +
-        "DESC, c) AS rk FROM d1) WHERE rk = 1), s2 AS (SELECT a1.c, q.j, sum(q.q) AS s, " +
-        "count(DISTINCT q.vec_id) AS n FROM q JOIN a1 USING(vec_id) GROUP BY 1, 2), cent2 AS " +
-        "(SELECT c1.c, c1.j, COALESCE(s2.s, c1.s) AS s, COALESCE(s2.n, c1.n) AS n FROM (SELECT " +
-        "DISTINCT c, j, s, n FROM cent1) c1 LEFT JOIN s2 ON s2.c = c1.c AND s2.j = c1.j), d2 " +
-        "AS (SELECT q.vec_id, c2.c, sum(q.q * c2.s) AS d, any_value(c2.n) AS n FROM q JOIN " +
-        "cent2 c2 USING(j) GROUP BY 1, 2), corpus AS (SELECT vec_id, c AS cl FROM (SELECT " +
-        "vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY CAST(d AS DOUBLE) / CAST(n " +
-        "AS DOUBLE) DESC, c) AS rk FROM d2) WHERE rk = 1), probes AS (SELECT vec_id AS qid, c " +
+        ivfCorpusCte + "probes AS (SELECT vec_id AS qid, c " +
         "AS cl FROM (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY CAST(d " +
         "AS DOUBLE) / CAST(n AS DOUBLE) DESC, c) AS rk FROM d2 WHERE vec_id < 10) WHERE rk <= " +
         "4), cand AS (SELECT DISTINCT p.qid, co.vec_id AS nid FROM probes p JOIN corpus co ON " +
@@ -1398,6 +1424,17 @@ object Battery {
         "FROM v LEFT JOIN c ON v.user_id = c.user_id " +
         "LEFT JOIN p ON v.user_id = p.user_id")),
 
+    ("ev_asof", // point-in-time (as-of) join: each purchase matched to the
+      // most recent strictly-earlier view of the same user; Spark side is a
+      // single window pass (one exchange), oracle is DuckDB's native ASOF JOIN
+      (s: SparkSession, d: String) => graft.pipeline.EventsOps.asofJoin(s, d),
+      Some("WITH p AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "v AS (SELECT user_id, ts FROM events WHERE event_type = 'view') " +
+        "SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts, " +
+        "epoch_us(p.ts) - epoch_us(v.ts) AS gap_us " +
+        "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts > v.ts")),
+
     ("ev_retention", // weekly cohort retention matrix: first-active-week
       // cohorts x week offset, distinct active users
       (s: SparkSession, d: String) => graft.pipeline.EventsOps.retention(s, d),
@@ -1566,6 +1603,22 @@ object Battery {
         "WHEN s_de >= s_fr AND s_de > 0 THEN 'de' " +
         "WHEN s_fr > 0 THEN 'fr' ELSE 'unknown' END AS pred_lang FROM sc"
       }),
+
+    ("text_tfidf", // per-doc top-3 terms by tf·ln(N/df) (keyword extraction);
+      // score rounded to 4dp before the rank cut so the boundary is
+      // cross-engine deterministic (ln ulp), ties on token
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.tfidfTop(s, d),
+      Some("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2), " +
+        "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "sc AS (SELECT doc_id, tf.tok, tf, df, " +
+        "round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS score " +
+        "FROM tf JOIN df USING(tok) CROSS JOIN n) " +
+        "SELECT doc_id, tok, tf, df, score, rk FROM (SELECT *, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) " +
+        "AS BIGINT) AS rk FROM sc) WHERE rk <= 3")),
 
     ("text_vocab_topk", // corpus-wide top-100 tokens by count (ties lexical),
       // ranked — tokenizer-training frequency table

@@ -131,6 +131,34 @@ object StreamOps {
       .select("doc_id", "match_id", "jaccard")
   }
 
+  /** Stream-stream INTERVAL join: each click attributed to every view by the
+    * same user in the preceding `horizonMin` minutes — the classic streaming
+    * attribution join. Both sides carry watermarks and the join condition
+    * bounds the event-time distance, so Spark can expire join state: a view
+    * row is held only until `click_ts > view_ts + horizon` is provably past
+    * the watermark. Without the time bound this would be an unbounded-state
+    * cross-history join; with it, state is O(horizon × arrival rate) per
+    * user — the property that lets the query run forever at 100 TB/day.
+    *
+    * Output: (user_id, view_id, click_id, lag_s). */
+  def attributeClicks(events: DataFrame, horizonMin: Int = 10,
+      watermark: String = "20 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMin MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        round((unix_micros(col("click_ts")) - unix_micros(col("view_ts"))) / 1e6, 1)
+          .as("lag_s"))
+  }
+
   /** Drive a streaming query to completion over the static directory (test/demo
     * harness: memory sink + processAllAvailable).
     */

@@ -360,6 +360,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(last.join(tot, "source").filter(col("end") =!= col("t")).count() == 0)
   }
 
+  test("as-of join: each purchase matched to the latest strictly-earlier view") {
+    val got = EventsOps.asofJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+      .toMap
+    // recompute naively from the raw events
+    val e = EventsOps.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+    val views = e.filter(_._3 == "view").groupBy(_._2)
+    val purchases = e.filter(_._3 == "purchase")
+    var matched = 0
+    purchases.foreach { case (id, u, _, ts) =>
+      val prior = views.getOrElse(u, Array.empty).map(_._4).filter(_.before(ts))
+      if (prior.nonEmpty) {
+        matched += 1
+        val expect = prior.max
+        assert(got(id) == ((u, ts, expect)), s"purchase $id: ${got.get(id)} vs $expect")
+      } else assert(!got.contains(id), s"purchase $id should drop (no prior view)")
+    }
+    assert(got.size == matched && matched > 0)
+  }
+
+  test("tf-idf: corpus-wide token is never a top term, distinctive token is") {
+    import spark.implicits._
+    // 'common' appears in every doc (idf = ln(1) = 0); each doc has one
+    // distinctive high-tf token that must rank first
+    val rows = Seq(
+      (1L, "common common rare1 rare1 rare1 filler1", "en", "s", 1L),
+      (2L, "common common rare2 rare2 rare2 filler2", "en", "s", 1L),
+      (3L, "common common rare3 rare3 rare3 filler3", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/tmp/graft_tfidf"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = TextStats.tfidfTop(spark, dir, k = 3).collect()
+    val got = top.map(r => (r.getLong(0), r.getLong(5)) -> r.getString(1)).toMap
+    (1 to 3).foreach { d =>
+      assert(got((d.toLong, 1L)) == s"rare$d", s"doc $d top term: $got")
+      assert(got((d.toLong, 2L)) == s"filler$d", s"doc $d 2nd term: $got")
+    }
+    // ln(3/3)=0 for 'common': never outranks a distinctive term, score 0
+    assert(top.filter(_.getString(1) == "common")
+      .forall(r => r.getDouble(4) == 0.0 && r.getLong(5) == 3L))
+  }
+
+  test("semantic dedup: planted twins pruned to one representative, far vectors kept") {
+    val r = Similarity.semDedup(spark, plantedEmbDir, tau = 0.9).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getBoolean(2))).toMap
+    // planted twin (q, q+1000000) has cosine ~0.999: same cluster, lower id kept
+    (0L until 10L).foreach { q =>
+      assert(r(q)._2, s"original $q must be kept")
+      if (r(q)._1 == r(q + 1000000L)._1)
+        assert(!r(q + 1000000L)._2, s"twin of $q must be pruned")
+    }
+    // at tau=0.9 nothing in the base synthetic corpus (cos ceiling ~0.6) prunes
+    assert(r.filter(_._1 < 1000000L).values.forall(_._2))
+    // every vector is assigned and accounted for
+    assert(r.size == Similarity.emb(spark, plantedEmbDir).count())
+  }
+
   test("cluster representative: highest-quality member kept per near-dup cluster") {
     val r = Curation.clusterRep(spark, plantedDir, maxHam = 10)
     val m = r.collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap

@@ -133,6 +133,25 @@ class StreamSpec extends AnyFunSuite {
     assert(flagged == Set((100L, 1L)), s"got $flagged")
   }
 
+  test("stream-stream interval join matches the batch attribution result") {
+    val got = StreamOps.runToMemory(
+      StreamOps.attributeClicks(stream()), "attrib", OutputMode.Append)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // batch equivalent on the same data
+    val e = graft.pipeline.EventsOps.events(spark, sf)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val exp = v.join(c, col("user_id") === col("cu") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.nonEmpty && got.toSeq == exp.toSeq)
+  }
+
   test("streaming quality scores equal the batch result") {
     val dir = "/tmp/graft_stream/docs"
     spark.read.parquet(s"$sf/documents.parquet").write.mode("overwrite").parquet(dir)

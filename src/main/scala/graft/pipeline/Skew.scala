@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deliberate key-salting for skewed shuffles.
+  *
+  * Spark already covers the common cases — AQE splits skewed SortMergeJoin
+  * partitions at runtime, and partial (map-side) aggregation absorbs hot keys
+  * for algebraic aggregates — so these helpers are for the shapes AQE can't
+  * re-plan: a broadcast-ineligible join straight into a hot key where the
+  * skewed side must be pre-spread (stream-static joins, bucketed inputs AQE
+  * won't re-shuffle), and holistic aggregates (collect_list-style) whose
+  * state concentrates on one reducer.
+  *
+  * Correctness is salt-independent: the salt column only spreads rows of one
+  * key over `salts` reducers; the small side is replicated `salts`× so every
+  * (key, salt) pair still meets its match. Result multiset == the unsalted
+  * join, for ANY salt assignment — which is why a nondeterministic per-row
+  * salt is safe here (and exactly why it would NOT be safe to salt the
+  * replicated side instead).
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key`, with the big side spread over
+    * `salts` sub-keys and the small side replicated to match. Use when the
+    * big side's key histogram is so peaked that one reducer would own the
+    * key (and broadcast/AQE are unavailable). Cost: |small| × salts rows
+    * shuffled on the replicated side — keep `salts` ≈ executor-core count. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 32, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts must be positive: $salts")
+    val saltCol = "__graft_salt"
+    val b = big.withColumn(saltCol, pmod(spark_partition_id() +
+      monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val s = small.withColumn(saltCol,
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, Seq(key, saltCol), joinType).drop(saltCol)
+  }
+
+  /** Two-phase holistic aggregation: collect values per (key, salt) locally,
+    * then merge the per-salt partials per key — bounds any single reducer's
+    * state to ~1/salts of the hottest key. For algebraic aggregates
+    * (sum/count/min/max/avg) Spark's partial aggregation already does this;
+    * use this for collect_list/collect_set shapes. Output: (key, values). */
+  def saltedCollect(df: DataFrame, key: String, value: String,
+      salts: Int = 32): DataFrame = {
+    val saltCol = "__graft_salt"
+    df.withColumn(saltCol, pmod(spark_partition_id() +
+        monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+      .groupBy(col(key), col(saltCol))
+      .agg(collect_list(col(value)).as("__partial"))
+      .groupBy(col(key))
+      .agg(flatten(collect_list(col("__partial"))).as("values"))
+  }
+}

@@ -1104,6 +1104,34 @@ object Battery {
         "WHERE round(CAST(coalesce(hits, 0) AS DOUBLE) / n_grams, 4) >= 0.05")),
 
     // ---- similarity search ----
+    ("graph_pagerank", // link-graph centrality for source-quality weighting
+      // (Common Crawl publishes link ranks for exactly this curation use):
+      // PageRank in fixed-point integer micro-units — contributions are
+      // truncating integer divisions, so 5 unrolled iterations are exact and
+      // the oracle computes bit-identical ranks (no float summation order)
+      (s: SparkSession, d: String) => graft.pipeline.GraphRank.pagerank(s, d),
+      Some {
+        val it = (n: Int, p: Int) =>
+          s"r$n AS (SELECT n.node, 150000 + (85 * COALESCE(s.c, 0)) // 100 AS r " +
+          "FROM nodes n LEFT JOIN (SELECT e.dst, sum(r.r // d.d) AS c FROM edges e " +
+          s"JOIN r$p r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1) s " +
+          "ON s.dst = n.node), "
+        "WITH edges AS (SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src, " +
+        "'c' || CAST(o_custkey AS VARCHAR) AS dst FROM orders " +
+        "UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), " +
+        "'n' || CAST(c_nationkey AS VARCHAR) FROM customer " +
+        "UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), " +
+        "'n' || CAST(s_nationkey AS VARCHAR) FROM supplier " +
+        "UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR), " +
+        "'r' || CAST(n_regionkey AS VARCHAR) FROM nation), " +
+        "nodes AS (SELECT DISTINCT src AS node FROM edges " +
+        "UNION SELECT DISTINCT dst FROM edges), " +
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1), " +
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes), " +
+        (1 to 5).map(i => it(i, i - 1)).mkString.stripSuffix(", ") +
+        " SELECT node, r AS pr FROM r5"
+      }),
+
     ("dd_semantic", // SemDeDup (arXiv:2303.09540): coarse k-means clusters,
       // then within-cluster-only pairwise cosine; prune any vector with a
       // lower-id semantic twin (cos >= tau) in its cluster. Oracle reuses

@@ -419,6 +419,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.size == Similarity.emb(spark, plantedEmbDir).count())
   }
 
+  test("pagerank: leaves at base rank, rank flows orders->customers->nations->regions") {
+    val r = GraphRank.pagerank(spark, sf).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // order nodes have no in-edges: rank = damped base exactly
+    val (orders, regions) = (r.keys.filter(_.startsWith("o")), r.keys.filter(_.startsWith("r")))
+    assert(orders.nonEmpty && orders.forall(o => r(o) == 150000L))
+    // every region out-ranks every order leaf; total count = distinct nodes
+    val maxLeaf = orders.map(r).max
+    assert(regions.nonEmpty && regions.forall(g => r(g) > maxLeaf))
+    assert(r.size == GraphRank.edges(spark, sf)
+      .select(col("src").as("n")).union(
+        GraphRank.edges(spark, sf).select(col("dst").as("n"))).distinct().count())
+  }
+
+  test("salted join equals the plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 10k rows, 95% on one hot key
+    val big = spark.range(10000)
+      .select((when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 13)).as("k"),
+        col("id").as("payload"))
+    val small = Seq((0L, "a"), (7L, "hot"), (12L, "z"), (99L, "none"))
+      .toDF("k", "tag")
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "payload", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val plain = big.join(small, "k")
+      .select("k", "payload", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq && salted.nonEmpty)
+    // left-outer variant preserves unmatched big-side rows exactly once
+    val lo = Skew.saltedJoin(big, small, "k", salts = 8, joinType = "left")
+    assert(lo.count() == big.count())
+  }
+
+  test("salted collect merges per-salt partials to the exact multiset") {
+    val df = spark.range(5000)
+      .select((col("id") % 3).as("k"), col("id").as("v"))
+    val got = Skew.saltedCollect(df, "k", "v", salts = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    (0L until 3L).foreach { k =>
+      val exp = (0L until 5000L).filter(_ % 3 == k)
+      assert(got(k) == exp, s"key $k multiset mismatch")
+    }
+  }
+
   test("cluster representative: highest-quality member kept per near-dup cluster") {
     val r = Curation.clusterRep(spark, plantedDir, maxHam = 10)
     val m = r.collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap

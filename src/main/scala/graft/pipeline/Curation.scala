@@ -140,4 +140,55 @@ object Curation {
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("doc_id"), col("rep"), (col("doc_id") === col("rep")).as("is_rep"))
   }
+
+  /** Fasttext-style linear quality classifier TRAINED IN-ENGINE: a batch
+    * perceptron over integer token-count features (bias, token count,
+    * marker-word counts), 3 epochs. Every quantity is an integer — features
+    * are counts, the misclassification margin test is an integer dot, and
+    * the epoch update w += SUM(y*x over misclassified docs) is an order-free
+    * integer sum — so training is exactly replicable by an unrolled-epoch
+    * DuckDB oracle (same device as the integer Lloyd/PageRank operators).
+    * The demo target is the doc's length class (n_chars >= 300), learnable
+    * from the token-count feature on this corpus; the MECHANISM — broadcast
+    * weights, map-side margin test, one aggregation per epoch — is the
+    * linear-classifier quality-filter shape (fastText-style) production
+    * pipelines run at 100 TB, where each epoch is one scan + one 4-long
+    * reduce, nothing driver-side but the 4 weights.
+    *
+    * Output: (doc_id, y, pred, correct) under the final weights. */
+  def perceptronLengthClassifier(spark: SparkSession, dir: String,
+      epochs: Int = 3): DataFrame = {
+    val raw = ScratchCache.persist(docs(spark, dir).select(
+      col("doc_id"),
+      when(col("n_chars") >= 300, 1L).otherwise(-1L).as("y"),
+      lit(1L).as("x0"),
+      size(split(col("text"), " ")).cast("long").as("x1"),
+      size(filter(split(col("text"), " "), t => t === "the")).cast("long").as("x2"),
+      size(filter(split(col("text"), " "), t => t === "stream")).cast("long").as("x3")))
+    // center the dominant feature at its INTEGER corpus mean (sum DIV count —
+    // label-blind standardization, computed in-engine): without it the batch
+    // update oscillates because the bias term cannot outgrow the raw token
+    // scale; with it the separator sits near the origin and one epoch lands
+    val m = raw.agg(sum("x1").as("s"), count(lit(1)).as("n")).first()
+    val meanX1 = m.getLong(0) / m.getLong(1)
+    val feats = ScratchCache.persist(
+      raw.withColumn("x1", col("x1") - lit(meanX1)))
+    var w = Array(0L, 0L, 0L, 0L)
+    for (_ <- 0 until epochs) {
+      val (w0, w1, w2, w3) = (w(0), w(1), w(2), w(3))
+      val margin = col("y") * (lit(w0) * col("x0") + lit(w1) * col("x1") +
+        lit(w2) * col("x2") + lit(w3) * col("x3"))
+      val upd = feats.filter(margin <= 0)
+        .agg(sum(col("y") * col("x0")), sum(col("y") * col("x1")),
+          sum(col("y") * col("x2")), sum(col("y") * col("x3")))
+        .first()
+      def g(i: Int) = if (upd.isNullAt(i)) 0L else upd.getLong(i)
+      w = Array(w(0) + g(0), w(1) + g(1), w(2) + g(2), w(3) + g(3))
+    }
+    val score = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    feats.select(col("doc_id"), col("y"),
+        when(score > 0, 1L).otherwise(-1L).as("pred"))
+      .withColumn("correct", col("pred") === col("y"))
+  }
 }

@@ -204,6 +204,34 @@ object TextStats {
       .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rk"))
   }
 
+  /** CCNet-style unigram surprisal (the perplexity-filter primitive of
+    * LLM-corpus curation: docs whose tokens are improbable under the corpus
+    * LM are flagged for the quality tails). Per-token surprisal
+    * ln(N/count(tok)) is computed ONCE per token occurrence and immediately
+    * fixed-pointed to integer micro-nats — so the per-doc accumulation is an
+    * order-free INTEGER sum, immune to float summation order across
+    * partitions (`ln`'s own rounding is one IEEE op per distinct count value,
+    * shared by both engines). Output: (doc_id, n_toks, surprisal) with
+    * surprisal = mean micro-nats / 1e6 rounded to 4 decimals.
+    *
+    * Scale shape: one token-keyed count (map-side combine), one vocab-sized
+    * join back to the token stream, one doc-keyed sum — the same three
+    * exchanges at any corpus size; N is a single count() aggregate. */
+  def surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .transform(ScratchCache.persist)
+    val n = toks.count()
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    toks.join(cnt, "tok")
+      .select(col("doc_id"),
+        round(log(lit(n.toDouble) / col("c")) * 1e6).cast("long").as("micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("micro").as("m"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("m") / (col("n_toks") * 1e6), 4).as("surprisal"))
+  }
+
   /** Language-ID heuristic: score languages by marker-word hits, deterministic
     * priority on ties. (The synthetic corpus is English-vocabulary; the *mechanism*
     * — per-language marker scoring — is what matters.)

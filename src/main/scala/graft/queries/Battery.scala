@@ -1648,6 +1648,51 @@ object Battery {
         "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) " +
         "AS BIGINT) AS rk FROM sc) WHERE rk <= 3")),
 
+    ("text_surprisal", // CCNet-style unigram perplexity filter: per-token
+      // surprisal ln(N/cnt) fixed-pointed to integer micro-nats BEFORE the
+      // per-doc sum, so accumulation is order-free across partitions
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.surprisal(s, d),
+      Some("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "c AS (SELECT tok, count(*) AS c FROM t GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM t), " +
+        "m AS (SELECT doc_id, CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) " +
+        "AS BIGINT) AS micro FROM t JOIN c USING(tok) CROSS JOIN n) " +
+        "SELECT doc_id, count(*) AS n_toks, " +
+        "round(sum(micro) / (count(*) * 1e6), 4) AS surprisal FROM m GROUP BY 1")),
+
+    ("curate_classifier", // fastText-style linear quality classifier trained
+      // IN-ENGINE: batch perceptron on integer count features (dominant
+      // feature centered at its integer corpus mean), 3 unrolled epochs —
+      // all-integer updates make training bit-identical to the oracle
+      (s: SparkSession, d: String) =>
+        graft.pipeline.Curation.perceptronLengthClassifier(s, d),
+      Some {
+        val epoch = (u: String, wIn: String, wOut: String) =>
+          s"$u AS (SELECT COALESCE(sum(y*x0),0) AS s0, COALESCE(sum(y*x1),0) AS s1, " +
+          "COALESCE(sum(y*x2),0) AS s2, COALESCE(sum(y*x3),0) AS s3 " +
+          s"FROM f, $wIn WHERE y*($wIn.w0*x0 + $wIn.w1*x1 + $wIn.w2*x2 + $wIn.w3*x3) <= 0), " +
+          s"$wOut AS (SELECT $wIn.w0+$u.s0 AS w0, $wIn.w1+$u.s1 AS w1, " +
+          s"$wIn.w2+$u.s2 AS w2, $wIn.w3+$u.s3 AS w3 FROM $wIn, $u), "
+        "WITH fr AS (SELECT doc_id, " +
+        "CAST(CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS BIGINT) AS y, " +
+        "CAST(1 AS BIGINT) AS x0, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS x1r, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> t = 'the')) AS BIGINT) AS x2, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> t = 'stream')) AS BIGINT) AS x3 " +
+        "FROM documents), " +
+        "mu AS (SELECT sum(x1r) // count(*) AS m FROM fr), " +
+        "f AS (SELECT doc_id, y, x0, x1r - mu.m AS x1, x2, x3 FROM fr, mu), " +
+        "wa AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, " +
+        "CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3), " +
+        (epoch("ua", "wa", "wb") + epoch("ub", "wb", "wc") +
+          epoch("uc", "wc", "wd")).stripSuffix(", ") +
+        " SELECT doc_id, y, CAST(CASE WHEN (wd.w0*x0 + wd.w1*x1 + wd.w2*x2 + wd.w3*x3) > 0 " +
+        "THEN 1 ELSE -1 END AS BIGINT) AS pred, " +
+        "(CASE WHEN (wd.w0*x0 + wd.w1*x1 + wd.w2*x2 + wd.w3*x3) > 0 THEN 1 ELSE -1 END) = y " +
+        "AS correct FROM f, wd"
+      }),
+
     ("text_vocab_topk", // corpus-wide top-100 tokens by count (ties lexical),
       // ranked — tokenizer-training frequency table
       (s: SparkSession, d: String) => graft.pipeline.TextStats.vocabTopK(s, d),

@@ -433,6 +433,30 @@ class PipelineSpec extends AnyFunSuite {
         GraphRank.edges(spark, sf).select(col("dst").as("n"))).distinct().count())
   }
 
+  test("surprisal: rare-token doc scores higher than common-token doc") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "common common common common", "en", "s", 1L),
+      (2L, "common common rareword unique", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/tmp/graft_surprisal"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextStats.surprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 4 && got(2L)._1 == 4)
+    assert(got(2L)._2 > got(1L)._2, s"rare-token doc must be more surprising: $got")
+    // doc of only the most common token: surprisal = ln(8/6) exactly
+    assert(math.abs(got(1L)._2 - math.log(8.0 / 6.0)) < 1e-3)
+  }
+
+  test("perceptron classifier separates length classes on real corpus features") {
+    val r = Curation.perceptronLengthClassifier(spark, sf).collect()
+    val acc = r.count(_.getBoolean(3)).toDouble / r.length
+    assert(acc >= 0.9, s"expected >=0.9 training accuracy, got $acc")
+    // prediction is a pure function of the final weights: pred in {-1, 1}
+    assert(r.forall(x => math.abs(x.getLong(2)) == 1L))
+  }
+
   test("salted join equals the plain join on a skewed key distribution") {
     import spark.implicits._
     // 10k rows, 95% on one hot key

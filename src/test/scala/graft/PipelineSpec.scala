@@ -382,6 +382,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == matched && matched > 0)
   }
 
+  test("as-of join plan: pushed type filter, pruned scan, exactly one exchange") {
+    val plan = EventsOps.asofJoin(spark, sf).queryExecution.executedPlan.toString
+    // the filter must reach the parquet scan and the scan must not read
+    // value/props; the whole operator is ONE hash exchange on user_id
+    assert(plan.contains("PushedFilters: [In(event_type"), plan.take(2000))
+    assert(!plan.contains("value"), "scan should prune unused columns")
+    val exchanges = plan.split("\n").count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly 1 exchange, plan:\n${plan.take(3000)}")
+  }
+
   test("tf-idf: corpus-wide token is never a top term, distinctive token is") {
     import spark.implicits._
     // 'common' appears in every doc (idf = ln(1) = 0); each doc has one

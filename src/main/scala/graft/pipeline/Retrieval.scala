@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval primitives of a RAG / training-data stack: BM25 lexical top-k
+  * over an inverted index, and hybrid fusion of lexical and dense rankings
+  * by reciprocal-rank fusion (RRF).
+  *
+  * Determinism: each per-term BM25 contribution is one fixed chain of IEEE
+  * ops over exact integers (tf, df, len, N, total-len) and is fixed-pointed
+  * to integer micro-units BEFORE the per-document sum — the same
+  * order-free-integer-accumulation device as [[TextStats.surprisal]]. RRF
+  * scores are functions of small integer ranks only, summed in a fixed
+  * two-term order. Ranking cuts break ties on the candidate id.
+  *
+  * Scale shape: BM25 is the textbook posting-list join — the query-term
+  * frame (|q|·|terms per query|) equi-joins the tf index on the TERM key, so
+  * cost follows posting-list occupancy, never |q|×|corpus|; df/len/N are the
+  * same bounded aggregates the surprisal/tfidf operators use. Fusion joins
+  * two top-N rank frames (tiny) full-outer on (query, candidate).
+  */
+object Retrieval {
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Per-(doc, tok) term frequencies of the documents table. */
+  private def tf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k, query-by-example: each doc with doc_id < nQueries queries
+    * the rest of the corpus with its own distinct tokens. Output
+    * (qid, nid, score_micro, rk). */
+  def bm25TopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5): DataFrame = {
+    val d = TextStats.docs(spark, dir)
+    val lens = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("len"))
+    val agg = lens.agg(sum("len").as("tot"), count(lit(1)).as("n")).first()
+    val (tot, n) = (agg.getLong(0), agg.getLong(1))
+    val tfs = ScratchCache.persist(tf(d))
+    val dfs = tfs.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qterms = tfs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("tok"))
+    // one fixed op chain per (tf, df, len) triple, identical in the oracle:
+    // idf = ln((N - df + 0.5) / (df + 0.5) + 1)
+    // norm = (1 - b) + b * (len * N) / totalLen      [exact-integer inputs]
+    // term = idf * tf * (k1 + 1) / (tf + k1 * norm)  -> round to micro-units
+    val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val norm = lit(1.0 - B) + lit(B) * (col("len") * lit(n.toDouble)) / lit(tot.toDouble)
+    val term = idf * col("tf") * lit(K1 + 1.0) / (col("tf") + lit(K1) * norm)
+    val scored = qterms
+      .join(tfs.withColumnRenamed("doc_id", "nid"), "tok")
+      .filter(col("nid") =!= col("qid"))
+      .join(dfs, "tok")
+      .join(lens.withColumnRenamed("doc_id", "nid"), "nid")
+      .select(col("qid"), col("nid"), round(term * 1e6).cast("long").as("micro"))
+      .groupBy("qid", "nid").agg(sum("micro").as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score_micro").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking
+    * and the dense cosine ranking (embeddings row i ↔ documents row i in the
+    * synthetic corpus). rrf(c) = Σ_lists 1/(60 + rank_list(c)), missing from
+    * a list contributes 0; micro-rounded, top-k by (score, id). */
+  def hybridRrf(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, poolK: Int = 20): DataFrame = {
+    val lex = bm25TopK(spark, dir, nQueries, poolK)
+      .select(col("qid"), col("nid"), col("rk").as("lex_rk"))
+    val dense = Similarity.bruteTopK(spark, dir, nQueries, poolK)
+      .select(col("qid"), col("nid"), col("rk").as("den_rk"))
+    val fused = lex.join(dense, Seq("qid", "nid"), "full_outer")
+      .select(col("qid"), col("nid"),
+        (round(when(col("lex_rk").isNotNull, lit(1e6) / (lit(60.0) + col("lex_rk")))
+            .otherwise(lit(0.0))) +
+          round(when(col("den_rk").isNotNull, lit(1e6) / (lit(60.0) + col("den_rk")))
+            .otherwise(lit(0.0)))).cast("long").as("rrf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rrf_micro").desc, col("nid"))
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+}

@@ -109,6 +109,25 @@ object Battery {
     "vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY CAST(d AS DOUBLE) / CAST(n " +
     "AS DOUBLE) DESC, c) AS rk FROM d2) WHERE rk = 1), "
 
+  /** BM25 oracle CTE chain replicating [[graft.pipeline.Retrieval.bm25TopK]]
+    * (identical IEEE op order; per-term scores micro-rounded before the
+    * order-free integer sum). Ends with `s(qid, nid, score_micro)`. */
+  private def bm25Cte(nQueries: Int): String =
+    "lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len " +
+    "FROM documents), " +
+    "ag AS (SELECT sum(len) AS tot, count(*) AS n FROM lens), " +
+    "t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+    "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2), " +
+    "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), " +
+    s"q AS (SELECT doc_id AS qid, tok FROM tf WHERE doc_id < $nQueries), " +
+    "sc AS (SELECT q.qid, f.doc_id AS nid, CAST(round(" +
+    "ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 / " +
+    "(tf + 1.2 * (0.25 + 0.75 * (len * CAST(n AS DOUBLE)) / CAST(tot AS DOUBLE))) " +
+    "* 1000000) AS BIGINT) AS micro " +
+    "FROM q JOIN tf f USING(tok) JOIN df USING(tok) " +
+    "JOIN lens ON lens.doc_id = f.doc_id CROSS JOIN ag WHERE f.doc_id <> q.qid), " +
+    "s AS (SELECT qid, nid, sum(micro) AS score_micro FROM sc GROUP BY 1, 2)"
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- scans / BGP / joins ----
@@ -1150,6 +1169,38 @@ object Battery {
         "WHERE round(dp.dp / (na.nr * nb.nr), 4) >= 0.4) " +
         "SELECT c.vec_id, CAST(c.cl AS INT) AS cl, d.vec_id IS NULL AS keep " +
         "FROM corpus c LEFT JOIN dups d USING(vec_id)")),
+
+    ("ret_bm25_topk", // BM25 query-by-example over the inverted tf index:
+      // posting-list join on the term key (cost follows list occupancy, not
+      // |q|x|corpus|); per-term scores micro-rounded before the integer sum
+      (s: SparkSession, d: String) => graft.pipeline.Retrieval.bm25TopK(s, d),
+      Some("WITH " + bm25Cte(5) +
+        " SELECT qid, nid, score_micro, rk FROM (SELECT *, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, nid) " +
+        "AS BIGINT) AS rk FROM s) WHERE rk <= 5")),
+
+    ("ret_hybrid_rrf", // hybrid retrieval: reciprocal-rank fusion of the
+      // BM25 lexical top-20 and the dense cosine top-20 (doc i <-> vec i);
+      // rrf contributions are functions of integer ranks, micro-rounded
+      (s: SparkSession, d: String) => graft.pipeline.Retrieval.hybridRrf(s, d),
+      Some("WITH " + bm25Cte(5) + ", " +
+        "lex AS (SELECT qid, nid, rk AS lex_rk FROM (SELECT qid, nid, score_micro, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, nid) " +
+        "AS BIGINT) AS rk FROM s) WHERE rk <= 20), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "den AS (SELECT qid, nid, rk AS den_rk FROM (SELECT q.vec_id AS qid, " +
+        "e.vec_id AS nid, CAST(row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id) AS BIGINT) AS rk " +
+        "FROM (SELECT * FROM e WHERE vec_id < 5) q, e WHERE e.vec_id != q.vec_id) " +
+        "WHERE rk <= 20), " +
+        "f AS (SELECT COALESCE(lex.qid, den.qid) AS qid, COALESCE(lex.nid, den.nid) AS nid, " +
+        "CAST(round(CASE WHEN lex.nid IS NOT NULL THEN 1000000.0 / (60.0 + lex.lex_rk) " +
+        "ELSE 0.0 END) + round(CASE WHEN den.nid IS NOT NULL THEN " +
+        "1000000.0 / (60.0 + den.den_rk) ELSE 0.0 END) AS BIGINT) AS rrf_micro " +
+        "FROM lex FULL JOIN den ON lex.qid = den.qid AND lex.nid = den.nid) " +
+        "SELECT qid, nid, rrf_micro, rk FROM (SELECT *, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, nid) " +
+        "AS BIGINT) AS rk FROM f) WHERE rk <= 5")),
 
     ("sim_topk_brute",
       (s: SparkSession, d: String) => graft.pipeline.Similarity.bruteTopK(s, d),

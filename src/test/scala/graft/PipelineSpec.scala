@@ -467,6 +467,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.forall(x => math.abs(x.getLong(2)) == 1L))
   }
 
+  test("bm25: doc sharing the query's rare term outranks common-term-only doc") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "zebra common common", "en", "s", 1L), // the query doc
+      (1L, "zebra common filler filler", "en", "s", 1L), // shares rare 'zebra'
+      (2L, "common common filler filler", "en", "s", 1L), // shares only 'common'
+      (3L, "nothing shared here at all", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/tmp/graft_bm25"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Retrieval.bm25TopK(spark, dir, nQueries = 1, k = 3).collect()
+      .map(r => r.getLong(3) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L, s"rank-1 must be the zebra doc: $got")
+    assert(got(2L) == 2L, s"rank-2 must be the common-term doc: $got")
+    assert(!got.values.toSet.contains(3L), "doc with no shared term must not score")
+  }
+
+  test("hybrid rrf: item ranked top in both lists fuses to rank 1") {
+    val r = Retrieval.hybridRrf(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(3)) -> (x.getLong(1), x.getLong(2)))
+    val byQ = r.groupBy(_._1._1)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      // scores strictly ordered by the (score desc, nid) window contract
+      val scores = rows.sortBy(_._1._2).map(_._2._2)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not descending: ${scores.toSeq}")
+    }
+    // max possible rrf = membership in both lists; assert it occurs somewhere
+    assert(r.exists(_._2._2 > 1000000L / 61L + 1000L),
+      "no candidate fused from both lists — pools misaligned")
+  }
+
   test("salted join equals the plain join on a skewed key distribution") {
     import spark.implicits._
     // 10k rows, 95% on one hot key

@@ -122,6 +122,27 @@ object EventsOps {
         (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
+  /** Z-score anomaly detection per event type: flag events whose value sits
+    * |z| >= `zThresh` standard deviations from the type mean — the metric
+    * outlier monitor of an event pipeline. Values are fixed-pointed to
+    * integer milli-units first, so the type-level moment sums (Σv, Σv²) are
+    * exact integers and the z computation is one fixed IEEE op chain from
+    * identical integers in both engines (z itself is micro-rounded before
+    * the threshold cut). Scale: one map-side projection, one per-type moment
+    * aggregate (broadcastable — |types| rows), one map-side flag pass. */
+  def anomalies(spark: SparkSession, dir: String, zThresh: Double = 3.0): DataFrame = {
+    val e = events(spark, dir).select(col("event_id"), col("event_type"),
+      col("value"), round(col("value") * 1000).cast("long").as("mv"))
+    val st = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum("mv").as("s1"), sum(col("mv") * col("mv")).as("s2"))
+    val mu = col("s1").cast("double") / col("n")
+    val varr = col("s2").cast("double") / col("n") - mu * mu
+    e.join(broadcast(st), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("mv") - mu) / sqrt(varr) * 1e6).cast("long").as("z_micro"))
+      .filter(abs(col("z_micro")) >= (zThresh * 1e6).toLong)
+  }
+
   /** JSON property extraction (props is a JSON string). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

@@ -1514,6 +1514,20 @@ object Battery {
         "epoch_us(p.ts) - epoch_us(v.ts) AS gap_us " +
         "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts > v.ts")),
 
+    ("ev_anomaly", // per-type z-score outliers: milli-fixed values make the
+      // moment sums exact integers; z micro-rounded before the |z|>=3 cut
+      (s: SparkSession, d: String) => graft.pipeline.EventsOps.anomalies(s, d),
+      Some("WITH e AS (SELECT event_id, event_type, value, " +
+        "CAST(round(value * 1000) AS BIGINT) AS mv FROM events), " +
+        "st AS (SELECT event_type, count(*) AS n, sum(mv) AS s1, " +
+        "sum(mv * mv) AS s2 FROM e GROUP BY 1) " +
+        "SELECT * FROM (SELECT event_id, e.event_type, value, " +
+        "CAST(round((mv - CAST(s1 AS DOUBLE) / n) / " +
+        "sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * " +
+        "(CAST(s1 AS DOUBLE) / n)) * 1000000) AS BIGINT) AS z_micro " +
+        "FROM e JOIN st USING(event_type)) " +
+        "WHERE abs(z_micro) >= 3000000")),
+
     ("ev_retention", // weekly cohort retention matrix: first-active-week
       // cohorts x week offset, distinct active users
       (s: SparkSession, d: String) => graft.pipeline.EventsOps.retention(s, d),

@@ -382,6 +382,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == matched && matched > 0)
   }
 
+  test("anomalies: every flagged event is >=3 sigma from its type mean") {
+    val flagged = EventsOps.anomalies(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(flagged.nonEmpty)
+    assert(flagged.forall(f => math.abs(f._4) >= 3000000L))
+    // recompute per-type stats naively; flagged values must truly be outliers
+    val all = EventsOps.events(spark, sf).select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val byType = all.groupBy(_._1).map { case (t, vs) =>
+      val xs = vs.map(_._2)
+      val mu = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / xs.length)
+      t -> (mu, sd)
+    }
+    flagged.foreach { case (t, _, v, _) =>
+      val (mu, sd) = byType(t)
+      assert(math.abs(v - mu) / sd >= 2.9, s"$t value $v not an outlier")
+    }
+  }
+
   test("as-of join plan: pushed type filter, pruned scan, exactly one exchange") {
     val plan = EventsOps.asofJoin(spark, sf).queryExecution.executedPlan.toString
     // the filter must reach the parquet scan and the scan must not read

@@ -138,6 +138,10 @@ object EventsOps {
     val mu = col("s1").cast("double") / col("n")
     val varr = col("s2").cast("double") / col("n") - mu * mu
     e.join(broadcast(st), "event_type")
+      // zero-variance guard: a type with one event or all-equal values would
+      // produce z = 0/0 = NaN (and engines disagree on casting NaN) — such a
+      // type has no outliers by definition, drop it before the division
+      .filter(varr > 0)
       .select(col("event_id"), col("event_type"), col("value"),
         round((col("mv") - mu) / sqrt(varr) * 1e6).cast("long").as("z_micro"))
       .filter(abs(col("z_micro")) >= (zThresh * 1e6).toLong)

@@ -174,6 +174,14 @@ object Similarity {
     best
   }
 
+  /** Persisted (vec_id, e, nrm, q) frame: embeddings with norms and the
+    * exactly-quantized integer vector — the shared input of the coarse
+    * k-means family ([[ivfTopK]], [[semDedup]]). */
+  private def quantizedFrame(spark: SparkSession, dir: String): DataFrame =
+    withNorm(emb(spark, dir))
+      .withColumn("q", udf((v: Seq[Double]) => quantize127(v.toArray)).apply(col("e")))
+      .transform(ScratchCache.persist)
+
   /** Deterministic coarse k-means over the quantized frame: centroids are
     * EXACT integer (component-sum, member-count) pairs; init = the nLists
     * lowest-id vectors at weight 1; `iters` Lloyd steps, each one groupBy
@@ -219,10 +227,7 @@ object Similarity {
     * Output: (vec_id, cl, keep) for every corpus vector. */
   def semDedup(spark: SparkSession, dir: String, nLists: Int = 8,
       iters: Int = 2, tau: Double = 0.4): DataFrame = {
-    val e = withNorm(emb(spark, dir)).transform(ScratchCache.persist)
-    val eq = e.withColumn("q", udf((v: Seq[Double]) => quantize127(v.toArray))
-        .apply(col("e")))
-      .transform(ScratchCache.persist)
+    val eq = quantizedFrame(spark, dir)
     val cents = trainCoarse(eq, nLists, iters)
     val corpus = eq.withColumn("cl", coarseAssignUdf(cents)(col("q")))
       .select("vec_id", "cl", "e", "nrm")
@@ -251,10 +256,7 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nLists: Int = 8, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val e = withNorm(emb(spark, dir)).transform(ScratchCache.persist)
-    val eq = e.withColumn("q", udf((v: Seq[Double]) => quantize127(v.toArray))
-        .apply(col("e")))
-      .transform(ScratchCache.persist)
+    val eq = quantizedFrame(spark, dir)
     val cents = trainCoarse(eq, nLists, iters)
     val corpus = eq.withColumn("cl", coarseAssignUdf(cents)(col("q")))
       .transform(ScratchCache.persist)

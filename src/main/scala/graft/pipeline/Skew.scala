@@ -22,6 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types for which replicating the small side is result-invariant:
+    * an unmatched SMALL-side row must never survive, or it would appear once
+    * per replica (right/full outer are therefore rejected). */
+  private val SaltSafeJoins = // normalized: lowercase, underscores removed
+    Set("inner", "left", "leftouter", "cross", "semi", "leftsemi",
+      "anti", "leftanti")
+
+  /** Deterministic per-row salt: a CONTENT hash of the full row. Stable
+    * under task retry — a speculative or re-executed attempt assigns every
+    * row the same salt as the attempt a reducer already consumed
+    * (spark_partition_id/monotonically_increasing_id would not be: row
+    * order within a recomputed shuffle partition is not guaranteed, the
+    * SPARK-23207 class of bug). Byte-identical duplicate rows co-locate on
+    * one salt — acceptable: they carry the same join matches anyway. */
+  private def contentSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)).cast("int")
+
   /** Equi-join `big ⋈ small` on `key`, with the big side spread over
     * `salts` sub-keys and the small side replicated to match. Use when the
     * big side's key histogram is so peaked that one reducer would own the
@@ -30,9 +47,11 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int = 32, joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive: $salts")
+    require(SaltSafeJoins.contains(joinType.toLowerCase.replace("_", "")),
+      s"joinType '$joinType' preserves unmatched small-side rows, which a " +
+      "replicated small side would duplicate; use inner/left/semi/anti")
     val saltCol = "__graft_salt"
-    val b = big.withColumn(saltCol, pmod(spark_partition_id() +
-      monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val b = big.withColumn(saltCol, contentSalt(big, salts))
     val s = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, Seq(key, saltCol), joinType).drop(saltCol)
@@ -46,8 +65,7 @@ object Skew {
   def saltedCollect(df: DataFrame, key: String, value: String,
       salts: Int = 32): DataFrame = {
     val saltCol = "__graft_salt"
-    df.withColumn(saltCol, pmod(spark_partition_id() +
-        monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    df.withColumn(saltCol, contentSalt(df, salts))
       .groupBy(col(key), col(saltCol))
       .agg(collect_list(col(value)).as("__partial"))
       .groupBy(col(key))

@@ -192,8 +192,11 @@ object TextStats {
   def tfidfTop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val d = docs(spark, dir)
     val n = d.count()
-    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // persisted: both the df aggregate and the scoring join read this frame —
+    // without the persist each branch re-explodes the whole corpus
+    val tf = ScratchCache.persist(
+      d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))

@@ -1525,7 +1525,9 @@ object Battery {
         "CAST(round((mv - CAST(s1 AS DOUBLE) / n) / " +
         "sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * " +
         "(CAST(s1 AS DOUBLE) / n)) * 1000000) AS BIGINT) AS z_micro " +
-        "FROM e JOIN st USING(event_type)) " +
+        "FROM e JOIN st USING(event_type) " +
+        "WHERE (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * " +
+        "(CAST(s1 AS DOUBLE) / n)) > 0) " +
         "WHERE abs(z_micro) >= 3000000")),
 
     ("ev_retention", // weekly cohort retention matrix: first-active-week

@@ -538,6 +538,14 @@ class PipelineSpec extends AnyFunSuite {
     // left-outer variant preserves unmatched big-side rows exactly once
     val lo = Skew.saltedJoin(big, small, "k", salts = 8, joinType = "left")
     assert(lo.count() == big.count())
+    // small-side-preserving join types would duplicate unmatched small rows
+    // once per salt replica — must be rejected up front
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "k", salts = 8, joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "k", salts = 8, joinType = "right")
+    }
   }
 
   test("salted collect merges per-salt partials to the exact multiset") {

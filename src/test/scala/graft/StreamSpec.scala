@@ -152,6 +152,44 @@ class StreamSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == exp.toSeq)
   }
 
+  test("watermark drops late rows from append-mode windowed aggregation") {
+    import spark.implicits._
+    val dir = "/tmp/graft_stream_late"
+    val fs = new java.io.File(dir)
+    if (fs.exists()) fs.listFiles().foreach(_.delete())
+    fs.mkdirs()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def write(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$dir/$name")
+    // batch 1: one event in the 00:00 window, one far ahead (advances the
+    // watermark to 00:50 under the 10-minute delay)
+    write("b1", Seq(
+      (1L, ts("2024-01-01 00:00:30"), 1L, "wmtest", 1.0, "{}"),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "wmtest", 1.0, "{}")))
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = graft.pipeline.EventsOps.normalizeTs(
+      spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(dir))
+    val q = StreamOps.windowedCounts(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_counts").start()
+    q.processAllAvailable()
+    // batch 2: a LATE row for the already-passed 00:00 window (watermark is
+    // 00:50 > window end 00:05 -> must be dropped), plus a fresh row
+    write("b2", Seq(
+      (3L, ts("2024-01-01 00:01:00"), 1L, "wmtest", 1.0, "{}"),
+      (4L, ts("2024-01-01 01:10:00"), 1L, "wmtest", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_counts")
+      .select(col("window.start").cast("string"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 00:00 window was emitted when the watermark passed it, counting
+    // ONLY the batch-1 row; the late batch-2 row for it was discarded
+    assert(rows("2024-01-01 00:00:00") == 1L,
+      s"late row leaked into a closed window: $rows")
+  }
+
   test("streaming quality scores equal the batch result") {
     val dir = "/tmp/graft_stream/docs"
     spark.read.parquet(s"$sf/documents.parquet").write.mode("overwrite").parquet(dir)

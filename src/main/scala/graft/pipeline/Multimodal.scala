@@ -51,6 +51,59 @@ object Multimodal {
     }
   }
 
+  final case class MMImage(doc_id: Long, width: Int, height: Int,
+      channels: Int, mean_px: Double)
+
+  /** Build a VALID binary P6 (PPM) image per document: dimensions derived
+    * from the row, pixel bytes cycled from the text bytes. Unlike the
+    * codec-format records above, these payloads are really decodable. */
+  def ppmRecords(spark: SparkSession, dir: String): Dataset[MMRecord] = {
+    import spark.implicits._
+    val gen = udf { (docId: Long, text: String) =>
+      val tb = text.getBytes("UTF-8")
+      val w = (4 + tb.length % 12).toInt
+      val h = (3 + docId % 5).toInt
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val body = Array.tabulate(w * h * 3)(i => tb(i % tb.length))
+      header ++ body
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), lit("image/x-portable-pixmap").as("mime"),
+        gen(col("doc_id"), col("text")).as("payload"))
+      .as[MMRecord]
+  }
+
+  /** REAL P6/PPM decoder — pure JVM, no codec library: parses the ASCII
+    * header (magic, dimensions, maxval) and computes pixel statistics from
+    * the raster body. Dimensions come from the PAYLOAD, not from metadata —
+    * this is the actual decode step of the multimodal path for a format the
+    * sandbox can decode; jpeg/mp4 stay behind [[features]]' documented stub. */
+  def decodePpm(docId: Long, payload: Array[Byte]): MMImage = {
+    val s = new String(payload, 0, math.min(payload.length, 32), "US-ASCII")
+    require(s.startsWith("P6\n"), "not a P6 PPM")
+    val nl2 = s.indexOf('\n', 3)
+    val nl3 = s.indexOf('\n', nl2 + 1)
+    val Array(w, h) = s.substring(3, nl2).split(" ").map(_.toInt)
+    val maxval = s.substring(nl2 + 1, nl3).toInt
+    require(maxval == 255, s"unsupported maxval $maxval")
+    val off = nl3 + 1
+    val n = w * h * 3
+    require(payload.length == off + n, "truncated raster")
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += payload(off + i) & 0xFF; i += 1 }
+    MMImage(docId, w, h, 3,
+      BigDecimal(sum.toDouble / n).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  /** Batch REAL decode over partition iterators (same mapPartitions shape as
+    * [[features]], but the decoder actually reads the bytes). */
+  def ppmFeatures(spark: SparkSession, dir: String): Dataset[MMImage] = {
+    import spark.implicits._
+    ppmRecords(spark, dir).mapPartitions(_.map(r => decodePpm(r.doc_id, r.payload)))
+  }
+
   /** Frame sampling for "video" payloads: one row per sampled frame index. */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

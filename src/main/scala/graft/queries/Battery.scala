@@ -1559,6 +1559,19 @@ object Battery {
         "AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n FROM events GROUP BY 1")),
 
     // ---- multimodal plumbing (decode step stubbed; see Multimodal scaladoc) ----
+    ("mm_ppm_decode", // REAL image decode (no codec library needed): valid
+      // P6/PPM payloads generated per doc, decoded by parsing the binary
+      // header + computing raster statistics — dimensions come from the
+      // payload bytes, not metadata; oracle replays the cyclic pixel rule
+      (s: SparkSession, d: String) => graft.pipeline.Multimodal.ppmFeatures(s, d).toDF(),
+      Some("SELECT doc_id, CAST(4 + n_chars % 12 AS INT) AS width, " +
+        "CAST(3 + doc_id % 5 AS INT) AS height, CAST(3 AS INT) AS channels, " +
+        "round(CAST(list_aggregate(list_transform(" +
+        "range((4 + n_chars % 12) * (3 + doc_id % 5) * 3), " +
+        "i -> ord(substr(text, CAST(i % n_chars AS INT) + 1, 1))), 'sum') AS DOUBLE) " +
+        "/ ((4 + n_chars % 12) * (3 + doc_id % 5) * 3), 4) AS mean_px " +
+        "FROM documents")),
+
     ("mm_features",
       (s: SparkSession, d: String) => graft.pipeline.Multimodal.features(s, d).toDF(),
       Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +

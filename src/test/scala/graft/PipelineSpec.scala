@@ -174,6 +174,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ppm decode: header round-trips, corrupt payloads rejected") {
+    val recs = Multimodal.ppmRecords(spark, sf).collect()
+    recs.take(5).foreach { r =>
+      val img = Multimodal.decodePpm(r.doc_id, r.payload)
+      // dimensions decoded FROM the payload: header text must round-trip them
+      val s = new String(r.payload.take(20), "US-ASCII")
+      assert(s.startsWith(s"P6\n${img.width} ${img.height}\n255\n"))
+      // raster length consistent with the decoded dimensions
+      assert(r.payload.length ==
+        s"P6\n${img.width} ${img.height}\n255\n".length + img.width * img.height * 3)
+      assert(img.channels == 3 && img.mean_px > 0 && img.mean_px < 255)
+    }
+    // corrupt: truncated raster must be rejected, not silently mis-decoded
+    val bad = recs.head.payload.dropRight(1)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(0L, bad)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(0L, "P5\n2 2\n255\n".getBytes("US-ASCII"))
+    }
+  }
+
   test("multimodal features deterministic and consistent with payload size") {
     val f = Multimodal.features(spark, sf).collect()
     assert(f.length == 500)

@@ -104,6 +104,65 @@ object Multimodal {
     ppmRecords(spark, dir).mapPartitions(_.map(r => decodePpm(r.doc_id, r.payload)))
   }
 
+  final case class MMAudio(doc_id: Long, sample_rate: Int, n_samples: Long,
+      duration_ms: Long, mean_amp: Double)
+
+  /** Build a VALID RIFF/WAVE payload per document: mono unsigned-8-bit PCM at
+    * 8 kHz, samples cycled from the text bytes. Really decodable, like
+    * [[ppmRecords]]. */
+  def wavRecords(spark: SparkSession, dir: String): Dataset[MMRecord] = {
+    import spark.implicits._
+    val gen = udf { (docId: Long, text: String) =>
+      val tb = text.getBytes("UTF-8")
+      val n = tb.length * 3
+      val data = Array.tabulate(n)(i => tb(i % tb.length))
+      val bb = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(8000).putInt(8000) // sample rate, byte rate (8-bit mono)
+        .putShort(1).putShort(8) // block align, bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(n)
+        .put(data)
+      bb.array()
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), lit("audio/wav").as("mime"),
+        gen(col("doc_id"), col("text")).as("payload"))
+      .as[MMRecord]
+  }
+
+  /** REAL RIFF/WAVE decoder — pure JVM: validates the RIFF/WAVE magic,
+    * reads the PCM format chunk (mono, 8-bit enforced), and computes sample
+    * statistics from the data chunk. The audio twin of [[decodePpm]]. */
+  def decodeWav(docId: Long, payload: Array[Byte]): MMAudio = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def str4(off: Int) = new String(payload, off, 4, "US-ASCII")
+    require(str4(0) == "RIFF" && str4(8) == "WAVE", "not a RIFF/WAVE file")
+    require(str4(12) == "fmt " && bb.getInt(16) == 16, "missing PCM fmt chunk")
+    require(bb.getShort(20) == 1 && bb.getShort(22) == 1, "not mono PCM")
+    val rate = bb.getInt(24)
+    require(bb.getShort(34) == 8, "not 8-bit samples")
+    require(str4(36) == "data", "missing data chunk")
+    val n = bb.getInt(40)
+    require(payload.length == 44 + n, "truncated data chunk")
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += payload(44 + i) & 0xFF; i += 1 }
+    MMAudio(docId, rate, n.toLong, n.toLong * 1000L / rate,
+      BigDecimal(sum.toDouble / n).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  /** Batch REAL audio decode over partition iterators. */
+  def wavFeatures(spark: SparkSession, dir: String): Dataset[MMAudio] = {
+    import spark.implicits._
+    wavRecords(spark, dir).mapPartitions(_.map(r => decodeWav(r.doc_id, r.payload)))
+  }
+
   /** Frame sampling for "video" payloads: one row per sampled frame index. */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -1572,6 +1572,17 @@ object Battery {
         "/ ((4 + n_chars % 12) * (3 + doc_id % 5) * 3), 4) AS mean_px " +
         "FROM documents")),
 
+    ("mm_wav_decode", // REAL audio decode: valid RIFF/WAVE mono 8-bit PCM
+      // payloads generated per doc, decoded by parsing the chunk structure;
+      // duration and amplitude stats come from the payload bytes
+      (s: SparkSession, d: String) => graft.pipeline.Multimodal.wavFeatures(s, d).toDF(),
+      Some("SELECT doc_id, CAST(8000 AS INT) AS sample_rate, " +
+        "CAST(n_chars * 3 AS BIGINT) AS n_samples, " +
+        "CAST(n_chars * 3 * 1000 // 8000 AS BIGINT) AS duration_ms, " +
+        "round(CAST(list_aggregate(list_transform(range(n_chars * 3), " +
+        "i -> ord(substr(text, CAST(i % n_chars AS INT) + 1, 1))), 'sum') AS DOUBLE) " +
+        "/ (n_chars * 3), 4) AS mean_amp FROM documents")),
+
     ("mm_features",
       (s: SparkSession, d: String) => graft.pipeline.Multimodal.features(s, d).toDF(),
       Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +

@@ -196,6 +196,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("wav decode: chunk structure round-trips, corrupt payloads rejected") {
+    val recs = Multimodal.wavRecords(spark, sf).collect()
+    recs.take(5).foreach { r =>
+      val a = Multimodal.decodeWav(r.doc_id, r.payload)
+      assert(a.sample_rate == 8000 && a.n_samples == r.payload.length - 44)
+      assert(a.duration_ms == a.n_samples * 1000 / 8000)
+      assert(a.mean_amp > 0 && a.mean_amp < 255)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(0L, recs.head.payload.dropRight(1)) // truncated
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(0L, "OggS but not a wav at all........".getBytes)
+    }
+  }
+
   test("multimodal features deterministic and consistent with payload size") {
     val f = Multimodal.features(spark, sf).collect()
     assert(f.length == 500)

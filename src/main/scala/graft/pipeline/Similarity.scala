@@ -32,13 +32,17 @@ object Similarity {
       .transform(ScratchCache.persist)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    // rank on the ROUNDED cosine (then nid): raw doubles differ from the
+    // oracle engine's summation order by last-ulp amounts, which can flip a
+    // rank boundary; rounding to 4 places before the cut makes the ranking
+    // engine-independent (same device as lshTopK)
     val scored = q.join(e, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+        round(dot(col("qe"), col("e")) / (col("qn") * col("nrm")), 4).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"),
+      .select(col("qid"), col("nid"), col("cos"),
         col("rk").cast("long").as("rk"))
   }
 

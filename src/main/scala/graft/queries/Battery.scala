@@ -126,7 +126,7 @@ object Battery {
     "* 1000000) AS BIGINT) AS micro " +
     "FROM q JOIN tf f USING(tok) JOIN df USING(tok) " +
     "JOIN lens ON lens.doc_id = f.doc_id CROSS JOIN ag WHERE f.doc_id <> q.qid), " +
-    "s AS (SELECT qid, nid, sum(micro) AS score_micro FROM sc GROUP BY 1, 2)"
+    "s AS (SELECT qid, nid, CAST(sum(micro) AS BIGINT) AS score_micro FROM sc GROUP BY 1, 2)"
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -1131,7 +1131,7 @@ object Battery {
       (s: SparkSession, d: String) => graft.pipeline.GraphRank.pagerank(s, d),
       Some {
         val it = (n: Int, p: Int) =>
-          s"r$n AS (SELECT n.node, 150000 + (85 * COALESCE(s.c, 0)) // 100 AS r " +
+          s"r$n AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r " +
           "FROM nodes n LEFT JOIN (SELECT e.dst, sum(r.r // d.d) AS c FROM edges e " +
           s"JOIN r$p r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1) s " +
           "ON s.dst = n.node), "
@@ -1190,7 +1190,8 @@ object Battery {
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         "den AS (SELECT qid, nid, rk AS den_rk FROM (SELECT q.vec_id AS qid, " +
         "e.vec_id AS nid, CAST(row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id) AS BIGINT) AS rk " +
+        "ORDER BY round(list_cosine_similarity(q.emb, e.emb), 4) DESC, e.vec_id) " +
+        "AS BIGINT) AS rk " +
         "FROM (SELECT * FROM e WHERE vec_id < 5) q, e WHERE e.vec_id != q.vec_id) " +
         "WHERE rk <= 20), " +
         "f AS (SELECT COALESCE(lex.qid, den.qid) AS qid, COALESCE(lex.nid, den.nid) AS nid, " +
@@ -1209,7 +1210,8 @@ object Battery {
         "SELECT q.vec_id AS qid, e.vec_id AS nid, " +
         "round(list_cosine_similarity(q.emb, e.emb), 4) AS cos, " +
         "CAST(row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id) AS BIGINT) AS rk " +
+        "ORDER BY round(list_cosine_similarity(q.emb, e.emb), 4) DESC, e.vec_id) " +
+        "AS BIGINT) AS rk " +
         "FROM q, e WHERE e.vec_id != q.vec_id QUALIFY rk <= 5")),
 
     ("sim_quantize", // per-vector int8 scalar quantization + reconstruction MAE
@@ -1564,24 +1566,34 @@ object Battery {
       // header + computing raster statistics — dimensions come from the
       // payload bytes, not metadata; oracle replays the cyclic pixel rule
       (s: SparkSession, d: String) => graft.pipeline.Multimodal.ppmFeatures(s, d).toDF(),
-      Some("SELECT doc_id, CAST(4 + n_chars % 12 AS INT) AS width, " +
+      // byte-based oracle (UTF-8 bytes via hex(encode(text)), not chars) so
+      // it stays correct on any non-ASCII corpus, matching the generator's
+      // text.getBytes("UTF-8")
+      Some("WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS nb FROM documents) " +
+        "SELECT doc_id, CAST(4 + nb % 12 AS INT) AS width, " +
         "CAST(3 + doc_id % 5 AS INT) AS height, CAST(3 AS INT) AS channels, " +
         "round(CAST(list_aggregate(list_transform(" +
-        "range((4 + n_chars % 12) * (3 + doc_id % 5) * 3), " +
-        "i -> ord(substr(text, CAST(i % n_chars AS INT) + 1, 1))), 'sum') AS DOUBLE) " +
-        "/ ((4 + n_chars % 12) * (3 + doc_id % 5) * 3), 4) AS mean_px " +
-        "FROM documents")),
+        "range((4 + nb % 12) * (3 + doc_id % 5) * 3), " +
+        "i -> CAST(('0x' || substring(hx, CAST(i % nb AS INT) * 2 + 1, 2)) AS INT)" +
+        "), 'sum') AS DOUBLE) " +
+        "/ ((4 + nb % 12) * (3 + doc_id % 5) * 3), 4) AS mean_px " +
+        "FROM b")),
 
     ("mm_wav_decode", // REAL audio decode: valid RIFF/WAVE mono 8-bit PCM
       // payloads generated per doc, decoded by parsing the chunk structure;
       // duration and amplitude stats come from the payload bytes
       (s: SparkSession, d: String) => graft.pipeline.Multimodal.wavFeatures(s, d).toDF(),
-      Some("SELECT doc_id, CAST(8000 AS INT) AS sample_rate, " +
-        "CAST(n_chars * 3 AS BIGINT) AS n_samples, " +
-        "CAST(n_chars * 3 * 1000 // 8000 AS BIGINT) AS duration_ms, " +
-        "round(CAST(list_aggregate(list_transform(range(n_chars * 3), " +
-        "i -> ord(substr(text, CAST(i % n_chars AS INT) + 1, 1))), 'sum') AS DOUBLE) " +
-        "/ (n_chars * 3), 4) AS mean_amp FROM documents")),
+      // byte-based oracle, same device as mm_ppm_decode
+      Some("WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS nb FROM documents) " +
+        "SELECT doc_id, CAST(8000 AS INT) AS sample_rate, " +
+        "CAST(nb * 3 AS BIGINT) AS n_samples, " +
+        "CAST(nb * 3 * 1000 // 8000 AS BIGINT) AS duration_ms, " +
+        "round(CAST(list_aggregate(list_transform(range(nb * 3), " +
+        "i -> CAST(('0x' || substring(hx, CAST(i % nb AS INT) * 2 + 1, 2)) AS INT)" +
+        "), 'sum') AS DOUBLE) " +
+        "/ (nb * 3), 4) AS mean_amp FROM b")),
 
     ("mm_features",
       (s: SparkSession, d: String) => graft.pipeline.Multimodal.features(s, d).toDF(),

@@ -154,10 +154,10 @@ class StreamSpec extends AnyFunSuite {
 
   test("watermark drops late rows from append-mode windowed aggregation") {
     import spark.implicits._
-    val dir = "/tmp/graft_stream_late"
-    val fs = new java.io.File(dir)
-    if (fs.exists()) fs.listFiles().foreach(_.delete())
-    fs.mkdirs()
+    // fresh dir per run: batches are written with mode("append") into
+    // subdirectories, so a shared fixture path accumulates parquet parts
+    // across runs and breaks the closed-window count on a non-pristine /tmp
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_late").toString
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     def write(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

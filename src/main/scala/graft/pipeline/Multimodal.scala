@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata, processed in
   * partition-sized batches through a typed Dataset pipeline.
   *
-  * The *decode* step is a clearly-marked STUB (this container has no image/audio
-  * codecs): it derives deterministic pseudo-features from the payload bytes. The
-  * Spark-side plumbing — binary column, case-class schema, mapPartitions batch
-  * shape, partition sizing — is real and is what a production decode would plug
-  * into (swap `decodeStub` for an actual codec call per batch).
+  * REAL decode paths: P6/PPM and RIFF/WAV (pure-JVM header parsers), and
+  * PNG/JPEG via the JDK's `javax.imageio.ImageIO` codecs. Only VIDEO (mp4)
+  * lacks any JVM codec, so [[features]]' `decodeStub` remains as the
+  * documented stand-in for that one format; the Spark-side plumbing — binary
+  * column, case-class schema, mapPartitions batch shape, partition sizing —
+  * is identical to the real paths (swap `decodeStub` for a codec call).
   */
 object Multimodal {
 
@@ -28,9 +29,11 @@ object Multimodal {
       .as[MMRecord]
   }
 
-  /** STUB decoder — a real implementation would call an image/audio codec here,
-    * once per record, reusing per-partition decoder state. Deterministic
-    * pseudo-features keep the pipeline testable without codecs.
+  /** STUB decoder — stands in ONLY for formats with no JVM codec (mp4
+    * video; images and audio have real paths: [[decodePpm]], [[decodeWav]],
+    * [[decodeImage]]). A real implementation would call the video codec
+    * here, once per record, reusing per-partition decoder state.
+    * Deterministic pseudo-features keep the pipeline testable without it.
     */
   private def decodeStub(r: MMRecord): MMFeature = {
     val n = r.payload.length.toLong
@@ -161,6 +164,86 @@ object Multimodal {
   def wavFeatures(spark: SparkSession, dir: String): Dataset[MMAudio] = {
     import spark.implicits._
     wavRecords(spark, dir).mapPartitions(_.map(r => decodeWav(r.doc_id, r.payload)))
+  }
+
+  /** Build a VALID PNG payload per document with the JDK's ImageIO encoder
+    * (PNG/JPEG/GIF/BMP codecs ship with every JVM — no library needed).
+    * Same dimensions and cyclic sample rule as [[ppmRecords]]: raster sample
+    * i is UTF-8 text byte i % n. PNG truecolor is lossless, so the decoded
+    * sample multiset — and therefore the mean, which is order-invariant —
+    * equals the generator rule exactly and stays value-oracle-checkable. */
+  def pngRecords(spark: SparkSession, dir: String): Dataset[MMRecord] =
+    imageRecords(spark, dir, "png", "image/png")
+
+  /** JPEG twin of [[pngRecords]]. JPEG is lossy, so only the STRUCTURAL
+    * decode outputs (dimensions, band count) are deterministic across
+    * decoder implementations; pixel stats are not oracle-checkable. */
+  def jpegRecords(spark: SparkSession, dir: String): Dataset[MMRecord] =
+    imageRecords(spark, dir, "jpg", "image/jpeg")
+
+  private def imageRecords(spark: SparkSession, dir: String, fmt: String,
+      mime: String): Dataset[MMRecord] = {
+    import spark.implicits._
+    val gen = udf { (docId: Long, text: String) =>
+      val tb = text.getBytes("UTF-8")
+      val w = 4 + tb.length % 12
+      val h = (3 + docId % 5).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      var i = 0
+      while (i < data.length) { data(i) = tb(i % tb.length); i += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), lit(mime).as("mime"),
+        gen(col("doc_id"), col("text")).as("payload"))
+      .as[MMRecord]
+  }
+
+  /** REAL codec decode via `javax.imageio.ImageIO` — the dimensions, band
+    * count, and pixel statistics all come from the DECODED image, not from
+    * metadata. Works for any format with a registered reader (JPEG, PNG,
+    * GIF, BMP, TIFF in a stock JVM). */
+  def decodeImage(docId: Long, payload: Array[Byte]): MMImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "no registered ImageIO reader recognizes the payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    MMImage(docId, w, h, img.getRaster.getNumBands,
+      BigDecimal(sum.toDouble / (w.toLong * h * 3))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** Batch REAL PNG decode (lossless → full pixel stats are exact). */
+  def pngFeatures(spark: SparkSession, dir: String): Dataset[MMImage] = {
+    import spark.implicits._
+    pngRecords(spark, dir).mapPartitions(_.map(r => decodeImage(r.doc_id, r.payload)))
+  }
+
+  final case class MMDims(doc_id: Long, width: Int, height: Int, channels: Int)
+
+  /** Batch REAL JPEG decode, keeping only the fields deterministic under a
+    * lossy codec (decoded dimensions and band count). */
+  def jpegFeatures(spark: SparkSession, dir: String): Dataset[MMDims] = {
+    import spark.implicits._
+    jpegRecords(spark, dir).mapPartitions(_.map { r =>
+      val d = decodeImage(r.doc_id, r.payload)
+      MMDims(r.doc_id, d.width, d.height, d.channels)
+    })
   }
 
   /** Frame sampling for "video" payloads: one row per sampled frame index. */

@@ -1595,6 +1595,32 @@ object Battery {
         "), 'sum') AS DOUBLE) " +
         "/ (nb * 3), 4) AS mean_amp FROM b")),
 
+    ("mm_png_decode", // REAL codec decode via the JDK's ImageIO: PNG is
+      // lossless 8-bit truecolor, so the decoded sample multiset — hence the
+      // order-invariant mean — equals the cyclic generator rule exactly and
+      // the full pixel statistics stay value-oracle-checkable
+      (s: SparkSession, d: String) => graft.pipeline.Multimodal.pngFeatures(s, d).toDF(),
+      Some("WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS nb FROM documents) " +
+        "SELECT doc_id, CAST(4 + nb % 12 AS INT) AS width, " +
+        "CAST(3 + doc_id % 5 AS INT) AS height, CAST(3 AS INT) AS channels, " +
+        "round(CAST(list_aggregate(list_transform(" +
+        "range((4 + nb % 12) * (3 + doc_id % 5) * 3), " +
+        "i -> CAST(('0x' || substring(hx, CAST(i % nb AS INT) * 2 + 1, 2)) AS INT)" +
+        "), 'sum') AS DOUBLE) " +
+        "/ ((4 + nb % 12) * (3 + doc_id % 5) * 3), 4) AS mean_px " +
+        "FROM b")),
+
+    ("mm_jpeg_decode", // REAL lossy-codec decode via ImageIO: JPEG pixel
+      // values are decoder-implementation-dependent, so the oracle checks
+      // the structural outputs (decoded dimensions, band count), which are
+      // exact — the dimensions come from the decoded bitstream, not metadata
+      (s: SparkSession, d: String) => graft.pipeline.Multimodal.jpegFeatures(s, d).toDF(),
+      Some("SELECT doc_id, " +
+        "CAST(4 + octet_length(encode(text)) % 12 AS INT) AS width, " +
+        "CAST(3 + doc_id % 5 AS INT) AS height, CAST(3 AS INT) AS channels " +
+        "FROM documents")),
+
     ("mm_features",
       (s: SparkSession, d: String) => graft.pipeline.Multimodal.features(s, d).toDF(),
       Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +

@@ -196,6 +196,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("png/jpeg decode via ImageIO: png stats match the ppm decode, corrupt rejected") {
+    // PNG is lossless: the decoded stats must equal the PPM decoder's on the
+    // same cyclic raster rule (same dims, same mean)
+    val ppm = Multimodal.ppmFeatures(spark, sf).collect()
+      .map(i => i.doc_id -> i).toMap
+    Multimodal.pngFeatures(spark, sf).collect().take(500).foreach { i =>
+      val p = ppm(i.doc_id)
+      assert((i.width, i.height, i.channels, i.mean_px) ==
+        (p.width, p.height, p.channels, p.mean_px),
+        s"doc ${i.doc_id}: PNG decode diverges from PPM reference")
+    }
+    // JPEG is lossy: structural outputs still exact
+    Multimodal.jpegFeatures(spark, sf).collect().take(5).foreach { d =>
+      val p = ppm(d.doc_id)
+      assert((d.width, d.height, d.channels) == (p.width, p.height, p.channels))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(0L, "not an image at all".getBytes)
+    }
+  }
+
   test("wav decode: chunk structure round-trips, corrupt payloads rejected") {
     val recs = Multimodal.wavRecords(spark, sf).collect()
     recs.take(5).foreach { r =>

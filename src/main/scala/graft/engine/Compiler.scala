@@ -1636,10 +1636,86 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       cs.zipWithIndex.map { case (c, j) => out(j, c) }
     }
 
-    val grouped =
-      if (keyCols.isEmpty) pre.groupBy().agg(aggCols.head, aggCols.tail: _*)
-      else pre.groupBy(keys.filter(sol.reps.contains).map(v => col(bt(v))): _*)
-        .agg(aggCols.head, aggCols.tail: _*)
+    // ---- hot-group mitigation for holistic aggregates ------------------------
+    // GROUP_CONCAT's collect_list state concentrates one group's EVERY row on
+    // one reducer — the one aggregate shape Spark's partial (map-side)
+    // aggregation can't absorb (count/min/max partials already combine before
+    // the shuffle; sum/avg likewise). When statistics bound the aggregation
+    // input ABOVE Compiler.HotGroupCap rows, a single group could own that
+    // many elements, so compile the whole GROUP BY as the two-phase salted
+    // plan ([[graft.pipeline.Skew]]'s device): phase 1 aggregates per
+    // (keys, salt) — bounding any reducer's collect state to ~1/salts of the
+    // hottest group — phase 2 merges the per-salt partials per key. The
+    // result is salt-invariant because every aggregate admitted by the gate
+    // has an exact merge: count→sum, min/max/sample→again over partials,
+    // collected arrays→flatten, with the ONE global array_sort applied after
+    // the merge exactly where the single-phase plan applies it.
+    val twoPhaseSafe = inputs.forall { case (a, _) =>
+      a.fn match {
+        case "count" => !a.distinct // count_distinct partials don't merge
+        case "min" | "max" | "sample" => true
+        case "group_concat" => true // distinct handled merge-side
+        case _ => false // sum/avg: algebraic (partial agg absorbs hot keys),
+                        // and their try_sum/poison accumulators don't merge
+      }
+    }
+    val salted = keys.nonEmpty && aggs.exists(_.fn == "group_concat") &&
+      twoPhaseSafe && sol.card.forall(_ > Compiler.HotGroupCap)
+    val gks = keys.filter(sol.reps.contains).map(v => col(bt(v)))
+
+    val grouped = if (salted) {
+      val saltCol = "__graft_salt"
+      val termSort: Column => Column = v => struct(v.getField("kind"),
+        v.getField("num"), v.getField("lex"), v.getField("dt"), v.getField("lang"))
+      val p1Cols: Seq[Column] = inputs.zipWithIndex.map { case ((a, cOpt), i) =>
+        val in = col(s"__agg_in_$i")
+        val mode = cOpt.map(_._2).getOrElse("view")
+        val c: Column = (a.fn, mode) match {
+          case ("count", _) if cOpt.isEmpty => count(lit(1))
+          case ("count", _) => count(in)
+          case ("min", "id") => min(in)
+          case ("max", "id") => max(in)
+          case ("sample", "id") => min(in)
+          case ("min", _) => min_by(in, when(in.isNotNull, sortStruct(i)))
+          case ("max", _) => max_by(in, when(in.isNotNull, sortStruct(i)))
+          case ("sample", _) => min_by(in, when(in.isNotNull, sortStruct(i)))
+          case ("group_concat", _) =>
+            if (a.distinct) collect_set(in.getField("lex"))
+            else collect_list(in.getField("lex"))
+          case (other, _) =>
+            throw new IllegalStateException(s"unsaltable aggregate: $other")
+        }
+        c.as(s"__agg_p_$i")
+      }
+      val phase1 = pre
+        .withColumn(saltCol, graft.pipeline.Skew.saltOf(pre, Compiler.HotGroupSalts))
+        .groupBy((gks :+ col(saltCol)): _*)
+        .agg(p1Cols.head, p1Cols.tail: _*)
+      val mergeCols: Seq[Column] = inputs.zipWithIndex.map { case ((a, cOpt), i) =>
+        val p = col(s"__agg_p_$i")
+        val mode = cOpt.map(_._2).getOrElse("view")
+        val c: Column = (a.fn, mode) match {
+          case ("count", _) => sum(p)
+          case ("min", "id") => min(p)
+          case ("max", "id") => max(p)
+          case ("sample", "id") => min(p)
+          // min_by/max_by skip null-ordering rows, so an all-null salt
+          // partial can't shadow a bound one
+          case ("min", _) => min_by(p, when(p.isNotNull, termSort(p)))
+          case ("max", _) => max_by(p, when(p.isNotNull, termSort(p)))
+          case ("sample", _) => min_by(p, when(p.isNotNull, termSort(p)))
+          case ("group_concat", _) =>
+            val merged = flatten(collect_list(p))
+            concat_ws(a.sep,
+              array_sort(if (a.distinct) array_distinct(merged) else merged))
+          case (other, _) =>
+            throw new IllegalStateException(s"unsaltable aggregate: $other")
+        }
+        c.as(s"__agg_out_${i}_0")
+      }
+      phase1.groupBy(gks: _*).agg(mergeCols.head, mergeCols.tail: _*)
+    } else if (keyCols.isEmpty) pre.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      else pre.groupBy(gks: _*).agg(aggCols.head, aggCols.tail: _*)
 
     // wrap raw aggregate outputs into term views — batched into one
     // withColumns projection (one analysis pass, not one per aggregate)
@@ -2139,6 +2215,20 @@ object Compiler {
     * local-dedup + single-task-merge plan; larger/unknown inputs use
     * dropDuplicates (map-side partial dedup, Exchange of shrunk sets). */
   val ReducedLocalCap = 1000000L
+
+  /** Hot-group gate for the two-phase salted GROUP_CONCAT plan: when the
+    * aggregation input is NOT statistically bounded at or below this many
+    * rows, a single group could concentrate that many collect-list elements
+    * on one reducer, so the compiler pre-spreads per (key, salt) and merges
+    * per key. `var` only as a test seam — the salted plan computes exactly
+    * the single-phase result (all admitted merges are exact), so a
+    * concurrently-running suite observing a lowered cap still gets correct
+    * answers, just a salted plan. */
+  @volatile var HotGroupCap: Long = 2000000L
+
+  /** Salt fan-out of the two-phase hot-group plan (≈ executor-core count:
+    * the hottest group's collect state splits over this many reducers). */
+  val HotGroupSalts: Int = 32
 
   /** Variables whose exact-decimal `__d_` companion can actually be consumed
     * somewhere in the query: free vars of SUM/AVG arguments (group and

@@ -39,12 +39,30 @@ object Skew {
   private def contentSalt(df: DataFrame, salts: Int): Column =
     pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)).cast("int")
 
+  /** Public handle on the deterministic content salt, for callers composing
+    * their own two-phase plans (the SPARQL compiler's hot-group GROUP_CONCAT
+    * path; custom pre-spread shuffles). Same retry-safety argument as
+    * [[saltedJoin]]. */
+  def saltOf(df: DataFrame, salts: Int): Column = contentSalt(df, salts)
+
   /** Equi-join `big ⋈ small` on `key`, with the big side spread over
     * `salts` sub-keys and the small side replicated to match. Use when the
     * big side's key histogram is so peaked that one reducer would own the
     * key (and broadcast/AQE are unavailable). Cost: |small| × salts rows
     * shuffled on the replicated side — keep `salts` ≈ executor-core count. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int, joinType: String): DataFrame =
+    saltedJoin(big, small, Seq(key), salts, joinType)
+
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String): DataFrame =
+    saltedJoin(big, small, Seq(key), 32, "inner")
+
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = saltedJoin(big, small, Seq(key), salts, "inner")
+
+  /** Multi-key form of [[saltedJoin]] (compound equi-join keys, e.g. an LSH
+    * band join's (band, bucket) pair). */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       salts: Int = 32, joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive: $salts")
     require(SaltSafeJoins.contains(joinType.toLowerCase.replace("_", "")),
@@ -54,7 +72,7 @@ object Skew {
     val b = big.withColumn(saltCol, contentSalt(big, salts))
     val s = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
-    b.join(s, Seq(key, saltCol), joinType).drop(saltCol)
+    b.join(s, keys :+ saltCol, joinType).drop(saltCol)
   }
 
   /** Two-phase holistic aggregation: collect values per (key, salt) locally,

@@ -1641,7 +1641,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     // one reducer — the one aggregate shape Spark's partial (map-side)
     // aggregation can't absorb (count/min/max partials already combine before
     // the shuffle; sum/avg likewise). When statistics bound the aggregation
-    // input ABOVE Compiler.HotGroupCap rows, a single group could own that
+    // input ABOVE the hot-group cap (Compiler.HotGroupCapKey conf, default
+    // Compiler.DefaultHotGroupCap) rows, a single group could own that
     // many elements, so compile the whole GROUP BY as the two-phase salted
     // plan ([[graft.pipeline.Skew]]'s device): phase 1 aggregates per
     // (keys, salt) — bounding any reducer's collect state to ~1/salts of the
@@ -1659,8 +1660,10 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
                         // and their try_sum/poison accumulators don't merge
       }
     }
+    val hotGroupCap = spark.conf.get(Compiler.HotGroupCapKey,
+      Compiler.DefaultHotGroupCap.toString).toLong
     val salted = keys.nonEmpty && aggs.exists(_.fn == "group_concat") &&
-      twoPhaseSafe && sol.card.forall(_ > Compiler.HotGroupCap)
+      twoPhaseSafe && sol.card.forall(_ > hotGroupCap)
     val gks = keys.filter(sol.reps.contains).map(v => col(bt(v)))
 
     val grouped = if (salted) {
@@ -1688,7 +1691,11 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         c.as(s"__agg_p_$i")
       }
       val phase1 = pre
-        .withColumn(saltCol, graft.pipeline.Skew.saltOf(pre, Compiler.HotGroupSalts))
+        // spreadSalt, not saltOf: a duplicate-producing BGP under
+        // GROUP_CONCAT makes the hot group byte-identical rows, which a pure
+        // content salt would re-concentrate on one reducer (see Skew scaladoc
+        // for the salt-invariance + indeterminate-stage retry argument)
+        .withColumn(saltCol, graft.pipeline.Skew.spreadSalt(pre, Compiler.HotGroupSalts))
         .groupBy((gks :+ col(saltCol)): _*)
         .agg(p1Cols.head, p1Cols.tail: _*)
       val mergeCols: Seq[Column] = inputs.zipWithIndex.map { case ((a, cOpt), i) =>
@@ -2220,11 +2227,13 @@ object Compiler {
     * aggregation input is NOT statistically bounded at or below this many
     * rows, a single group could concentrate that many collect-list elements
     * on one reducer, so the compiler pre-spreads per (key, salt) and merges
-    * per key. `var` only as a test seam — the salted plan computes exactly
-    * the single-phase result (all admitted merges are exact), so a
-    * concurrently-running suite observing a lowered cap still gets correct
-    * answers, just a salted plan. */
-  @volatile var HotGroupCap: Long = 2000000L
+    * per key. Configured per session via the Spark runtime conf (no mutable
+    * compiler statics): `spark.conf.set(HotGroupCapKey, 0)` forces the
+    * salted plan everywhere — the forced-gate EngineSpec test does exactly
+    * that, which is safe because the salted plan computes exactly the
+    * single-phase result (all admitted merges are exact). */
+  val HotGroupCapKey = "spark.graft.hotGroupCap"
+  val DefaultHotGroupCap: Long = 2000000L
 
   /** Salt fan-out of the two-phase hot-group plan (≈ executor-core count:
     * the hottest group's collect state splits over this many reducers). */

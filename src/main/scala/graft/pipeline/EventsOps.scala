@@ -147,10 +147,16 @@ object EventsOps {
       .filter(abs(col("z_micro")) >= (zThresh * 1e6).toLong)
   }
 
-  /** JSON property extraction (props is a JSON string). */
+  /** JSON property extraction (props is a JSON string). Path-based
+    * ([[get_json_object]]), not regex — robust to key order, whitespace and
+    * escaping, and a missing path yields NULL (the second extracted field
+    * `$.missing` exercises exactly that: its non-null count must be 0
+    * whatever the corpus, where a regex would silently mis-match). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy("event_type")
-      .agg(sum(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")).as("sum_k"),
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        max(get_json_object(col("props"), "$.k").cast("long")).as("max_k"),
+        count(get_json_object(col("props"), "$.missing")).as("n_missing"),
         count(lit(1)).as("n"))
 }

@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO's default `useCache=true` stages every read/write through a
+    * disk-backed temp file — per-record filesystem churn inside executor
+    * tasks, and a hard failure if the executor temp dir is unwritable. The
+    * flag is a static JVM field, so set it at each codec call site (cheap
+    * boolean write), which guarantees it lands in every executor JVM that
+    * deserializes a decode closure — not just the driver. */
+  @inline private def imageIOInMemory(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   final case class MMRecord(doc_id: Long, mime: String, payload: Array[Byte])
   final case class MMFeature(doc_id: Long, n_bytes: Long, width: Int, height: Int,
       channels: Int, n_frames: Int)
@@ -195,6 +204,7 @@ object Multimodal {
       var i = 0
       while (i < data.length) { data(i) = tb(i % tb.length); i += 1 }
       val bos = new java.io.ByteArrayOutputStream()
+      imageIOInMemory()
       javax.imageio.ImageIO.write(img, fmt, bos)
       bos.toByteArray
     }
@@ -209,6 +219,7 @@ object Multimodal {
     * metadata. Works for any format with a registered reader (JPEG, PNG,
     * GIF, BMP, TIFF in a stock JVM). */
   def decodeImage(docId: Long, payload: Array[Byte]): MMImage = {
+    imageIOInMemory()
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "no registered ImageIO reader recognizes the payload")
     val (w, h) = (img.getWidth, img.getHeight)

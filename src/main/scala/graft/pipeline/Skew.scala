@@ -40,10 +40,36 @@ object Skew {
     pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)).cast("int")
 
   /** Public handle on the deterministic content salt, for callers composing
-    * their own two-phase plans (the SPARQL compiler's hot-group GROUP_CONCAT
-    * path; custom pre-spread shuffles). Same retry-safety argument as
-    * [[saltedJoin]]. */
+    * their own two-phase plans. Same retry-safety argument as [[saltedJoin]].
+    *
+    * LIMITATION: byte-identical duplicate rows always share one salt, so a
+    * hot group made of duplicates (a duplicate-producing BGP under
+    * GROUP_CONCAT, say) still concentrates on one (key, salt) reducer. For
+    * joins that is fine — duplicates carry the same matches. For two-phase
+    * AGGREGATION plans use [[spreadSalt]], which splits duplicates too. */
   def saltOf(df: DataFrame, salts: Int): Column = contentSalt(df, salts)
+
+  /** Salt for two-phase AGGREGATION plans: the content hash mixed with
+    * `spark_partition_id()`, so byte-identical duplicate rows spread across
+    * input partitions land on different salts (within one input partition
+    * they still share a salt — but a single input partition is already
+    * bounded by `spark.sql.files.maxPartitionBytes` / the upstream shuffle,
+    * which is the state bound the two-phase plan needs).
+    *
+    * Retry-safety differs from [[saltOf]]: partition ids can change when an
+    * upstream stage is recomputed, so this column is nondeterministic in
+    * Catalyst's sense — `spark_partition_id()` is flagged nondeterministic,
+    * which makes the map stage INDETERMINATE, and on a fetch failure Spark's
+    * scheduler rolls back and re-runs the full downstream stage instead of
+    * consuming mixed-attempt output (the SPARK-23207/SPARK-23243 machinery;
+    * worst case a job abort, never a wrong answer). The salted-aggregate
+    * merge is salt-assignment-invariant, so ANY assignment — including one
+    * that differs between attempts — produces the same final result. Only
+    * use where that invariance holds (it does NOT hold for [[saltedJoin]]'s
+    * replicated small side, which must see every salt value). */
+  def spreadSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64((df.columns.map(col) :+ spark_partition_id().cast("long"))
+      .toIndexedSeq: _*), lit(salts.toLong)).cast("int")
 
   /** Equi-join `big ⋈ small` on `key`, with the big side spread over
     * `salts` sub-keys and the small side replicated to match. Use when the

@@ -1557,8 +1557,9 @@ object Battery {
 
     ("ev_json",
       (s: SparkSession, d: String) => graft.pipeline.EventsOps.jsonExtract(s, d),
-      Some("SELECT event_type, CAST(sum(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) " +
-        "AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n FROM events GROUP BY 1")),
+      Some("SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k, " +
+        "count(props->>'$.missing') AS n_missing, count(*) AS n FROM events GROUP BY 1")),
 
     // ---- multimodal plumbing (decode step stubbed; see Multimodal scaladoc) ----
     ("mm_ppm_decode", // REAL image decode (no codec library needed): valid

@@ -774,4 +774,78 @@ class EngineSpec extends AnyFunSuite {
       "DESCRIBE ?z WHERE { BIND(IRI(\"http://example.org/nope\") AS ?z) }")
     assert(absent.count() == 0)
   }
+
+  test("forced-gate salted GROUP_CONCAT plan equals the unsalted plan") {
+    // the plan every at-scale GROUP_CONCAT takes: hotGroupCap=0 forces the
+    // two-phase salted compile for the same algebra the default cap leaves
+    // single-phase — plain + DISTINCT + custom separator concat mixed with
+    // every other merge the gate admits (count/min/max/sample), over a
+    // skewed key (c_mktsegment: 5 hot values over 150 rows at sf0.001)
+    val alg = AGroup(
+      BGP(Seq(
+        QuadPattern(V("c"), p("customer", "c_mktsegment"), V("seg")),
+        QuadPattern(V("c"), p("customer", "c_name"), V("nm")))),
+      Seq("seg"),
+      Seq(
+        AggSpec("names", "group_concat", Some(EVar("nm")), sep = "|"),
+        AggSpec("segs_d", "group_concat", Some(EVar("seg")), distinct = true,
+          sep = ","), // duplicates per group: DISTINCT must still collapse
+        AggSpec("n", "count", None),
+        AggSpec("mn", "min", Some(EVar("nm"))),
+        AggSpec("mx", "max", Some(EVar("nm"))),
+        AggSpec("smp", "sample", Some(EVar("nm")))))
+    val casts = Seq("seg" -> "string", "names" -> "string", "segs_d" -> "string",
+      "n" -> "long", "mn" -> "string", "mx" -> "string", "smp" -> "string")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val unsaltedDf = Results.native(comp, comp.compile(alg), casts)
+    assert(!unsaltedDf.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
+      "default cap must keep the single-phase plan at this scale")
+    val unsalted = rows(unsaltedDf)
+    spark.conf.set(Compiler.HotGroupCapKey, "0")
+    try {
+      val saltedDf = Results.native(comp, comp.compile(alg), casts)
+      assert(saltedDf.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
+        "hotGroupCap=0 must fire the two-phase salted plan")
+      assert(rows(saltedDf) == unsalted)
+    } finally spark.conf.unset(Compiler.HotGroupCapKey)
+  }
+
+  test("salted plan handles all-duplicate groups, empty input, and unbound args") {
+    // duplicate-heavy shape: every (seg, seg) row is byte-identical within a
+    // group pre-aggregation — the spreadSalt path must not change the result
+    val dupAlg = AGroup(
+      BGP(Seq(QuadPattern(V("c"), p("customer", "c_mktsegment"), V("seg")))),
+      Seq("seg"),
+      Seq(AggSpec("all", "group_concat", Some(EVar("seg")), sep = "+"),
+        AggSpec("one", "group_concat", Some(EVar("seg")), distinct = true)))
+    // unbound-argument shape: OPTIONAL leaves ?age unbound for most rows;
+    // GROUP_CONCAT skips unbound, COUNT(?age) counts only bound
+    val optAlg = AGroup(
+      ALeftJoin(
+        BGP(Seq(QuadPattern(V("s"), N.iri("http://example.org/name"), V("nm")))),
+        BGP(Seq(QuadPattern(V("s"), N.iri("http://example.org/age"), V("age")))),
+        None),
+      Seq("nm"),
+      Seq(AggSpec("ages", "group_concat", Some(EVar("age"))),
+        AggSpec("na", "count", Some(EVar("age")))))
+    // empty-input shape: no matches → zero groups (keys nonEmpty)
+    val emptyAlg = AGroup(
+      BGP(Seq(QuadPattern(V("s"), N.iri("http://example.org/nope"), V("v")))),
+      Seq("v"),
+      Seq(AggSpec("vs", "group_concat", Some(EVar("v")))))
+    def run(c: Compiler, a: Algebra, casts: Seq[(String, String)]) =
+      Results.native(c, c.compile(a), casts).collect().map(_.toString).sorted.toSeq
+    val dupCasts = Seq("seg" -> "string", "all" -> "string", "one" -> "string")
+    val optCasts = Seq("nm" -> "string", "ages" -> "string", "na" -> "long")
+    val emptyCasts = Seq("v" -> "string", "vs" -> "string")
+    val base = (run(comp, dupAlg, dupCasts), run(tcomp, optAlg, optCasts),
+      run(tcomp, emptyAlg, emptyCasts))
+    spark.conf.set(Compiler.HotGroupCapKey, "0")
+    try {
+      assert(run(comp, dupAlg, dupCasts) == base._1)
+      assert(run(tcomp, optAlg, optCasts) == base._2)
+      assert(run(tcomp, emptyAlg, emptyCasts) == base._3)
+    } finally spark.conf.unset(Compiler.HotGroupCapKey)
+  }
 }

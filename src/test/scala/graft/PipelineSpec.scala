@@ -607,6 +607,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("spreadSalt splits byte-identical duplicates where saltOf cannot") {
+    // a hot group of 4k IDENTICAL rows over 8 input partitions: the pure
+    // content salt maps them all to ONE salt (the documented limitation);
+    // spreadSalt mixes spark_partition_id and must hit every partition's salt
+    val dups = spark.range(4000).select(lit(7L).as("k"), lit("same").as("v"))
+      .repartition(8)
+    val contentSalts = dups.select(Skew.saltOf(dups, 32).as("s"))
+      .distinct().count()
+    assert(contentSalts == 1L, "content salt should collapse identical rows")
+    val spreadSalts = dups.select(Skew.spreadSalt(dups, 32).as("s"))
+      .distinct().count()
+    assert(spreadSalts > 1L, "spreadSalt must spread duplicates across salts")
+    // and a two-phase collect over spreadSalt still merges to the exact result
+    val merged = dups.withColumn("__s", Skew.spreadSalt(dups, 32))
+      .groupBy("k", "__s").agg(count(lit(1)).as("c"))
+      .groupBy("k").agg(sum("c").as("n")).collect()
+    assert(merged.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 4000L)))
+  }
+
   test("salted collect merges per-salt partials to the exact multiset") {
     val df = spark.range(5000)
       .select((col("id") % 3).as("k"), col("id").as("v"))

@@ -114,6 +114,14 @@ final case class ATable(vars: Seq[String], rows: Seq[Seq[Option[Term]]]) extends
   * call, never cluster work). */
 final case class AService(endpoint: Node, child: Algebra, silent: Boolean = false)
   extends Algebra
+/** INTERNAL — compiler-generated only, never parsed/printed/rewritten: splices
+  * an already-compiled relation into a nested compile. The EXISTS substitution
+  * device (SPARQL 1.1 §18.6): a FILTER EXISTS pattern that references outer
+  * variables beyond its own in-scope set (e.g. inside a nested NOT EXISTS)
+  * gets the outer solutions' distinct correlation tuples joined in at its
+  * leaves, so inner semi/anti joins see the correlated vars in scope. */
+final case class AEnv(key: Int, envVars: Set[String], envCertain: Set[String])
+  extends Algebra
 
 object Algebra {
   /** Variables possibly bound by this algebra (reference `inscope`,
@@ -138,6 +146,44 @@ object Algebra {
     case ATable(vs, _) => vs.toSet
     case AService(e, c, _) =>
       inscope(c) ++ (e match { case V(n) => Set(n); case _ => Set.empty })
+    case AEnv(_, vs, _) => vs
+  }
+
+  /** EVERY variable occurrence in the tree — pattern positions, filter and
+    * extend expressions, sort keys, aggregate arguments, and the patterns of
+    * nested EXISTS. Drives EXISTS correlation: vars of the outer solution
+    * that appear anywhere in the EXISTS pattern must correlate, even when
+    * they are not in the pattern's own in-scope set. */
+  def deepVars(a: Algebra): Set[String] = {
+    def ev(e: Expr): Set[String] = e match {
+      case EVar(n) => Set(n)
+      case ECall(_, as) => as.flatMap(ev).toSet
+      case EExists(p, _) => deepVars(p)
+      case _ => Set.empty
+    }
+    a match {
+      case BGP(ps) => ps.flatMap(_.vars).toSet
+      case APath(s, _, o, g) => Seq(s, o, g).collect { case V(n) => n }.toSet
+      case AJoin(l, r) => deepVars(l) ++ deepVars(r)
+      case ALeftJoin(l, r, e) => deepVars(l) ++ deepVars(r) ++ e.toSet.flatMap(ev)
+      case AMinus(l, r) => deepVars(l) ++ deepVars(r)
+      case AUnion(l, r) => deepVars(l) ++ deepVars(r)
+      case AFilter(e, c) => ev(e) ++ deepVars(c)
+      case AExtend(c, v, e) => deepVars(c) + v ++ ev(e)
+      case AProject(c, vs) => deepVars(c) ++ vs
+      case ADistinct(c) => deepVars(c)
+      case AReduced(c) => deepVars(c)
+      case ASlice(c, _, _) => deepVars(c)
+      case AOrderBy(c, ks) => deepVars(c) ++ ks.flatMap(k => ev(k.e))
+      case AGroup(c, keys, aggs) =>
+        deepVars(c) ++ keys ++ aggs.flatMap(s => s.e.toSeq.flatMap(ev)) ++ aggs.map(_.out)
+      case AWindow(c, fns) => deepVars(c) ++ fns.flatMap(f =>
+        f.e.toSeq.flatMap(ev) ++ f.partBy ++ f.ordBy.flatMap(k => ev(k.e)) :+ f.out)
+      case ATable(vs, _) => vs.toSet
+      case AService(e, c, _) =>
+        deepVars(c) ++ (e match { case V(n) => Set(n); case _ => Set.empty })
+      case AEnv(_, vs, _) => vs
+    }
   }
 
   /** Variables bound in every solution (reference `necessarilyBound`,
@@ -164,5 +210,6 @@ object Algebra {
         case (v, i) if rows.forall(r => r.lift(i).flatten.isDefined) => v
       }.toSet
     case AService(_, _, _) => Set.empty // remote bindings: no certainty guarantees
+    case AEnv(_, _, cs) => cs
   }
 }

@@ -60,5 +60,7 @@ object AlgebraPrint {
     case AService(e, c, silent) =>
       line(sb, d, s"Service ${node(e)}${if (silent) " SILENT" else ""}")
       walk(c, d + 1, sb)
+    case AEnv(k, vs, _) =>
+      line(sb, d, s"Env #$k [${vs.toSeq.sorted.map("?" + _).mkString(" ")}]")
   }
 }

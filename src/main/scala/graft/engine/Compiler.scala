@@ -1025,6 +1025,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     }
 
   private def compile0(a: Algebra): Sol = a match {
+    case AEnv(key, _, _) => envRegistry(key) // EXISTS correlation splice
     case BGP(ps) => compileBGP(ps)
     case APath(s, p, o, g) => compilePath(s, p, o, g)
     // bind join (reference BindJoinPlan): a small fully-bound VALUES side
@@ -1267,14 +1268,60 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
 
   private def compileFilter(e: Expr, sol: Sol): Sol = e match {
     case EExists(p, neg) =>
-      joinSols(sol, compile(p), if (neg) "left_anti" else "left_semi")
+      joinSols(sol, compileExistsPattern(sol, p), if (neg) "left_anti" else "left_semi")
     case ECall("&&", Seq(a, b)) if Expr.hasExists(e) =>
       compileFilter(b, compileFilter(a, sol))
     case ECall("!", Seq(EExists(p, neg))) =>
-      joinSols(sol, compile(p), if (neg) "left_semi" else "left_anti")
+      joinSols(sol, compileExistsPattern(sol, p), if (neg) "left_semi" else "left_anti")
     case _ =>
       val (s2, c) = ebvColumn(sol, e)
       s2.copy(df = s2.df.filter(c === true))
+  }
+
+  /** Compile an EXISTS pattern with SUBSTITUTION semantics (SPARQL 1.1
+    * §18.6). The semi/anti join correlates the outer solution with the
+    * pattern's IN-SCOPE vars for free; what it cannot see are outer vars the
+    * pattern references only in NESTED scopes — a nested NOT EXISTS, a
+    * filter-only occurrence — because those compile before the outer rows
+    * exist (r11: the subset-by-exclusion double-negation shape returned every
+    * pair). For those, the outer solutions' distinct correlation tuples are
+    * registered as an [[AEnv]] splice and joined at the pattern's leaves via
+    * [[injectEnv]], so nested semi/anti joins see the correlated vars in
+    * scope. Correlation tuples are distinct-projected — cost is bounded by
+    * the outer's distinct correlated values, not its row count — and the
+    * common uncorrelated case compiles exactly as before. */
+  private def compileExistsPattern(outer: Sol, p: Algebra): Sol = {
+    val deep = Algebra.deepVars(p)
+    val corrOnly = (deep -- Algebra.inscope(p)) intersect outer.vars.toSet
+    if (corrOnly.isEmpty) compile(p)
+    else {
+      val corrVars = (deep intersect outer.vars.toSet).toSeq.sorted
+      val base = dropCompanions(outer)
+      val corr = Sol(
+        base.df.select(corrVars.map(v => col(bt(v))): _*).dropDuplicates(),
+        base.reps.filter(kv => corrVars.contains(kv._1)),
+        base.certain intersect corrVars.toSet, Set.empty,
+        base.inl intersect corrVars.toSet)
+      val key = freshId()
+      envRegistry(key) = corr
+      try compile(injectEnv(p,
+        AEnv(key, corrVars.toSet, corr.certain)))
+      finally envRegistry.remove(key)
+    }
+  }
+
+  /** Join the correlation env at the pattern's evaluation leaves: descend
+    * through operators whose LEFT/child evaluation feeds nested filters
+    * (filter, extend, left-join preserved side, minus minuend, both union
+    * branches, join left); splice a join everywhere else. */
+  private def injectEnv(p: Algebra, env: AEnv): Algebra = p match {
+    case AFilter(e, c) => AFilter(e, injectEnv(c, env))
+    case AExtend(c, v, e) => AExtend(injectEnv(c, env), v, e)
+    case ALeftJoin(l, r, e) => ALeftJoin(injectEnv(l, env), r, e)
+    case AMinus(l, r) => AMinus(injectEnv(l, env), r)
+    case AUnion(l, r) => AUnion(injectEnv(l, env), injectEnv(r, env))
+    case AJoin(l, r) => AJoin(injectEnv(l, env), r)
+    case other => AJoin(env, other)
   }
 
   /** OPTIONAL with filter: LeftJoin(Ω1, Ω2, expr). The SPARQL definition
@@ -1290,13 +1337,35 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     * and a join condition can't host it. */
   private def compileLeftJoinFilter(l: Sol, r: Sol, e: Expr): Sol =
     if (hasExists(e)) {
-      val joined = joinSols(l, r, "inner")
+      // EXISTS can't evaluate inside a join condition (it IS a join), so the
+      // Diff side keys on ROW IDENTITY instead: tag each L row, find the rows
+      // with a passing partner (compileFilter turns the EXISTS into semi/anti
+      // joins over the merged frame), and anti-join the tag set. Rebuilding
+      // the L-part from merged rows by value would be unsound: merge() takes
+      // the R value for an L-unbound shared var, and compat-matching L rows
+      // against merged rows can borrow a witness from a different L row whose
+      // bound vars made the filter pass (r11: opt-exists-filter-01 caught the
+      // old condOverJoined Diff erroring EXISTS to null → every L row kept).
+      // The tagged frame is persisted: monotonically_increasing_id must be
+      // computed ONCE — a branch recompute after a shuffle may renumber.
+      val idc = "__ljid_" + freshId()
+      // registered as an IdRep var (a long column IS an id-space column):
+      // joinSols's output projection keeps only rep/companion columns, so a
+      // bare extra column would be pruned at the first join
+      val lt = l.copy(
+        df = graft.pipeline.ScratchCache.persist(
+          l.df.withColumn(idc, monotonically_increasing_id())),
+        reps = l.reps + (idc -> IdRep), certain = l.certain + idc)
+      val joined = joinSols(lt, r, "inner")
       val matched = compileFilter(e, joined)
-      // Diff: keep L rows with NO compatible R row passing expr
-      val anti = joinSols(l, r, "left_anti", extraFilter = Some { (ls, rs) =>
-        condOverJoined(ls, rs, e)
-      })
-      unionSols(matched, anti)
+      val diffDf = lt.df
+        .join(matched.df.select(col(bt(idc))), Seq(idc), "left_anti")
+        .drop(idc)
+      val matchedClean = matched.copy(df = matched.df.drop(idc),
+        reps = matched.reps - idc, certain = matched.certain - idc,
+        inl = matched.inl - idc, numAll = matched.numAll - idc,
+        fam = matched.fam - idc, multOne = matched.multOne - idc)
+      unionSols(matchedClean, l.copy(df = diffDf))
     } else
       joinSols(l, r, "left_outer", extraFilter = Some { (ls, rs) =>
         condOverJoined(ls, rs, e)
@@ -1721,7 +1790,12 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         c.as(s"__agg_out_${i}_0")
       }
       phase1.groupBy(gks: _*).agg(mergeCols.head, mergeCols.tail: _*)
-    } else if (keyCols.isEmpty) pre.groupBy().agg(aggCols.head, aggCols.tail: _*)
+    } else if (aggCols.isEmpty)
+      // GROUP BY with no aggregates (SELECT of group keys only): one row per
+      // distinct key tuple — Dataset.agg demands ≥1 aggregate, dropDuplicates
+      // IS the group-keys projection (nulls group together, like groupBy)
+      pre.dropDuplicates()
+    else if (keyCols.isEmpty) pre.groupBy().agg(aggCols.head, aggCols.tail: _*)
       else pre.groupBy(gks: _*).agg(aggCols.head, aggCols.tail: _*)
 
     // wrap raw aggregate outputs into term views — batched into one
@@ -2012,6 +2086,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   }
 
   private var pathCounter = 0
+  /** Compiled-relation splices for [[AEnv]] (EXISTS correlation); keyed by
+    * freshId, registered for the duration of one compileExistsPattern call. */
+  private val envRegistry = scala.collection.mutable.Map.empty[Int, Sol]
   private def freshId(): Int = { pathCounter += 1; pathCounter }
 
   /** Edge pairs (__ca, __cb) for an inner path, as a 2-column DataFrame of

@@ -97,6 +97,7 @@ object Rewriter {
     case AWindow(c, fns) => AWindow(pass(c), fns)
     case t: ATable => t
     case AService(ep, c, s) => AService(ep, pass(c), s)
+    case e: AEnv => e // compiler-internal splice; opaque to rewriting
   }
   // scalastyle:on
 

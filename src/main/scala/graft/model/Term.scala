@@ -42,7 +42,16 @@ object Term {
   def langStr(s: String, lang: String): Lit = Lit(s, rdfLangString, lang.toLowerCase)
   def int(v: Long): Lit = Lit(v.toString, xsdInteger, null)
   def dbl(v: Double): Lit = Lit(fmtDouble(v), xsdDouble, null)
-  def dec(v: BigDecimal): Lit = Lit(v.bigDecimal.toPlainString, xsdDecimal, null)
+  /** Canonical xsd:decimal lexical form — trailing fraction zeros stripped,
+    * bare integral values without a point ("2.50"→"2.5", "13.0"→"13").
+    * Must match [[graft.engine.NativeExpr]]'s `canonDec` exactly: the r11
+    * whole-engine differential caught the interpreter emitting "2.50" where
+    * the compiled cast (and the W3C cast suite) canonicalizes. */
+  def dec(v: BigDecimal): Lit = {
+    val s = v.bigDecimal.stripTrailingZeros
+    val norm = if (s.scale < 0) s.setScale(0) else s
+    Lit(norm.toPlainString, xsdDecimal, null)
+  }
   def bool(v: Boolean): Lit = Lit(if (v) "true" else "false", xsdBoolean, null)
   def date(epochDay: Long): Lit =
     Lit(java.time.LocalDate.ofEpochDay(epochDay).toString, xsdDate, null)

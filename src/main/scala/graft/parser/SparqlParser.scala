@@ -182,7 +182,8 @@ final class SparqlParser(input: String) {
     while (p < input.length && input(p).isDigit) { p += 1; digits = true }
     var isDec = false; var isDbl = false
     if (p < input.length && input(p) == '.' && p + 1 < input.length && input(p + 1).isDigit) {
-      isDec = true; p += 1
+      // DECIMAL ::= [0-9]* '.' [0-9]+ — the integer part may be empty (".5")
+      isDec = true; digits = true; p += 1
       while (p < input.length && input(p).isDigit) p += 1
     }
     if (digits && p < input.length && (input(p) == 'e' || input(p) == 'E')) {
@@ -396,6 +397,9 @@ final class SparqlParser(input: String) {
         if (!(pos < input.length && (input(pos) == '?' || input(pos) == '$' || input(pos) == '('))) go = false
       }
       if (items.isEmpty) fail("empty SELECT list")
+      // a variable may be assigned/selected at most once in one SELECT clause
+      val dup = items.map(_._1).diff(items.map(_._1).distinct).headOption
+      for (d <- dup) fail(s"variable ?$d appears more than once in SELECT")
     }
     val (dsDefaults, dsNamed) = parseDatasetClauses()
     if (peekKw("WHERE")) eatKw("WHERE")
@@ -446,6 +450,30 @@ final class SparqlParser(input: String) {
     val rewrittenHaving = having.map(rewriteAggs)
 
     val usesAggs = aggSpecs.nonEmpty || hasGroupBy
+    if (usesAggs) {
+      // SPARQL 1.1 §18.2.4.1: in an aggregate query, only group keys and
+      // aggregate results may be projected — SELECT * is therefore invalid,
+      // a bare variable must be a GROUP BY key, and variables inside select
+      // expressions must be keys, aggregate placeholders, or earlier aliases
+      if (star) fail("SELECT * cannot be combined with GROUP BY / aggregates")
+      var allowed = groupKeys.toSet
+      def checkGrouped(e: Expr, where: String): Unit = e match {
+        case EVar(n) if !allowed.contains(n) && !n.startsWith("__agg") =>
+          fail(s"variable ?$n in $where is neither grouped nor aggregated")
+        case ECall(_, args) => args.foreach(checkGrouped(_, where))
+        case _ => ()
+      }
+      for ((v, eo) <- rewrittenItems) {
+        eo match {
+          case None =>
+            if (!allowed.contains(v))
+              fail(s"variable ?$v is projected but neither grouped nor aggregated")
+          case Some(e) => checkGrouped(e, "SELECT expression")
+        }
+        allowed += v
+      }
+      rewrittenHaving.foreach(checkGrouped(_, "HAVING"))
+    }
     if (usesAggs) {
       for ((v, e) <- groupExtends) g = AExtend(g, v, e)
       g = AGroup(g, groupKeys.toSeq, aggSpecs.toSeq)
@@ -577,6 +605,10 @@ final class SparqlParser(input: String) {
         val v = parseVar()
         expectCh(')')
         val lhs = g.getOrElse(ATable(Seq.empty, Seq(Seq.empty)))
+        // grammar note 12 (SPARQL 1.1 §19.8): the BIND target must not be
+        // in scope in the group at this point
+        if (Algebra.inscope(lhs).contains(v))
+          fail(s"BIND would rebind in-scope variable ?$v")
         g = Some(AExtend(lhs, v, e))
       }
       else if (eatKw("VALUES")) add(parseValues())
@@ -632,6 +664,8 @@ final class SparqlParser(input: String) {
         val row = scala.collection.mutable.ListBuffer[Option[Term]]()
         while (!peekCh(')')) row += parseDataValue()
         expectCh(')')
+        if (row.size != vars.size)
+          fail(s"VALUES row has ${row.size} values for ${vars.size} variables")
         rows += row.toSeq
       }
       expectCh('}')

@@ -87,6 +87,101 @@ object W3CRunner {
     }
   }
 
+  /** The differential's second engine: build the [[RefInterp.Dataset]] for a
+    * test case (same file→graph conventions as [[buildDataset]]). */
+  private def interpDataset(tc: TestCase): RefInterp.Dataset = {
+    val defG: Term = Iri("urn:g:w3c-default")
+    val quads: Seq[(Term, Term, Term, Term)] =
+      tc.data.toSeq.flatMap(f => RdfIO.parseTurtle(read(f)).map {
+        case (s, p, o) => (s, p, o, defG) }) ++
+      tc.graphData.flatMap(f => RdfIO.parseTurtle(read(f)).map {
+        case (s, p, o) => (s, p, o, Iri(f.toURI.toString): Term) })
+    val ds = RefInterp.Dataset.fromQuads(quads,
+      if (tc.graphData.isEmpty) quads.map(_._4).toSet else Set(defG))
+    if (tc.graphData.isEmpty) ds // store default: every graph default AND named
+    else ds.copy(namedNames = Some(tc.graphData.map(f => Iri(f.toURI.toString): Term).toSet))
+  }
+
+  /** Whole-engine differential (the reference's two-evaluator device,
+    * SPARQLTestSuite.swift:19-20): run [[RefInterp]] on the same test and
+    * compare against the Spark engine's rows — multiset modulo blank-node
+    * bijection for SELECT, boolean for ASK, graph isomorphism for CONSTRUCT.
+    * None = agreement (or an out-of-scope query shape); Some = divergence. */
+  private def diffInterp(tc: TestCase, pq: graft.parser.ParsedQuery,
+      ctx: graft.engine.ExprEval.Ctx, service: Option[graft.engine.ServiceClient],
+      engineRows: => Seq[Map[String, Term]], engineAsk: => Option[Boolean],
+      engineQuads: => Option[Seq[(Term, Term, Term)]],
+      lax: Boolean): Option[String] = {
+    def nondet(a: graft.algebra.Algebra): Boolean = {
+      import graft.algebra._
+      def exprs(x: Algebra): Seq[Expr] = x match {
+        case AFilter(e, c) => e +: exprs(c)
+        case AExtend(c, _, e) => e +: exprs(c)
+        case ALeftJoin(l, r, e) => e.toSeq ++ exprs(l) ++ exprs(r)
+        case AOrderBy(c, ks) => ks.map(_.e) ++ exprs(c)
+        case AGroup(c, _, as) => as.flatMap(_.e) ++ exprs(c)
+        case AWindow(c, fs) => fs.flatMap(_.e) ++ exprs(c)
+        case AJoin(l, r) => exprs(l) ++ exprs(r)
+        case AUnion(l, r) => exprs(l) ++ exprs(r)
+        case AMinus(l, r) => exprs(l) ++ exprs(r)
+        case AProject(c, _) => exprs(c)
+        case ADistinct(c) => exprs(c)
+        case AReduced(c) => exprs(c)
+        case ASlice(c, _, _) => exprs(c)
+        case AService(_, c, _) => exprs(c)
+        case _ => Seq.empty
+      }
+      exprs(a).exists(e => Expr.nondeterministic(e) || Expr.hasBnode(e))
+    }
+    // an unordered LIMIT legitimately picks different subsets per engine
+    def unstableSlice(a: graft.algebra.Algebra): Boolean = a match {
+      case graft.algebra.ASlice(c, _, lim) => lim >= 0 && !stableUnder(c)
+      case graft.algebra.AProject(c, _) => unstableSlice(c)
+      case graft.algebra.ADistinct(c) => unstableSlice(c)
+      case graft.algebra.AReduced(c) => unstableSlice(c)
+      case _ => false
+    }
+    def stableUnder(a: graft.algebra.Algebra): Boolean = a match {
+      case graft.algebra.AOrderBy(_, _) => true
+      case graft.algebra.AProject(c, _) => stableUnder(c)
+      case graft.algebra.ADistinct(c) => stableUnder(c)
+      case graft.algebra.AReduced(c) => stableUnder(c)
+      case _ => false
+    }
+    if (nondet(pq.algebra) || unstableSlice(pq.algebra)) return None
+    // REDUCED legally returns ANY multiplicity between DISTINCT and the full
+    // bag — the two engines may disagree on cardinality even when the
+    // manifest (comparing against one concrete engine output) is not lax
+    def hasReduced(a: graft.algebra.Algebra): Boolean =
+      a.productIterator.exists {
+        case graft.algebra.AReduced(_) => true
+        case c: graft.algebra.Algebra => hasReduced(c)
+        case _ => false
+      } || a.isInstanceOf[graft.algebra.AReduced]
+    val laxAll = lax || hasReduced(pq.algebra)
+    val ds = interpDataset(tc)
+    try pq.form match {
+      case "ask" =>
+        val got = RefInterp.ask(pq, ds, ctx, service)
+        engineAsk.flatMap(e => if (e == got) None
+          else Some(s"${tc.name}: DIFF ask engine=$e interp=$got"))
+      case "construct" =>
+        val got = RefInterp.construct(pq, ds, ctx, service).toSeq
+        engineQuads.flatMap(e =>
+          if (Isomorphism.isomorphic(e, got)) None
+          else Some(s"${tc.name}: DIFF construct graphs differ\n  engine: " +
+            s"${e.sortBy(_.toString).mkString("; ")}\n  interp: ${got.sortBy(_.toString).mkString("; ")}"))
+      case "select" =>
+        val got = RefInterp.select(pq, ds, ctx, service)
+        val (a, b) = if (laxAll) (engineRows.distinct, got.distinct) else (engineRows, got)
+        if (Isomorphism.solutionsEqual(a, b)) None
+        else Some(s"${tc.name}: DIFF select engine≠interp\n  engine: ${fmt(a)}\n  interp: ${fmt(b)}")
+      case _ => None // describe: result set is store-dependent; out of diff scope
+    } catch {
+      case _: UnsupportedOperationException => None // declared out-of-scope shape
+    }
+  }
+
   /** Run one test; None = pass, Some(message) = failure. */
   def run(spark: SparkSession, tc: TestCase): Option[String] = {
     if (tc.kind == "syntax-pos")
@@ -102,16 +197,23 @@ object W3CRunner {
     // <urn:svc:self> federates back to the test dataset itself — lets
     // manifests exercise SERVICE without a network endpoint (the service
     // area; other areas never reference the endpoint, so this is inert)
-    val eng = new GraftEngine(store, serviceClient = Some(
-      new graft.engine.LocalServiceClient(Map("urn:svc:self" -> store))))
+    val svc: Option[graft.engine.ServiceClient] = Some(
+      new graft.engine.LocalServiceClient(Map("urn:svc:self" -> store)))
+    val eng = new GraftEngine(store, serviceClient = svc)
     val queryText = read(tc.query)
+    val pq = graft.parser.SparqlParser.parse(queryText)
+    def diff(rows: => Seq[Map[String, Term]], askB: => Option[Boolean],
+        quads: => Option[Seq[(Term, Term, Term)]]): Option[String] =
+      diffInterp(tc, pq, eng.compiler.ctx, svc, rows, askB, quads,
+        tc.laxCardinality)
     val resultFile = tc.result.get
     if (resultFile.getName.endsWith(".ttl")) { // CONSTRUCT: graph isomorphism
       val got: Seq[(Term, Term, Term)] = eng.constructQuads(queryText)
         .collect().toSeq.map(r => (TermRow.fromRow(r.getStruct(0)),
           TermRow.fromRow(r.getStruct(1)), TermRow.fromRow(r.getStruct(2))))
       val want = RdfIO.parseTurtle(read(resultFile))
-      return if (Isomorphism.isomorphic(got, want)) None
+      return if (Isomorphism.isomorphic(got, want))
+        diff(Seq.empty, None, Some(got))
       else Some(s"${tc.name}: graphs differ\n  got:  ${got.sortBy(_.toString).mkString("; ")}\n" +
         s"  want: ${want.sortBy(_.toString).mkString("; ")}")
     }
@@ -124,14 +226,16 @@ object W3CRunner {
       // it back, compare against the parsed expectation as solution multisets)
       val (_, expRows) = SparqlResults.parseTsv(expectedText)
       val (_, gotRows) = SparqlResults.parseTsv(SparqlResults.toTsv(df))
-      return if (Isomorphism.solutionsEqual(gotRows, expRows)) None
+      return if (Isomorphism.solutionsEqual(gotRows, expRows))
+        diff(gotRows, None, None)
       else Some(s"${tc.name}: TSV results differ\n  got:  ${fmt(gotRows)}\n" +
         s"  want: ${fmt(expRows)}")
     }
     if (expectedText.contains("<boolean>")) { // ASK
       val want = expectedText.contains("<boolean>true</boolean>")
       val got = df.collect().head.getBoolean(0)
-      if (got == want) None else Some(s"${tc.name}: ASK got $got, want $want")
+      if (got == want) diff(Seq.empty, Some(got), None)
+      else Some(s"${tc.name}: ASK got $got, want $want")
     } else {
       val (_, expRows) = SparqlResults.parseXml(expectedText)
       val cols = df.columns
@@ -152,13 +256,13 @@ object W3CRunner {
         case graft.algebra.AProject(c, _) => topOrdered(c)
         case _ => false
       }
-      val ordered = topOrdered(graft.parser.SparqlParser.parse(queryText).algebra)
+      val ordered = topOrdered(pq.algebra)
       val ok =
         if (tc.laxCardinality) // REDUCED: any multiplicity, same solution set
           Isomorphism.solutionsEqual(gotRows.distinct, expRows.distinct)
         else if (ordered) gotRows == expRows // sort tests are authored bnode-free
         else Isomorphism.solutionsEqual(gotRows, expRows)
-      if (ok) None
+      if (ok) diff(gotRows, None, None)
       else Some(s"${tc.name}: results differ (${if (ordered) "ordered" else "multiset"})\n" +
         s"  got:  ${fmt(gotRows)}\n  want: ${fmt(expRows)}")
     }

@@ -107,8 +107,8 @@ class W3CSpec extends AnyFunSuite {
       "algebra", "expr-builtin", "csv-tsv-res", "basic", "dataset", "distinct", "service",
       "expr-ops", "reduced", "expr-edge", "aggregates-edge")
     val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
-    assert(cases.size == 246, s"expected 246 vendored tests, found ${cases.size}")
+    assert(cases.size == 315, s"expected 315 vendored tests, found ${cases.size}")
     val syntax = cases.count(_.kind != "eval")
-    assert(syntax == 22, s"expected 22 syntax (parse-only) tests, found $syntax")
+    assert(syntax == 38, s"expected 38 syntax (parse-only) tests, found $syntax")
   }
 }

@@ -93,7 +93,7 @@ object StreamOps {
     * near-dup at or above `threshold`. */
   def nearDupStream(docsStream: DataFrame, corpus: DataFrame,
       k: Int = 64, bands: Int = 16, shingleW: Int = 3,
-      threshold: Double = 0.5, seed: Long = 42): DataFrame = {
+      threshold: Double = 0.5, seed: Long = 42, salts: Int = 8): DataFrame = {
     import graft.pipeline.Dedup
     import graft.functions.MinHashSig
     val rowsPerBand = k / bands
@@ -116,7 +116,16 @@ object StreamOps {
       banded(corpus)
         .withColumnRenamed("doc_id", "match_id").withColumnRenamed("hs", "mhs"))
     corp.count()
-    banded(docsStream).join(corp, Seq("band", "bs"))
+    // SALTED band join (Skew.saltedJoin): a boilerplate-heavy band bucket —
+    // one (band, bs) value owned by thousands of near-identical docs — would
+    // concentrate a micro-batch's rows on one reducer, and this is the one
+    // production hot shape AQE cannot re-plan (streaming plans are fixed per
+    // micro-batch; no runtime skew split). The stream side spreads over
+    // `salts` sub-keys via the deterministic content salt (retry-safe), the
+    // static band table replicates salts× — bounded, it is persisted once
+    // and |corp|·salts rows only shuffle, never recompute.
+    graft.pipeline.Skew.saltedJoin(banded(docsStream), corp,
+      Seq("band", "bs"), salts, "inner")
       .filter(col("doc_id") =!= col("match_id"))
       .select(col("doc_id"), col("match_id"),
         graft.functions.SortedIntersectSize(col("hs"), col("mhs")).as("inter"),

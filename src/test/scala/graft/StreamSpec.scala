@@ -126,8 +126,14 @@ class StreamSpec extends AnyFunSuite {
     val dir = "/tmp/graft_stream/neardup"
     streamRows.write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
-    val flagged = StreamOps.runToMemory(
-      StreamOps.nearDupStream(spark.readStream.schema(schema).parquet(dir), corpus),
+    val plan = StreamOps.nearDupStream(
+      spark.readStream.schema(schema).parquet(dir), corpus)
+    // the band join must be SALTED (Skew.saltedJoin): the analyzed plan
+    // carries the salt key — AQE cannot re-plan a skewed streaming join, so
+    // a hot band bucket relies on this pre-spread
+    assert(plan.queryExecution.analyzed.toString.contains("__graft_salt"),
+      "stream-static near-dup band join must carry the salt key")
+    val flagged = StreamOps.runToMemory(plan,
       "stream_neardup", OutputMode.Append)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(flagged == Set((100L, 1L)), s"got $flagged")

@@ -121,19 +121,30 @@ object Results {
         sol0.certain intersect tvars.toSet, Set.empty,
         sol0.inl intersect tvars.toSet, Set.empty)
       var sol = deduped
-      def colOf(n: Node): Column = n match {
-        case T(BNode(b)) => concat(lit(b + "_r"), col("__cbrow"))
-        case T(t) => lit(t.lex)
+      // (lexical form, term kind): the kind drives RDF triple validity —
+      // a literal subject or non-IRI predicate instantiation is dropped,
+      // not emitted (SPARQL 1.1 §16.2: invalid RDF triples are excluded)
+      def colOf(n: Node): (Column, Column) = n match {
+        case T(BNode(b)) =>
+          (concat(lit(b + "_r"), col("__cbrow")), lit(TermRow.KIND_BLANK))
+        case T(t) => (lit(t.lex), lit(t match {
+          case _: Iri => TermRow.KIND_IRI
+          case _: BNode => TermRow.KIND_BLANK
+          case _ => TermRow.KIND_LITERAL
+        }))
         case V(v) if sol.reps.contains(v) =>
           val (s2, vc) = c.withView(sol, v)
           sol = s2
-          vc.getField("lex")
-        case _ => lit(null).cast(StringType)
+          (vc.getField("lex"), vc.getField("kind"))
+        case _ => (lit(null).cast(StringType), lit(null).cast(IntegerType))
       }
-      val (cs, cp, co) = (colOf(s), colOf(p), colOf(o))
-      sol.df.select(cs.as("subject"), cp.as("predicate"), co.as("object"))
+      val ((cs, ks), (cp, kp), (co, ko)) = (colOf(s), colOf(p), colOf(o))
+      sol.df.select(cs.as("subject"), cp.as("predicate"), co.as("object"),
+          ks.as("__ks"), kp.as("__kp"))
         .filter(col("subject").isNotNull && col("predicate").isNotNull &&
-          col("object").isNotNull)
+          col("object").isNotNull &&
+          col("__ks") =!= TermRow.KIND_LITERAL && col("__kp") === TermRow.KIND_IRI)
+        .drop("__ks", "__kp")
     }
     dfs.reduce(_ unionByName _).dropDuplicates()
   }
@@ -174,7 +185,11 @@ object Results {
       }
       val (cs, cp, co) = (colOf(s), colOf(p), colOf(o))
       sol.df.select(cs.as("s"), cp.as("p"), co.as("o"))
-        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull &&
+          // RDF triple validity (SPARQL 1.1 §16.2): drop literal subjects
+          // and non-IRI predicates rather than emit invalid RDF
+          col("s").getField("kind") =!= TermRow.KIND_LITERAL &&
+          col("p").getField("kind") === TermRow.KIND_IRI)
     }
     dfs.reduce(_ unionByName _).dropDuplicates()
   }

@@ -171,6 +171,30 @@ class NativeExprSpec extends AnyFunSuite {
       "xsd:string", "xsd:datetime", "xsd:date").foreach(f => check(f, c1(f)))
   }
 
+  test("decimal cast canonical lexical forms agree EXACTLY (trailing zeros)") {
+    // the r11 whole-engine differential caught Term.dec keeping "2.50" where
+    // the native cast canonicalizes to "2.5" — the value-tolerant `agree`
+    // above masks this class, so pin the LEXICAL form here
+    val inputs = Seq(
+      Lit("2.50", Term.xsdDecimal, null), Lit("13.0", Term.xsdDecimal, null),
+      Lit("0.00", Term.xsdDecimal, null), Lit("2.50", Term.xsdString, null),
+      Lit("-04.10", Term.xsdString, null), Lit("7", Term.xsdInteger, null))
+    val expect = Seq("2.5", "13", "0", "2.5", "-4.1", "7")
+    val schema = StructType(Seq(StructField("a", TermRow.schema)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(inputs.map(t => Row(TermRow.toRow(t))), 1), schema)
+    val e = ECall("xsd:decimal", Seq(EVar("a")))
+    val native = NativeExpr.termColumn(e, Map("a" -> col("a")).get, ctx.nowEpochUs).get
+    val got = native.applyTo(df).select(native.result.as("out")).collect()
+      .map(r => TV.toTerm(r.getStruct(0)).asInstanceOf[Lit].lexForm).toSeq
+    inputs.zip(expect).zip(got).foreach { case ((in, want), g) =>
+      val interp = ExprEval.eval(e, { case "a" => in; case _ => null }, ctx)
+        .asInstanceOf[Lit].lexForm
+      assert(interp == want, s"interp($in) = $interp, want $want")
+      assert(g == want, s"native($in) = $g, want $want")
+    }
+  }
+
   test("constructors match interpreter") {
     check("strdt", c1("strdt", EConst(Iri(Term.xsdInteger))))
     check("strlang", c1("strlang", EConst(Term.str("EN"))))

@@ -286,4 +286,42 @@ object TextStats {
     }
     docs(spark, dir).select(col("doc_id"), fp(col("text")).as("fingerprint"))
   }
+
+  /** PII regexes shared with the DuckDB oracle — RE2∩Java-regex-safe subset
+    * only (character classes, bounded quantifiers, \b): no lookaround, no
+    * backreferences, so both engines match identically. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhone = "\\+\\d{7,12}"
+
+  /** PII detection + redaction — the training-data scrubbing pass every
+    * corpus pipeline runs before release (emails / IPv4s / international
+    * phone numbers → typed placeholders), as a single map-side projection:
+    * per-document match counts plus the redacted text. Entirely
+    * codegen-friendly (`regexp_count`/`regexp_replace` built-ins — no UDF),
+    * shuffles nothing, and scales embarrassingly: at 100 TB this is one scan.
+    *
+    * The synthetic corpus carries no PII, so the battery derives a
+    * deterministic PII-bearing string from (doc_id, text) IDENTICALLY on
+    * both engines and scrubs that — the operator under test is the
+    * redaction, not the corpus. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val s = concat(
+      lit("contact u"), col("doc_id"), lit("@ex"), pmod(col("doc_id"), lit(7)),
+      lit(".com or +1415"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" at 192.168."), pmod(col("doc_id"), lit(256)), lit("."),
+      pmod(col("doc_id") * 7, lit(256)), lit(" "),
+      substring(col("text"), 1, 40))
+    docs(spark, dir).select(col("doc_id"), s.as("s"))
+      .select(col("doc_id"),
+        regexp_count(col("s"), lit(PiiEmail)).as("n_email"),
+        regexp_count(col("s"), lit(PiiIp)).as("n_ip"),
+        regexp_count(col("s"), lit(PiiPhone)).as("n_phone"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("s"), PiiEmail, "<EMAIL>"),
+            PiiIp, "<IP>"),
+          PiiPhone, "<PHONE>").as("redacted"))
+  }
 }

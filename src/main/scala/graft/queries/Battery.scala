@@ -1490,6 +1490,25 @@ object Battery {
         "(h, c) -> (h * 1000003 + c) % 2305843009213693951) AS BIGINT) " +
         "AS fingerprint FROM documents")),
 
+    ("text_pii_redact", // PII scrub (emails/IPv4/phones → placeholders):
+      // the synthetic corpus carries no PII, so both engines derive the
+      // same deterministic PII-bearing string from (doc_id, text) and the
+      // operator under test is the regex detection + redaction itself
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.piiRedact(s, d),
+      Some("WITH t AS (SELECT doc_id, " +
+        "'contact u' || doc_id || '@ex' || (doc_id % 7) || '.com or +1415' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+        "' at 192.168.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || ' ' || " +
+        "substr(text, 1, 40) AS s FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email, " +
+        "CAST(len(regexp_extract_all(s, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip, " +
+        "CAST(len(regexp_extract_all(s, '\\+\\d{7,12}')) AS INT) AS n_phone, " +
+        "regexp_replace(regexp_replace(regexp_replace(s, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+        "'\\+\\d{7,12}', '<PHONE>', 'g') AS redacted FROM t")),
+
     // ---- event-stream analytics (batch shapes; streaming in graft.streaming) ----
     ("ev_funnel", // ordered view→click→purchase funnel per user: staged mins
       // (first view, first click after it, first purchase after that)

@@ -471,6 +471,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 exchange, plan:\n${plan.take(3000)}")
   }
 
+  test("pii redaction: emails/ips/phones replaced with typed placeholders") {
+    val r = TextStats.piiRedact(spark, sf).collect()
+    assert(r.length == 500)
+    r.foreach { row =>
+      val red = row.getString(4)
+      // every derived doc carries exactly one of each PII kind; all scrubbed
+      assert(row.getInt(1) == 1 && row.getInt(2) == 1 && row.getInt(3) == 1,
+        s"counts off for ${row.getLong(0)}: $row")
+      assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<PHONE>"))
+      assert(!red.matches(".*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*"),
+        s"unredacted email survives: $red")
+      assert(!red.matches(".*\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}.*"),
+        s"unredacted ip survives: $red")
+    }
+  }
+
   test("tf-idf: corpus-wide token is never a top term, distinctive token is") {
     import spark.implicits._
     // 'common' appears in every doc (idf = ln(1) = 0); each doc has one

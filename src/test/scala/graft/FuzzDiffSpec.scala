@@ -1,0 +1,210 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.algebra._
+import graft.model._
+import graft.store._
+import graft.engine._
+import graft.testkit.{Isomorphism, RefInterp}
+
+/** Property-based whole-engine differential: random small algebra trees over
+  * random tiny datasets, Spark engine vs [[RefInterp]] — the reference's
+  * two-evaluator cross-check (SPARQLTestSuite.swift:19-20) generalized from a
+  * fixed corpus to generated shapes. Fixed seed → deterministic CI; every
+  * failure message carries the (dataset, algebra) pair for replay.
+  *
+  * Generation is restricted to shapes where the two evaluation strategies
+  * are REQUIRED to agree: no RAND/NOW/BNODE, no unordered LIMIT, no REDUCED
+  * (cardinality latitude). Everything else — joins over possibly-unbound
+  * vars, OPTIONAL with filters, MINUS domain corners, nested and correlated
+  * (NOT) EXISTS, property paths incl. closures and NPS, grouped aggregates,
+  * arithmetic/comparison errors-as-unbound — is fair game.
+  */
+class FuzzDiffSpec extends AnyFunSuite {
+  lazy val spark = SparkBase.spark
+  private val ctx = ExprEval.Ctx(nowEpochUs = 1700000000000000L)
+
+  private val NDatasets = 10
+  private val QueriesPer = 12
+
+  private val iris = (0 until 6).map(i => Iri(s"http://f.ex/i$i"))
+  private val preds = (0 until 4).map(i => s"http://f.ex/p$i")
+  private val lits: IndexedSeq[Term] =
+    IndexedSeq(Term.str("a"), Term.str("b"), Term.int(1), Term.int(2), Term.int(3))
+  private val g: Term = Iri("http://f.ex/g")
+
+  private final class Gen(seed: Long) {
+    val rnd = new scala.util.Random(seed)
+    def pick[A](xs: IndexedSeq[A]): A = xs(rnd.nextInt(xs.length))
+    def chance(p: Double): Boolean = rnd.nextDouble() < p
+
+    def triples(): Seq[(Term, Term, Term)] =
+      Seq.fill(15 + rnd.nextInt(26)) { // dense: joins/paths usually match
+        (pick(iris), Iri(pick(preds.toIndexedSeq)),
+          if (chance(0.6)) pick(iris) else pick(lits))
+      }
+
+    private var vn = 0
+    def freshVar(): String = { vn += 1; s"v$vn" }
+    def someVar(scope: Seq[String]): String =
+      if (scope.nonEmpty && chance(0.8)) pick(scope.toIndexedSeq) else freshVar()
+
+    def node(scope: Seq[String], allowLit: Boolean): Node =
+      if (chance(0.7)) V(someVar(scope))
+      else if (allowLit && chance(0.4)) T(pick(lits))
+      else T(pick(iris))
+
+    def bgp(scope: Seq[String]): BGP = {
+      var sc = scope
+      BGP(Seq.fill(1 + rnd.nextInt(3)) {
+        val s = node(sc, allowLit = false)
+        val p: Node = if (chance(0.15)) V(someVar(sc)) else N.iri(pick(preds.toIndexedSeq))
+        val o = node(sc, allowLit = true)
+        sc = (sc ++ Seq(s, p, o).collect { case V(n) => n }).distinct
+        QuadPattern(s, p, o)
+      })
+    }
+
+    def path(): PathE = {
+      def leaf(): PathE =
+        if (chance(0.85)) PLink(pick(preds.toIndexedSeq))
+        else PNeg(Seq(pick(preds.toIndexedSeq)),
+          if (chance(0.5)) Seq(pick(preds.toIndexedSeq)) else Nil)
+      def p(depth: Int): PathE =
+        if (depth == 0) leaf()
+        else rnd.nextInt(6) match {
+          case 0 => PSeq(p(depth - 1), p(depth - 1))
+          case 1 => PAlt(p(depth - 1), p(depth - 1))
+          case 2 => PInv(p(depth - 1))
+          case 3 => PPlus(leaf())
+          case 4 => PStar(leaf())
+          case 5 => PZeroOne(p(depth - 1))
+        }
+      p(1 + rnd.nextInt(2))
+    }
+
+    def expr(scope: Seq[String], depth: Int): Expr =
+      if (depth == 0 || scope.isEmpty)
+        if (scope.nonEmpty && chance(0.5)) EVar(pick(scope.toIndexedSeq))
+        else EConst(pick(lits))
+      else rnd.nextInt(8) match {
+        case 0 | 1 => // bias to comparisons that usually hold on this vocab
+          ECall(pick(IndexedSeq("!=", "!=", "<=", ">=", "=", "<")),
+            Seq(expr(scope, 0), expr(scope, 0)))
+        case 2 => ECall(pick(IndexedSeq("||", "||", "&&")),
+          Seq(expr(scope, depth - 1), expr(scope, depth - 1)))
+        case 3 => ECall("!", Seq(expr(scope, depth - 1)))
+        case 4 | 7 => ECall("bound", Seq(EVar(pick(scope.toIndexedSeq))))
+        case 5 => ECall(pick(IndexedSeq("+", "-", "*")),
+          Seq(expr(scope, 0), expr(scope, 0)))
+        case 6 => EExists(bgp(scope), negated = chance(0.5))
+      }
+
+    def alg(depth: Int): Algebra = {
+      if (depth == 0)
+        return if (chance(0.85)) bgp(Nil)
+        else APath(node(Nil, allowLit = false), path(), node(Nil, allowLit = true))
+      rnd.nextInt(10) match {
+        case 0 => AJoin(alg(depth - 1), alg(depth - 1))
+        case 1 => AUnion(alg(depth - 1), alg(depth - 1))
+        case 2 =>
+          val l = alg(depth - 1)
+          val e = if (chance(0.5))
+            Some(expr(Algebra.inscope(l).toSeq.sorted, 2)) else None
+          ALeftJoin(l, alg(depth - 1), e)
+        case 3 => AMinus(alg(depth - 1), alg(depth - 1))
+        case 4 =>
+          val c = alg(depth - 1)
+          AFilter(expr(Algebra.inscope(c).toSeq.sorted, 2), c)
+        case 5 => ADistinct(alg(depth - 1))
+        case 6 =>
+          val c = alg(depth - 1)
+          AExtend(c, freshVar(), expr(Algebra.inscope(c).toSeq.sorted, 1))
+        case 7 =>
+          val c = alg(depth - 1)
+          val in = Algebra.inscope(c).toSeq.sorted
+          if (in.isEmpty) c
+          else {
+            val keys = rnd.shuffle(in).take(1 + rnd.nextInt(2.min(in.length)))
+            val nAggs = rnd.nextInt(3)
+            val aggs = Seq.fill(nAggs) {
+              val fn = pick(IndexedSeq("count", "sum", "min", "max", "sample",
+                "group_concat"))
+              AggSpec(freshVar(), fn,
+                if (fn == "count" && chance(0.4)) None
+                else Some(EVar(pick(in.toIndexedSeq))),
+                distinct = chance(0.3))
+            }
+            AGroup(c, keys, aggs)
+          }
+        case 8 =>
+          val c = alg(depth - 1)
+          val in = Algebra.inscope(c).toSeq.sorted
+          if (in.isEmpty) c
+          else AProject(c, rnd.shuffle(in).take(1 + rnd.nextInt(in.length)))
+        case 9 => alg(depth - 1)
+      }
+    }
+  }
+
+  private def buildStore(triples: Seq[(Term, Term, Term)]): RdfStore = {
+    val schema = StructType(Seq("s", "p", "o", "g").map(n =>
+      StructField(n, TermRow.schema, nullable = true)))
+    val rows = triples.map { case (s, p, o) =>
+      Row(TermRow.toRow(s), TermRow.toRow(p), TermRow.toRow(o), TermRow.toRow(g)) }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    StoreEncoder.encode(df, IriScheme.default)
+  }
+
+  private def engineRows(comp: Compiler, alg: Algebra): Seq[Map[String, Term]] = {
+    val m = Results.materialize(comp, comp.compile(alg))
+    val cols = m.columns
+    m.collect().toSeq.map { r =>
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(i)) None
+        else Option(TermRow.fromRow(r.getStruct(i))).map(c -> _)
+      }.toMap
+    }
+  }
+
+  test("engine and reference interpreter agree on random algebra/dataset pairs") {
+    var checked = 0
+    var nonEmpty = 0
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    for (d <- 0 until NDatasets) {
+      val gen = new Gen(20260814L + d * 7919L)
+      val triples = gen.triples()
+      val store = buildStore(triples)
+      val comp = new Compiler(store, ctx)
+      val ds = RefInterp.Dataset.fromQuads(
+        triples.map(t => (t._1, t._2, t._3, g)), Set(g))
+      for (q <- 0 until QueriesPer) {
+        val a0 = gen.alg(2 + gen.rnd.nextInt(2))
+        val a = Rewriter.rewrite(a0)
+        val id = s"ds=$d q=$q"
+        try {
+          val eng = engineRows(comp, a)
+          val itp = RefInterp.eval(a, RefInterp.Env(ds, ctx, None))
+          if (!Isomorphism.solutionsEqual(eng, itp))
+            failures += s"$id DIVERGE\n  algebra: $a0\n  data: ${triples.mkString("; ")}\n" +
+              s"  engine(${eng.size}): ${eng.take(8).mkString(" | ")}\n" +
+              s"  interp(${itp.size}): ${itp.take(8).mkString(" | ")}"
+          checked += 1
+          if (eng.nonEmpty) nonEmpty += 1
+        } catch {
+          case e: Exception =>
+            failures += s"$id CRASH ${e.getClass.getSimpleName}: ${e.getMessage}\n" +
+              s"  algebra: $a0\n  data: ${triples.mkString("; ")}"
+        }
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} of $checked cases failed:\n" + failures.take(5).mkString("\n\n"))
+    assert(checked == NDatasets * QueriesPer)
+    // guard against generator degeneration: a meaningful share of random
+    // queries must return rows, or the differential is vacuous
+    assert(nonEmpty >= checked / 4, s"only $nonEmpty/$checked non-empty results")
+  }
+}

@@ -1065,7 +1065,29 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
 
     case AExtend(c, v, e) =>
       e match {
-        case EExists(p, neg) => existsFlag(compile(c), compile(p), v, neg)
+        case EExists(p, neg) => existsFlag(compile(c), p, v, neg)
+        case _ if Expr.hasExists(e) =>
+          // EXISTS nested inside a BIND expression (IF(EXISTS…), EXISTS||…):
+          // same flag-rewrite device as the general FILTER case — each
+          // EXISTS becomes a boolean flag var, the expression compiles over
+          // the flags, the flags are dropped after the extend
+          var s = compile(c)
+          val flags = scala.collection.mutable.ListBuffer[String]()
+          def repl(x: Expr): Expr = x match {
+            case EExists(p, neg) =>
+              val fv = "__exf_" + freshId()
+              s = existsFlag(s, p, fv, neg)
+              flags += fv
+              EVar(fv)
+            case ECall(fn, args) => ECall(fn, args.map(repl))
+            case other => other
+          }
+          val rewritten = repl(e)
+          val (s2, ec) = exprColumn(s, rewritten)
+          val extended = Sol(s2.df.withColumn(v, ec), s2.reps + (v -> TermRep),
+            s2.certain, s2.nums, s2.inl, s2.numAll, fam = s2.fam, card = s2.card,
+            decs = s2.decs, bucketS = s2.bucketS, multOne = s2.multOne)
+          stripVars(extended, flags.toSeq)
         case _ =>
           val sol = compile(c)
           fastNumChecked(sol, e) match {
@@ -1273,10 +1295,36 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       compileFilter(b, compileFilter(a, sol))
     case ECall("!", Seq(EExists(p, neg))) =>
       joinSols(sol, compileExistsPattern(sol, p), if (neg) "left_semi" else "left_anti")
+    case _ if Expr.hasExists(e) =>
+      // general shape — EXISTS under ||, a doubled !, a comparison: no join
+      // kind expresses it directly, and the expression evaluators reject raw
+      // EXISTS (the r11 self-review caught the old fallthrough erroring every
+      // row to false). Materialize each EXISTS node as a boolean flag var
+      // (the BIND(EXISTS) device, substitution semantics included), rewrite
+      // the expression over the flags, filter, then drop the flags.
+      var s = sol
+      val flags = scala.collection.mutable.ListBuffer[String]()
+      def repl(x: Expr): Expr = x match {
+        case EExists(p, neg) =>
+          val fv = "__exf_" + freshId()
+          s = existsFlag(s, p, fv, neg)
+          flags += fv
+          EVar(fv)
+        case ECall(fn, args) => ECall(fn, args.map(repl))
+        case other => other
+      }
+      val rewritten = repl(e)
+      stripVars(compileFilter(rewritten, s), flags.toSeq)
     case _ =>
       val (s2, c) = ebvColumn(sol, e)
       s2.copy(df = s2.df.filter(c === true))
   }
+
+  /** Remove hidden helper vars (EXISTS flags) from a Sol entirely. */
+  private def stripVars(sol: Sol, vs: Seq[String]): Sol =
+    vs.foldLeft(sol)((acc, v) => acc.copy(df = acc.df.drop(v),
+      reps = acc.reps - v, certain = acc.certain - v, inl = acc.inl - v,
+      numAll = acc.numAll - v, fam = acc.fam - v, multOne = acc.multOne - v))
 
   /** Compile an EXISTS pattern with SUBSTITUTION semantics (SPARQL 1.1
     * §18.6). The semi/anti join correlates the outer solution with the
@@ -1346,15 +1394,18 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       // against merged rows can borrow a witness from a different L row whose
       // bound vars made the filter pass (r11: opt-exists-filter-01 caught the
       // old condOverJoined Diff erroring EXISTS to null → every L row kept).
-      // The tagged frame is persisted: monotonically_increasing_id must be
-      // computed ONCE — a branch recompute after a shuffle may renumber.
+      // The tagged frame is localCheckpoint'd (lazy): monotonically_
+      // increasing_id must be computed ONCE — a branch recompute after a
+      // shuffle may renumber — and checkpoint blocks are reclaimed by the
+      // ContextCleaner when the plan is GC'd, where a CacheManager persist
+      // would accumulate for the life of an engine session.
       val idc = "__ljid_" + freshId()
       // registered as an IdRep var (a long column IS an id-space column):
       // joinSols's output projection keeps only rep/companion columns, so a
       // bare extra column would be pruned at the first join
       val lt = l.copy(
-        df = graft.pipeline.ScratchCache.persist(
-          l.df.withColumn(idc, monotonically_increasing_id())),
+        df = l.df.withColumn(idc, monotonically_increasing_id())
+          .localCheckpoint(false),
         reps = l.reps + (idc -> IdRep), certain = l.certain + idc)
       val joined = joinSols(lt, r, "inner")
       val matched = compileFilter(e, joined)
@@ -1457,39 +1508,47 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     }
   }
 
-  /** BIND(EXISTS{...} AS ?v): left join against the distinct pattern keys with a
-    * constant-true marker → boolean variable (reference ExistsPlan,
-    * MaterializedQueryPlan.swift:1617-1660, recast as a set-based join).
-    */
-  private def existsFlag(l: Sol, p: Sol, outVar: String, negated: Boolean): Sol = {
-    val shared = (l.vars intersect p.vars).toSeq.sorted
+  /** BIND(EXISTS{...} AS ?v): boolean variable from the pattern's
+    * per-row (non-)match (reference ExistsPlan,
+    * MaterializedQueryPlan.swift:1617-1660, recast as set-based joins).
+    *
+    * Takes the pattern ALGEBRA, not a compiled Sol: the pattern compiles
+    * through [[compileExistsPattern]], so substitution-semantics correlation
+    * (outer vars referenced only in nested scopes) applies here exactly as
+    * in FILTER EXISTS — and the membership test runs through [[joinSols]]'
+    * compatibility machinery, so a possibly-unbound shared var matches any
+    * pattern row (the r11 self-review caught the old strict `===` key join
+    * returning false where the evaluators' compat semantics say true). Row
+    * multiplicity is exact via the tagged-row device: semi-join the tagged
+    * outer against the pattern, then flag membership of the tag set. */
+  private def existsFlag(l: Sol, pat: Algebra, outVar: String, negated: Boolean): Sol = {
     val flag = "__ex_" + outVar
-    val pKeys0 = Sol(dropCompanions(p).df, p.reps, p.certain, Set.empty)
-    val keyCols = shared.map(v => col(bt(v)))
-    val marked =
-      if (shared.isEmpty) {
-        // no shared vars: the flag is the pattern's (non-)emptiness. Deferred
-        // into the plan as a broadcast 0/1-row marker joined to every row —
-        // compile() must not launch Spark jobs (callers may explain/discard)
-        val marker = broadcast(p.df.select(lit(true).as(flag)).limit(1))
-        val base = l.df.join(marker, lit(true), "left_outer")
-          .withColumns(Map(flag -> coalesce(col(bt(flag)), lit(false))))
-        return boolVarFromFlag(Sol(base, l.reps, l.certain, l.nums), flag, outVar, negated)
-      } else {
-        var pp = pKeys0; var ll = l
-        for (v <- shared if ll.reps(v) != pp.reps(v)) { ll = toTermRep(ll, v); pp = toTermRep(pp, v) }
-        val renamed0 = pp.df
-          .select(shared.map(v => col(bt(v)).as("__r_" + v)) :+ lit(true).as(flag): _*)
-          .dropDuplicates(shared.map("__r_" + _))
-        val renamed = // distinct key set ≤ pattern's statistics bound
-          if (p.card.exists(_ <= 200000L)) broadcast(renamed0) else renamed0
-        val cond = shared.map(v => col(bt(v)) === col(bt("__r_" + v))).reduce(_ && _)
-        val joined = ll.df.join(renamed, cond, "left_outer")
-          .withColumn(flag, coalesce(col(bt(flag)), lit(false)))
-          .drop(shared.map("__r_" + _): _*)
-        Sol(joined, ll.reps, ll.certain, ll.nums, ll.inl, ll.numAll)
-      }
-    boolVarFromFlag(marked, flag, outVar, negated)
+    if ((Algebra.deepVars(pat) intersect l.vars.toSet).isEmpty) {
+      // fully uncorrelated: the flag is the pattern's (non-)emptiness.
+      // Deferred into the plan as a broadcast 0/1-row marker joined to every
+      // row — compile() must not launch Spark jobs (callers may explain)
+      val marker = broadcast(compile(pat).df.select(lit(true).as(flag)).limit(1))
+      val base = l.df.join(marker, lit(true), "left_outer")
+        .withColumns(Map(flag -> coalesce(col(bt(flag)), lit(false))))
+      return boolVarFromFlag(Sol(base, l.reps, l.certain, l.nums, l.inl, l.numAll),
+        flag, outVar, negated)
+    }
+    val idc = "__exid_" + freshId()
+    // localCheckpoint (lazy), not ScratchCache: blocks are reclaimed by the
+    // ContextCleaner when the plan is GC'd — an engine session compiling many
+    // such queries must not accumulate CacheManager entries
+    val lt = l.copy(
+      df = l.df.withColumn(idc, monotonically_increasing_id())
+        .localCheckpoint(false),
+      reps = l.reps + (idc -> IdRep), certain = l.certain + idc)
+    val matched = joinSols(lt, compileExistsPattern(lt, pat), "left_semi")
+    val joined = lt.df.join(
+        matched.df.select(col(bt(idc)).as("__exm")).dropDuplicates(),
+        col(bt(idc)) === col("__exm"), "left_outer")
+      .withColumn(flag, col("__exm").isNotNull)
+      .drop("__exm", idc)
+    boolVarFromFlag(Sol(joined, l.reps, l.certain, l.nums, l.inl, l.numAll),
+      flag, outVar, negated)
   }
 
   private def boolVarFromFlag(sol: Sol, flag: String, outVar: String, negated: Boolean): Sol = {

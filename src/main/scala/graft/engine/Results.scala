@@ -138,7 +138,7 @@ object Results {
           (vc.getField("lex"), vc.getField("kind"))
         case _ => (lit(null).cast(StringType), lit(null).cast(IntegerType))
       }
-      val ((cs, ks), (cp, kp), (co, ko)) = (colOf(s), colOf(p), colOf(o))
+      val ((cs, ks), (cp, kp), (co, _)) = (colOf(s), colOf(p), colOf(o))
       sol.df.select(cs.as("subject"), cp.as("predicate"), co.as("object"),
           ks.as("__ks"), kp.as("__kp"))
         .filter(col("subject").isNotNull && col("predicate").isNotNull &&

@@ -456,9 +456,12 @@ final class SparqlParser(input: String) {
       // a bare variable must be a GROUP BY key, and variables inside select
       // expressions must be keys, aggregate placeholders, or earlier aliases
       if (star) fail("SELECT * cannot be combined with GROUP BY / aggregates")
+      // exact placeholder set, not a name-prefix test — a user-written
+      // ?__agg1 must not slip through the grouped-or-aggregated check
+      val aggOuts = aggSpecs.map(_.out).toSet
       var allowed = groupKeys.toSet
       def checkGrouped(e: Expr, where: String): Unit = e match {
-        case EVar(n) if !allowed.contains(n) && !n.startsWith("__agg") =>
+        case EVar(n) if !allowed.contains(n) && !aggOuts.contains(n) =>
           fail(s"variable ?$n in $where is neither grouped nor aggregated")
         case ECall(_, args) => args.foreach(checkGrouped(_, where))
         case _ => ()

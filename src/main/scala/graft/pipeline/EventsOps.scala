@@ -154,9 +154,14 @@ object EventsOps {
     * whatever the corpus, where a regex would silently mis-match). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
+      // ONE from_json parse per row (per-field get_json_object would re-parse
+      // the document once per extraction — 3× JSON CPU on the hot scan)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType
+          .fromDDL("k BIGINT, missing STRING")).as("j"))
       .groupBy("event_type")
-      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
-        max(get_json_object(col("props"), "$.k").cast("long")).as("max_k"),
-        count(get_json_object(col("props"), "$.missing")).as("n_missing"),
+      .agg(sum(col("j.k")).as("sum_k"),
+        max(col("j.k")).as("max_k"),
+        count(col("j.missing")).as("n_missing"),
         count(lit(1)).as("n"))
 }

@@ -131,15 +131,26 @@ object W3CRunner {
         case AService(_, c, _) => exprs(c)
         case _ => Seq.empty
       }
-      exprs(a).exists(e => Expr.nondeterministic(e) || Expr.hasBnode(e))
+      // recurse into EExists patterns too: RAND()/BNODE() inside an EXISTS
+      // makes the whole query diff-unstable just the same
+      def exprNondet(e: Expr): Boolean = e match {
+        case EExists(p, _) => nondet(p)
+        case ECall(fn, as) =>
+          Seq("rand", "uuid", "struuid", "bnode").contains(fn) ||
+            as.exists(exprNondet)
+        case _ => false
+      }
+      exprs(a).exists(exprNondet)
     }
-    // an unordered LIMIT legitimately picks different subsets per engine
+    // an unordered LIMIT — or OFFSET, which also picks an arbitrary subset —
+    // legitimately differs per engine; slices hide at ANY depth (subqueries)
     def unstableSlice(a: graft.algebra.Algebra): Boolean = a match {
-      case graft.algebra.ASlice(c, _, lim) => lim >= 0 && !stableUnder(c)
-      case graft.algebra.AProject(c, _) => unstableSlice(c)
-      case graft.algebra.ADistinct(c) => unstableSlice(c)
-      case graft.algebra.AReduced(c) => unstableSlice(c)
-      case _ => false
+      case graft.algebra.ASlice(c, off, lim) =>
+        ((lim >= 0 || off > 0) && !stableUnder(c)) || unstableSlice(c)
+      case other => other.productIterator.exists {
+        case c: graft.algebra.Algebra => unstableSlice(c)
+        case _ => false
+      }
     }
     def stableUnder(a: graft.algebra.Algebra): Boolean = a match {
       case graft.algebra.AOrderBy(_, _) => true

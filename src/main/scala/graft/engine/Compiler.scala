@@ -1792,7 +1792,11 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       Compiler.DefaultHotGroupCap.toString).toLong
     val salted = keys.nonEmpty && aggs.exists(_.fn == "group_concat") &&
       twoPhaseSafe && sol.card.forall(_ > hotGroupCap)
-    val gks = keys.filter(sol.reps.contains).map(v => col(bt(v)))
+    val gks0 = keys.filter(sol.reps.contains).map(v => col(bt(v)))
+    // keys declared but none materialized (all provably unbound): keep the
+    // grouping KEYED via a constant — empty input must yield zero groups
+    val gks = if (keys.nonEmpty && gks0.isEmpty)
+      Seq(lit(1).as("__gk_const")) else gks0
 
     val grouped = if (salted) {
       val saltCol = "__graft_salt"
@@ -1854,12 +1858,17 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       // distinct key tuple — Dataset.agg demands ≥1 aggregate, dropDuplicates
       // IS the group-keys projection (nulls group together, like groupBy)
       pre.dropDuplicates()
-    else if (keyCols.isEmpty) pre.groupBy().agg(aggCols.head, aggCols.tail: _*)
-      else pre.groupBy(gks: _*).agg(aggCols.head, aggCols.tail: _*)
+    else if (keys.isEmpty) pre.groupBy().agg(aggCols.head, aggCols.tail: _*)
+    // keys.nonEmpty: a KEYED grouping even when no key column materialized
+    // (gks falls back to a constant) — empty input yields ZERO groups, not
+    // the global aggregation's one row (r11 fuzzer caught that fallthrough)
+    else pre.groupBy(gks: _*).agg(aggCols.head, aggCols.tail: _*)
 
     // wrap raw aggregate outputs into term views — batched into one
     // withColumns projection (one analysis pass, not one per aggregate)
-    var out = grouped
+    var out =
+      if (grouped.columns.contains("__gk_const")) grouped.drop("__gk_const")
+      else grouped
     val wraps = scala.collection.mutable.LinkedHashMap.empty[String, Column]
     val numView: (Column, String) => Column = (c, dt) => when(c.isNotNull, struct(
       lit(TermRow.KIND_LITERAL).as("kind"), c.cast(StringType).as("lex"),

@@ -26,8 +26,13 @@ class FuzzDiffSpec extends AnyFunSuite {
   lazy val spark = SparkBase.spark
   private val ctx = ExprEval.Ctx(nowEpochUs = 1700000000000000L)
 
-  private val NDatasets = 10
-  private val QueriesPer = 12
+  // knobs for exploratory runs: SPARK_GRAFT_FUZZ_SEED / _DATASETS / _QUERIES
+  private val baseSeed =
+    sys.env.get("SPARK_GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L)
+  private val NDatasets =
+    sys.env.get("SPARK_GRAFT_FUZZ_DATASETS").map(_.toInt).getOrElse(10)
+  private val QueriesPer =
+    sys.env.get("SPARK_GRAFT_FUZZ_QUERIES").map(_.toInt).getOrElse(12)
 
   private val iris = (0 until 6).map(i => Iri(s"http://f.ex/i$i"))
   private val preds = (0 until 4).map(i => s"http://f.ex/p$i")
@@ -102,9 +107,20 @@ class FuzzDiffSpec extends AnyFunSuite {
         case 6 => EExists(bgp(scope), negated = chance(0.5))
       }
 
+    def table(scope: Seq[String]): ATable = {
+      // inline VALUES with UNDEF holes: the prime source of possibly-unbound
+      // vars for compat-join/MINUS/EXISTS corners
+      val vars = Seq.fill(1 + rnd.nextInt(2))(someVar(scope)).distinct
+      val rows = Seq.fill(1 + rnd.nextInt(3))(vars.map(_ =>
+        if (chance(0.25)) None
+        else Some(if (chance(0.6)) pick(iris): Term else pick(lits))))
+      ATable(vars, rows)
+    }
+
     def alg(depth: Int): Algebra = {
       if (depth == 0)
-        return if (chance(0.85)) bgp(Nil)
+        return if (chance(0.75)) bgp(Nil)
+        else if (chance(0.5)) table(Nil)
         else APath(node(Nil, allowLit = false), path(), node(Nil, allowLit = true))
       rnd.nextInt(10) match {
         case 0 => AJoin(alg(depth - 1), alg(depth - 1))
@@ -174,7 +190,7 @@ class FuzzDiffSpec extends AnyFunSuite {
     var nonEmpty = 0
     val failures = scala.collection.mutable.ListBuffer[String]()
     for (d <- 0 until NDatasets) {
-      val gen = new Gen(20260814L + d * 7919L)
+      val gen = new Gen(baseSeed + d * 7919L)
       val triples = gen.triples()
       val store = buildStore(triples)
       val comp = new Compiler(store, ctx)

@@ -186,6 +186,50 @@ object Algebra {
     }
   }
 
+  /** FREE variables: vars referenced somewhere in `a` that `a` itself cannot
+    * bind before the referencing position evaluates — a filter/extend/sort
+    * var outside the child's in-scope set, or any var of a nested EXISTS
+    * pattern not supplied by the expression's own child (nested EXISTS
+    * correlates against its enclosing rows, so everything it references deep
+    * is a potential external need). Drives EXISTS correlation
+    * (Compiler.compileExistsPattern): an outer var in this set occurs in a
+    * position the in-scope semi-join cannot see — e.g. in-scope in a join's
+    * LEFT operand but nested inside the RIGHT — and needs the §18.6
+    * substitution env spliced in. Strictly wider than
+    * `deepVars(a) -- inscope(a)`, which unions in-scope over both join/union
+    * operands and so misses cross-operand needs. */
+  def freeDeep(a: Algebra): Set[String] = {
+    def ev(e: Expr): Set[String] = e match {
+      case EVar(n) => Set(n)
+      case ECall(_, as) => as.flatMap(ev).toSet
+      case EExists(p, _) => deepVars(p)
+      case _ => Set.empty
+    }
+    a match {
+      case BGP(_) | APath(_, _, _, _) | ATable(_, _) | AEnv(_, _, _) =>
+        Set.empty
+      case AJoin(l, r) => freeDeep(l) ++ freeDeep(r)
+      case ALeftJoin(l, r, e) => freeDeep(l) ++ freeDeep(r) ++
+        (e.toSet.flatMap(ev) -- inscope(l) -- inscope(r))
+      case AMinus(l, r) => freeDeep(l) ++ freeDeep(r)
+      case AUnion(l, r) => freeDeep(l) ++ freeDeep(r)
+      case AFilter(e, c) => freeDeep(c) ++ (ev(e) -- inscope(c))
+      case AExtend(c, _, e) => freeDeep(c) ++ (ev(e) -- inscope(c))
+      case AProject(c, _) => freeDeep(c)
+      case ADistinct(c) => freeDeep(c)
+      case AReduced(c) => freeDeep(c)
+      case ASlice(c, _, _) => freeDeep(c)
+      case AOrderBy(c, ks) =>
+        freeDeep(c) ++ (ks.flatMap(k => ev(k.e)).toSet -- inscope(c))
+      case AGroup(c, _, aggs) =>
+        freeDeep(c) ++ (aggs.flatMap(_.e.toSeq.flatMap(ev)).toSet -- inscope(c))
+      case AWindow(c, fns) => freeDeep(c) ++
+        (fns.flatMap(f => f.e.toSeq.flatMap(ev) ++
+          f.ordBy.flatMap(k => ev(k.e))).toSet -- inscope(c))
+      case AService(_, c, _) => freeDeep(c)
+    }
+  }
+
   /** Variables bound in every solution (reference `necessarilyBound`,
     * QueryPlanner.swift:17-27) — drives the equi-join fast path vs the
     * null-tolerant compatibility join (§7.4 risk 1 of SURVEY.md). */

@@ -1340,7 +1340,10 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     * common uncorrelated case compiles exactly as before. */
   private def compileExistsPattern(outer: Sol, p: Algebra): Sol = {
     val deep = Algebra.deepVars(p)
-    val corrOnly = (deep -- Algebra.inscope(p)) intersect outer.vars.toSet
+    // freeDeep, not deepVars--inscope: an outer var can be in-scope in one
+    // join operand yet referenced in a nested scope of the OTHER operand —
+    // the in-scope semi-join never reaches that occurrence (r12).
+    val corrOnly = Algebra.freeDeep(p) intersect outer.vars.toSet
     if (corrOnly.isEmpty) compile(p)
     else {
       val corrVars = (deep intersect outer.vars.toSet).toSeq.sorted
@@ -1361,16 +1364,57 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   /** Join the correlation env at the pattern's evaluation leaves: descend
     * through operators whose LEFT/child evaluation feeds nested filters
     * (filter, extend, left-join preserved side, minus minuend, both union
-    * branches, join left); splice a join everywhere else. */
+    * branches, join left); splice a join everywhere else.
+    *
+    * Join-shaped operators ALSO descend their RIGHT operand when it
+    * references env vars in nested-only positions (a nested EXISTS pattern,
+    * or a filter var outside the operand's in-scope set) — §18.6
+    * substitution must reach those; in-scope occurrences need no injection
+    * because the join itself constrains them, and the gate keeps the common
+    * uncorrelated-right plan byte-identical. Correctness of the two-sided
+    * splice: env tuples are distinct-projected, and with env columns on both
+    * sides the join keys include them, so each combined row surfaces exactly
+    * once per env tuple — the same multiset substitution produces.
+    *
+    * MINUS's right side stays UNinjected by design: substitution makes outer
+    * values CONSTANTS inside the pattern, while an env join would make them
+    * BINDINGS and flip §8.3.3's domain-disjointness rule (dom(μ)∩dom(μ')=∅
+    * keeps the row). Nested-only refs in a MINUS right operand therefore
+    * remain uncorrelated — a pinned semantic, mirrored exactly by
+    * `RefInterp.evalSeeded`. */
   private def injectEnv(p: Algebra, env: AEnv): Algebra = p match {
     case AFilter(e, c) => AFilter(e, injectEnv(c, env))
     case AExtend(c, v, e) => AExtend(injectEnv(c, env), v, e)
-    case ALeftJoin(l, r, e) => ALeftJoin(injectEnv(l, env), r, e)
+    case ALeftJoin(l, r, e) =>
+      ALeftJoin(injectEnv(l, env), injectRight(r, env), e)
     case AMinus(l, r) => AMinus(injectEnv(l, env), r)
     case AUnion(l, r) => AUnion(injectEnv(l, env), injectEnv(r, env))
-    case AJoin(l, r) => AJoin(injectEnv(l, env), r)
+    case AJoin(l, r) => AJoin(injectEnv(l, env), injectRight(r, env))
     case other => AJoin(env, other)
   }
+
+  /** Right operand of a join-shaped operator under [[injectEnv]]: descend
+    * only when nested-only env references exist (see injectEnv scaladoc). */
+  private def injectRight(r: Algebra, env: AEnv): Algebra =
+    if ((Algebra.freeDeep(r) intersect env.envVars).nonEmpty)
+      injectEnv(r, env)
+    else r
+
+  /** Pin a frame whose rows carry a `monotonically_increasing_id` tag so
+    * the tag is computed exactly ONCE — a branch recompute after a shuffle
+    * may renumber, and the tagged-row devices (OPTIONAL+EXISTS-filter,
+    * BIND(EXISTS)) join two branches of the same tagged frame. Lazy
+    * `localCheckpoint` truncates lineage into executor-local blocks
+    * (reclaimed by the ContextCleaner when the plan is GC'd — no
+    * CacheManager accumulation across an engine session) but is NOT
+    * fault-tolerant: executor loss mid-query aborts the query instead of
+    * recomputing. That trade (fail > silently-renumbered wrong answer) is
+    * right for interactive use; for long cluster runs, configure a RELIABLE
+    * checkpoint dir (`sc.setCheckpointDir`) and these frames checkpoint to
+    * that filesystem instead, surviving executor loss. */
+  private def pinTagged(df: DataFrame): DataFrame =
+    if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
+    else df.localCheckpoint(false)
 
   /** OPTIONAL with filter: LeftJoin(Ω1, Ω2, expr). The SPARQL definition
     * Filter(expr, Join(L,R)) ∪ Diff(L,R,expr) (reference
@@ -1394,18 +1438,12 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       // against merged rows can borrow a witness from a different L row whose
       // bound vars made the filter pass (r11: opt-exists-filter-01 caught the
       // old condOverJoined Diff erroring EXISTS to null → every L row kept).
-      // The tagged frame is localCheckpoint'd (lazy): monotonically_
-      // increasing_id must be computed ONCE — a branch recompute after a
-      // shuffle may renumber — and checkpoint blocks are reclaimed by the
-      // ContextCleaner when the plan is GC'd, where a CacheManager persist
-      // would accumulate for the life of an engine session.
       val idc = "__ljid_" + freshId()
       // registered as an IdRep var (a long column IS an id-space column):
       // joinSols's output projection keeps only rep/companion columns, so a
       // bare extra column would be pruned at the first join
       val lt = l.copy(
-        df = l.df.withColumn(idc, monotonically_increasing_id())
-          .localCheckpoint(false),
+        df = pinTagged(l.df.withColumn(idc, monotonically_increasing_id())),
         reps = l.reps + (idc -> IdRep), certain = l.certain + idc)
       val joined = joinSols(lt, r, "inner")
       val matched = compileFilter(e, joined)
@@ -1534,12 +1572,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         flag, outVar, negated)
     }
     val idc = "__exid_" + freshId()
-    // localCheckpoint (lazy), not ScratchCache: blocks are reclaimed by the
-    // ContextCleaner when the plan is GC'd — an engine session compiling many
-    // such queries must not accumulate CacheManager entries
     val lt = l.copy(
-      df = l.df.withColumn(idc, monotonically_increasing_id())
-        .localCheckpoint(false),
+      df = pinTagged(l.df.withColumn(idc, monotonically_increasing_id())),
       reps = l.reps + (idc -> IdRep), certain = l.certain + idc)
     val matched = joinSols(lt, compileExistsPattern(lt, pat), "left_semi")
     val joined = lt.df.join(

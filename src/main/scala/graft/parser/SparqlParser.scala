@@ -460,9 +460,18 @@ final class SparqlParser(input: String) {
       // ?__agg1 must not slip through the grouped-or-aggregated check
       val aggOuts = aggSpecs.map(_.out).toSet
       var allowed = groupKeys.toSet
+      val preGroupScope = Algebra.inscope(g)
       def checkGrouped(e: Expr, where: String): Unit = e match {
         case EVar(n) if !allowed.contains(n) && !aggOuts.contains(n) =>
           fail(s"variable ?$n in $where is neither grouped nor aggregated")
+        case EExists(p, _) =>
+          // §18.2.4.1 reaches into EXISTS arguments too: a pattern var that
+          // NAMES a WHERE-clause variable correlates with the outer row, so
+          // it must be a group key or aggregate alias; vars private to the
+          // pattern are local existentials and are fine.
+          for (n <- (Algebra.deepVars(p) intersect preGroupScope).toSeq.sorted
+               if !allowed.contains(n) && !aggOuts.contains(n))
+            fail(s"variable ?$n inside EXISTS in $where is neither grouped nor aggregated")
         case ECall(_, args) => args.foreach(checkGrouped(_, where))
         case _ => ()
       }

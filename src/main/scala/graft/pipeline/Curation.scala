@@ -33,7 +33,12 @@ object Curation {
     * no shuffle, no state. */
   def hashSplit(spark: SparkSession, dir: String,
       trainPct: Int = 90, validPct: Int = 5): DataFrame =
-    docs(spark, dir).select(
+    hashSplitOf(docs(spark, dir), trainPct, validPct)
+
+  /** [[hashSplit]] over an explicit (doc_id, text, …) frame. */
+  def hashSplitOf(d: DataFrame,
+      trainPct: Int = 90, validPct: Int = 5): DataFrame =
+    d.select(
         col("doc_id"),
         (conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType) % 100)
           .as("bucket"))
@@ -190,5 +195,31 @@ object Curation {
     feats.select(col("doc_id"), col("y"),
         when(score > 0, 1L).otherwise(-1L).as("pred"))
       .withColumn("correct", col("pred") === col("y"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359
+    * §4.3): rank every document by its corpus-LM surprisal and label the
+    * head / middle / tail thirds — downstream mixes sample predominantly
+    * from the head (well-modeled text) and discard or down-weight the tail.
+    * Surprisal is [[TextStats.surprisal]]'s order-free integer micro-nat
+    * mean; thresholds are the exact 1/3 and 2/3 quantiles of the per-doc
+    * surprisal distribution (rounded to 6dp on both engines so the bucket
+    * comparison is boundary-stable).
+    *
+    * Scale shape: surprisal's three bounded exchanges, then ONE tiny
+    * two-value aggregate for the thresholds, broadcast back over the frame
+    * as a map-side comparison. At 100 TB swap the exact `percentile` for
+    * `percentile_approx` (CCNet itself computes thresholds on a sample);
+    * nothing else changes — bucketing stays scan-shaped. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val s = TextStats.surprisal(spark, dir)
+    val q = s.agg(
+      round(expr("percentile(surprisal, 1.0D/3.0D)"), 6).as("q1"),
+      round(expr("percentile(surprisal, 2.0D/3.0D)"), 6).as("q2"))
+    s.join(broadcast(q))
+      .select(col("doc_id"), col("surprisal"),
+        when(col("surprisal") <= col("q1"), "head")
+          .when(col("surprisal") <= col("q2"), "middle")
+          .otherwise("tail").as("bucket"))
   }
 }

@@ -445,4 +445,44 @@ object Dedup {
     blockMembership(d)
       .groupBy("source", "lenb").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > maxBlockDocs)
+
+  /** Cross-split leakage audit: the content-hash split
+    * ([[Curation.hashSplit]]) makes EXACT duplicates leakage-proof by
+    * construction, but NEAR-duplicates (shared token n-grams) can still
+    * straddle train and valid/test — the contamination that inflates eval
+    * scores. This audit reports every valid/test doc sharing at least one
+    * token `n`-gram with any train doc: (doc_id, split, n_grams,
+    * leaked_grams, leak_frac).
+    *
+    * Scale shape (same discipline as [[decontaminate]], but with NO
+    * broadcast: at 100 TB BOTH sides are corpus-sized — train ~90%, eval
+    * ~10%): per-doc distinct gram arrays are built map-side; the train side
+    * reduces to DISTINCT gram hashes (one gram-keyed exchange with map-side
+    * partial dedup); the eval side joins it gram-keyed (left_semi — train
+    * rows never fan out into the output) and aggregates per doc. Three
+    * bounded exchanges total, all moving (hash) or (doc_id, hash) pairs. */
+  def splitLeakage(corpus: DataFrame, n: Int = 8): DataFrame = {
+    val split = Curation.hashSplitOf(corpus).select("doc_id", "split")
+    // materialize arrays before exploding (Generate re-evaluates lambdas
+    // per OUTPUT row — see decontaminate)
+    val grams = shingleArraysFast(corpus, n).transform(ScratchCache.persist)
+    grams.count()
+    val g = grams.join(split, "doc_id")
+    val trainH = g.filter(col("split") === "train")
+      .select(explode(col("hs")).as("h")).distinct()
+    val evalG = g.filter(col("split") =!= "train")
+    val totals = evalG.select(col("doc_id"), col("split"),
+      size(col("hs")).cast(LongType).as("n_grams"))
+    val leaked = evalG.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(trainH, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("leaked_grams"))
+    totals.join(leaked, Seq("doc_id"), "left")
+      .withColumn("leaked_grams", coalesce(col("leaked_grams"), lit(0L)))
+      .filter(col("leaked_grams") > 0)
+      .withColumn("leak_frac", round(col("leaked_grams") / col("n_grams"), 4))
+      .select("doc_id", "split", "n_grams", "leaked_grams", "leak_frac")
+  }
+
+  def splitLeakageDir(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    splitLeakage(docs(spark, dir), n)
 }

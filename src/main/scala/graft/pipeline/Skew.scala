@@ -56,17 +56,25 @@ object Skew {
     * bounded by `spark.sql.files.maxPartitionBytes` / the upstream shuffle,
     * which is the state bound the two-phase plan needs).
     *
-    * Retry-safety differs from [[saltOf]]: partition ids can change when an
-    * upstream stage is recomputed, so this column is nondeterministic in
-    * Catalyst's sense — `spark_partition_id()` is flagged nondeterministic,
-    * which makes the map stage INDETERMINATE, and on a fetch failure Spark's
-    * scheduler rolls back and re-runs the full downstream stage instead of
-    * consuming mixed-attempt output (the SPARK-23207/SPARK-23243 machinery;
-    * worst case a job abort, never a wrong answer). The salted-aggregate
-    * merge is salt-assignment-invariant, so ANY assignment — including one
-    * that differs between attempts — produces the same final result. Only
-    * use where that invariance holds (it does NOT hold for [[saltedJoin]]'s
-    * replicated small side, which must see every salt value). */
+    * Retry-safety differs from [[saltOf]], and rests on TWO facts — not on
+    * scheduler rollback. (Catalyst's nondeterministic flag on
+    * `spark_partition_id()` does NOT propagate to the RDD's
+    * DeterministicLevel, so no INDETERMINATE-stage rollback protects this
+    * column; an earlier revision claimed it did.) What actually holds:
+    * (1) when the upstream is deterministic — a file scan or a sorted/
+    * hash-partitioned shuffle output — a re-executed task recomputes the
+    * SAME partition id with the SAME rows, so every attempt assigns every
+    * row the same salt; (2) the salted-aggregate merge is
+    * salt-assignment-invariant, so even a hypothetically different
+    * assignment yields the same final result once each row is counted
+    * exactly once. Consequence: do NOT use spreadSalt directly above an
+    * operator with indeterminate output order/placement (round-robin
+    * `repartition(n)`, shuffles of nondeterministically-tagged rows) — rows
+    * could migrate between partitions across attempts and be double-counted
+    * or lost under partial-stage retry, with no rollback backstop. Salt
+    * above the deterministic source instead. Also NOT for [[saltedJoin]]'s
+    * big side: the replicated small side must meet every salt value, which
+    * only content-based salting guarantees per-row across attempts. */
   def spreadSalt(df: DataFrame, salts: Int): Column =
     pmod(xxhash64((df.columns.map(col) :+ spark_partition_id().cast("long"))
       .toIndexedSeq: _*), lit(salts.toLong)).cast("int")

@@ -1848,7 +1848,48 @@ object Battery {
       Some("SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk " +
         "FROM (SELECT tok, count(*) AS cnt FROM (SELECT unnest(string_split(" +
         "text, ' ')) AS tok FROM documents) u GROUP BY tok) c " +
-        "ORDER BY cnt DESC, tok LIMIT 100"))
+        "ORDER BY cnt DESC, tok LIMIT 100")),
+
+    ("curate_ppl_buckets", // CCNet-style head/middle/tail perplexity
+      // bucketing (arXiv:1911.00359 §4.3): exact 1/3 & 2/3 surprisal
+      // quantiles (both engines interpolate at (n-1)·p; rounded to 6dp so
+      // the <= bucket comparison is boundary-stable), then a map-side label
+      (s: SparkSession, d: String) => graft.pipeline.Curation.pplBuckets(s, d),
+      Some("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "c AS (SELECT tok, count(*) AS c FROM t GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM t), " +
+        "m AS (SELECT doc_id, CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) " +
+        "AS BIGINT) AS micro FROM t JOIN c USING(tok) CROSS JOIN n), " +
+        "s AS (SELECT doc_id, count(*) AS n_toks, " +
+        "round(sum(micro) / (count(*) * 1e6), 4) AS surprisal FROM m GROUP BY 1), " +
+        "q AS (SELECT round(quantile_cont(surprisal, 1.0/3.0), 6) AS q1, " +
+        "round(quantile_cont(surprisal, 2.0/3.0), 6) AS q2 FROM s) " +
+        "SELECT doc_id, surprisal, CASE WHEN surprisal <= q1 THEN 'head' " +
+        "WHEN surprisal <= q2 THEN 'middle' ELSE 'tail' END AS bucket FROM s, q")),
+
+    ("dd_split_leak", // cross-split near-dup leakage audit: valid/test docs
+      // sharing any token-8-gram with a train doc (the contamination the
+      // content-hash split can't prevent). Raw-gram oracle convention as
+      // dd_decontaminate (xxhash64 vs raw string grams, same 1..len-8 starts)
+      (s: SparkSession, d: String) => graft.pipeline.Dedup.splitLeakageDir(s, d),
+      Some("WITH sp AS (SELECT doc_id, CASE WHEN " +
+        "CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) % 100 < 90 " +
+        "THEN 'train' WHEN CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) " +
+        "% 100 < 95 THEN 'valid' ELSE 'test' END AS split FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS h " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t, " +
+        "LATERAL (SELECT unnest(range(1, greatest(len(ws) - 7, 1))) AS i) u), " +
+        "tr AS (SELECT DISTINCT h FROM g JOIN sp USING(doc_id) WHERE split = 'train'), " +
+        "ev AS (SELECT g.doc_id, split, h FROM g JOIN sp USING(doc_id) " +
+        "WHERE split <> 'train'), " +
+        "tot AS (SELECT doc_id, any_value(split) AS split, count(*) AS n_grams " +
+        "FROM ev GROUP BY 1), " +
+        "hit AS (SELECT doc_id, count(*) AS leaked_grams FROM ev " +
+        "WHERE h IN (SELECT h FROM tr) GROUP BY 1) " +
+        "SELECT t.doc_id, split, n_grams, leaked_grams, " +
+        "round(CAST(leaked_grams AS DOUBLE) / n_grams, 4) AS leak_frac " +
+        "FROM tot t JOIN hit USING(doc_id) WHERE leaked_grams > 0"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -110,8 +110,11 @@ object RefInterp {
     * EXISTS). Substitution semantics (SPARQL 1.1 §18.6): the outer row's
     * bindings SEED the pattern's evaluation — [[evalSeeded]] mirrors the
     * compiled engine's correlation injection exactly (descend filter/extend/
-    * left-preserved/minuend/union, join the seed elsewhere), so outer vars
-    * referenced only in nested scopes (a nested NOT EXISTS) still correlate. */
+    * left-preserved/minuend/union/join-left — and join-shaped RIGHT operands
+    * when they hold nested-only seed refs; splice the seed elsewhere), so
+    * outer vars referenced only in nested scopes (a nested NOT EXISTS, a
+    * join-right filter) still correlate. MINUS right stays unseeded (pinned:
+    * see Compiler.injectEnv). */
   private def resolveExists(e: Expr, row: Binding, env: Env): Expr = e match {
     case EExists(pat, neg) =>
       val seed = row.view.filterKeys(Algebra.deepVars(pat)).toMap
@@ -136,7 +139,7 @@ object RefInterp {
           if (t == null) row else row + (v -> t)
         }
       case ALeftJoin(l, r, expr) =>
-        val right = eval(r, env)
+        val right = evalSeededRight(r, seed, env)
         val scope = ExprEval.freshScope()
         evalSeeded(l, seed, env).flatMap { lr =>
           val ms = right.flatMap(rr => merge(lr, rr))
@@ -144,15 +147,27 @@ object RefInterp {
           if (ms.nonEmpty) ms else Seq(lr)
         }
       case AMinus(l, r) =>
+        // right side deliberately UNseeded: substitution would make outer
+        // values constants, not bindings — seeding would flip the §8.3.3
+        // domain-disjointness rule (pinned; mirrors Compiler.injectEnv).
         val right = eval(r, env)
         evalSeeded(l, seed, env).filter(lr => !right.exists(rr =>
           compatible(lr, rr) && lr.keySet.intersect(rr.keySet).nonEmpty))
       case AUnion(l, r) => evalSeeded(l, seed, env) ++ evalSeeded(r, seed, env)
       case AJoin(l, r) =>
-        val right = eval(r, env)
+        val right = evalSeededRight(r, seed, env)
         evalSeeded(l, seed, env).flatMap(lr => right.flatMap(rr => merge(lr, rr)))
       case other => eval(other, env).flatMap(r => merge(seed, r))
     }
+
+  /** Right operand of a join-shaped operator: seeded only when it references
+    * seed vars in nested-only positions — the exact gate of
+    * `Compiler.injectRight` (in-scope occurrences are already constrained by
+    * the enclosing merge, and the common uncorrelated case stays unseeded). */
+  private def evalSeededRight(r: Algebra, seed: Binding, env: Env): Seq[Binding] =
+    if ((Algebra.freeDeep(r) intersect seed.keySet).nonEmpty)
+      evalSeeded(r, seed, env)
+    else eval(r, env)
 
   /** Evaluate to a term; SPARQL error → null (callers decide drop/unbound). */
   private def evalExpr(e: Expr, row: Binding, env: Env,

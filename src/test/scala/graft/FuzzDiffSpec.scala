@@ -104,7 +104,26 @@ class FuzzDiffSpec extends AnyFunSuite {
         case 4 | 7 => ECall("bound", Seq(EVar(pick(scope.toIndexedSeq))))
         case 5 => ECall(pick(IndexedSeq("+", "-", "*")),
           Seq(expr(scope, 0), expr(scope, 0)))
-        case 6 => EExists(bgp(scope), negated = chance(0.5))
+        case 6 => EExists(existsPattern(scope, depth - 1), negated = chance(0.5))
+      }
+
+    /** EXISTS body: usually a flat BGP, sometimes a join-shaped tree whose
+      * RIGHT operand hides outer-scope refs in a nested filter or nested
+      * (NOT) EXISTS — the §18.6 substitution-into-join-right path (r12) —
+      * or a MINUS right operand, whose nested refs stay UNcorrelated on
+      * both sides (the pinned semantic; the differential checks the pin). */
+    def existsPattern(scope: Seq[String], depth: Int): Algebra =
+      if (depth <= 0 || chance(0.5)) bgp(scope)
+      else {
+        val right0 = bgp(Nil)
+        val rscope = (scope ++ Algebra.inscope(right0).toSeq.sorted).distinct
+        rnd.nextInt(4) match {
+          case 0 => AJoin(bgp(scope), AFilter(expr(rscope, 1), right0))
+          case 1 => AJoin(bgp(if (chance(0.5)) scope else Nil),
+            AFilter(EExists(bgp(rscope), negated = chance(0.5)), right0))
+          case 2 => ALeftJoin(bgp(scope), AFilter(expr(rscope, 1), right0), None)
+          case 3 => AMinus(bgp(scope), AFilter(expr(rscope, 1), right0))
+        }
       }
 
     def table(scope: Seq[String]): ATable = {

@@ -1218,7 +1218,31 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       val n = statCount(qp).get
       compile(ATable(Seq(out), Seq(Seq(Some(Term.int(n))))))
 
-    case AGroup(c, keys, aggs) => compileGroup(compile(c), keys, aggs)
+    case AGroup(c, keys, aggs) =>
+      var sol = compile(c)
+      // EXISTS inside an aggregate argument — SUM(IF(EXISTS{…},1,0)) —
+      // materializes as a per-row boolean flag var over the pre-group rows
+      // (the same BIND(EXISTS) device the filter path uses, substitution
+      // semantics included), and the aggregate runs over the flag. Without
+      // this the raw EExists reached exprColumn and errored to unbound on
+      // every row (r12). Flag columns need no strip: compileGroup projects
+      // keys + aggregate outputs only.
+      val aggs2 = aggs.map { a =>
+        a.e match {
+          case Some(e) if hasExists(e) =>
+            def repl(x: Expr): Expr = x match {
+              case EExists(p, neg) =>
+                val fv = "__exf_" + freshId()
+                sol = existsFlag(sol, p, fv, neg)
+                EVar(fv)
+              case ECall(fn, args) => ECall(fn, args.map(repl))
+              case other => other
+            }
+            a.copy(e = Some(repl(e)))
+          case _ => a
+        }
+      }
+      compileGroup(sol, keys, aggs2)
 
     case AWindow(c, fns) => compileWindow(compile(c), fns)
 

@@ -169,6 +169,11 @@ class FuzzDiffSpec extends AnyFunSuite {
                 "group_concat"))
               AggSpec(freshVar(), fn,
                 if (fn == "count" && chance(0.4)) None
+                // correlated (NOT) EXISTS as the aggregate argument — the
+                // per-row flag path (boolean inputs: COUNT counts them,
+                // SUM errors to unbound; both engines must agree either way)
+                else if (chance(0.15))
+                  Some(EExists(bgp(in), negated = chance(0.5)))
                 else Some(EVar(pick(in.toIndexedSeq))),
                 distinct = chance(0.3))
             }

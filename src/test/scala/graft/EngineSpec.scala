@@ -848,4 +848,39 @@ class EngineSpec extends AnyFunSuite {
       assert(run(tcomp, emptyAlg, emptyCasts) == base._3)
     } finally spark.conf.unset(Compiler.HotGroupCapKey)
   }
+
+  test("tagged-row devices take the reliable checkpoint when a checkpoint dir is configured") {
+    val ex = "http://example.org/"
+    val knows = EExists(BGP(Seq(
+      QuadPattern(V("x"), N.iri(ex + "knows"), V("y")))), negated = false)
+    // BIND(EXISTS) → existsFlag's tagged frame; OPTIONAL+EXISTS-filter →
+    // compileLeftJoinFilter's tagged frame — both route through pinTagged
+    val bindAlg = AExtend(
+      BGP(Seq(QuadPattern(V("x"), N.iri(ex + "name"), V("n")))), "e", knows)
+    val optAlg = ALeftJoin(
+      BGP(Seq(QuadPattern(V("x"), N.iri(ex + "name"), V("n")))),
+      BGP(Seq(QuadPattern(V("x"), N.iri(ex + "age"), V("a")))),
+      Some(knows))
+    def run(a: Algebra): Seq[String] = Results.materialize(tcomp, tcomp.compile(a))
+      .collect().map(_.toString).sorted.toSeq
+    val base = (run(bindAlg), run(optAlg))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      assert((run(bindAlg), run(optAlg)) == base,
+        "results must not change under reliable checkpointing")
+      def files(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(files).sum).getOrElse(0)
+        else 1
+      assert(files(dir) > 0,
+        "reliable checkpoint wrote nothing under the configured dir")
+    } finally {
+      // SparkContext has no public unset; restore via the var's setter so the
+      // shared test session goes back to executor-local checkpoints
+      val m = spark.sparkContext.getClass
+        .getDeclaredMethod("checkpointDir_$eq", classOf[Option[String]])
+      m.setAccessible(true)
+      m.invoke(spark.sparkContext, None)
+    }
+  }
 }

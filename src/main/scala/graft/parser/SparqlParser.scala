@@ -450,6 +450,7 @@ final class SparqlParser(input: String) {
     val rewrittenHaving = having.map(rewriteAggs)
 
     val usesAggs = aggSpecs.nonEmpty || hasGroupBy
+    var aggNode: AGroup = null
     if (usesAggs) {
       // SPARQL 1.1 §18.2.4.1: in an aggregate query, only group keys and
       // aggregate results may be projected — SELECT * is therefore invalid,
@@ -489,6 +490,7 @@ final class SparqlParser(input: String) {
     if (usesAggs) {
       for ((v, e) <- groupExtends) g = AExtend(g, v, e)
       g = AGroup(g, groupKeys.toSeq, aggSpecs.toSeq)
+      aggNode = g.asInstanceOf[AGroup]
       for (h <- rewrittenHaving) g = AFilter(h, g)
       // bind non-aggregate select expressions over the grouped result
       for ((v, Some(e)) <- rewrittenItems if e != EVar(v)) g = AExtend(g, v, e)
@@ -496,9 +498,29 @@ final class SparqlParser(input: String) {
       for ((v, Some(e)) <- rewrittenItems) g = AExtend(g, v, e)
     }
 
-    val (g2, projected) = parseSolutionModifiersWithProject(g,
+    val (g2raw, projected) = parseSolutionModifiersWithProject(g,
       if (star) Algebra.inscope(g).toSeq.sorted else rewrittenItems.map(_._1),
       distinct, reduced, rewriteAggs)
+    // ORDER BY conditions may hold aggregate calls (grammar Constraint) —
+    // rewriteAggs appends their AggSpecs AFTER the AGroup node above was
+    // built. Patch that exact node (reference identity — wrappers may have
+    // stacked filters/extends/sorts/a trailing VALUES join around it).
+    val g2 = if (aggNode != null && aggNode.aggs.size != aggSpecs.size) {
+      val upd = aggNode.copy(aggs = aggSpecs.toSeq)
+      def swap(a: Algebra): Algebra = a match {
+        case n if n eq aggNode => upd
+        case AFilter(e, c) => AFilter(e, swap(c))
+        case AExtend(c, v, e) => AExtend(swap(c), v, e)
+        case AProject(c, vs) => AProject(swap(c), vs)
+        case ADistinct(c) => ADistinct(swap(c))
+        case AReduced(c) => AReduced(swap(c))
+        case ASlice(c, o, l) => ASlice(swap(c), o, l)
+        case AOrderBy(c, ks) => AOrderBy(swap(c), ks)
+        case AJoin(l, r) => AJoin(swap(l), swap(r))
+        case other => other
+      }
+      swap(g2raw)
+    } else g2raw
     (ParsedQuery("select", g2, projected, Seq.empty, Seq.empty, dsDefaults, dsNamed), projected)
   }
 
@@ -540,11 +562,17 @@ final class SparqlParser(input: String) {
           case Some(v) => keys += SortKey(EVar(v))
           case None =>
             if (peekCh('(')) { expectCh('('); keys += SortKey(rewriteAggs(parseExpression())); expectCh(')') }
-            else go = false
+            else {
+              // bare Constraint condition (grammar [24]: BuiltInCall |
+              // FunctionCall) — ORDER BY COUNT(?x), ORDER BY str(?n),
+              // ORDER BY ex:fn(?v), ORDER BY EXISTS{…}. Keywords that merely
+              // FOLLOW the order list (LIMIT, OFFSET, VALUES) are not calls:
+              // roll back and end the list when the token doesn't parse.
+              val save = pos
+              try keys += SortKey(rewriteAggs(parseBuiltinOrFunction()))
+              catch { case _: ParseException => pos = save; go = false }
+            }
         }
-        ws()
-        if (!(peekKw("ASC") || peekKw("DESC") || peekCh('(') ||
-          (pos < input.length && (input(pos) == '?' || input(pos) == '$')))) go = false
       }
       if (keys.isEmpty) fail("ORDER BY requires at least one order condition")
       orderKeys = keys.toSeq

@@ -197,6 +197,30 @@ object Curation {
       .withColumn("correct", col("pred") === col("y"))
   }
 
+  /** Token-budget mixture sampling: fill a GLOBAL token budget with an
+    * equal per-source quota (the flattening mix [[domainMixture]] computes
+    * weights for), taking each source's docs in the deterministic
+    * (md5(text), doc_id) hash order until the raw cumulative token count
+    * crosses the quota — prefix rule: a doc is taken iff its cumulative END
+    * stays within quota. No RNG; the kept set is stable under re-sharding.
+    *
+    * Scale shape: one shuffle on the source key plus one per-source window
+    * (the same shape as [[packChunks]]); the quota divisor is ONE tiny
+    * distinct-count aggregate broadcast back. */
+  def tokenBudgetSample(spark: SparkSession, dir: String,
+      budget: Long = 8000): DataFrame = {
+    val t = docs(spark, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+      md5(col("text")).as("__h"))
+    val k = t.agg(count_distinct(col("source")).as("k"))
+    val w = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(broadcast(k))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        ((col("cum") + col("n_tokens")) <= expr(s"${budget}L div k")).as("taken"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359
     * §4.3): rank every document by its corpus-LM surprisal and label the
     * head / middle / tail thirds — downstream mixes sample predominantly

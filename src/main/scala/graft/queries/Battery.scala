@@ -1868,6 +1868,21 @@ object Battery {
         "SELECT doc_id, surprisal, CASE WHEN surprisal <= q1 THEN 'head' " +
         "WHEN surprisal <= q2 THEN 'middle' ELSE 'tail' END AS bucket FROM s, q")),
 
+    ("curate_token_budget", // token-budget mixture sampling: equal
+      // per-source quota (budget div |sources|), docs taken in deterministic
+      // (md5(text), doc_id) hash order while the raw cumulative token count
+      // stays within quota — the mix-construction step after domainMixture
+      (s: SparkSession, d: String) => graft.pipeline.Curation.tokenBudgetSample(s, d),
+      Some("WITH t AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "md5(text) AS h FROM documents), " +
+        "ns AS (SELECT count(DISTINCT source) AS k FROM t), " +
+        "c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source " +
+        "ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS BIGINT) AS cum FROM t) " +
+        "SELECT doc_id, source, n_tokens, (cum + n_tokens) <= (8000 // k) AS taken " +
+        "FROM c, ns")),
+
     ("dd_split_leak", // cross-split near-dup leakage audit: valid/test docs
       // sharing any token-8-gram with a train doc (the contamination the
       // content-hash split can't prevent). Raw-gram oracle convention as

@@ -235,6 +235,45 @@ object TextStats {
         round(col("m") / (col("n_toks") * 1e6), 4).as("surprisal"))
   }
 
+  /** Bigram LM surprisal with unigram interpolation — one model order up
+    * from [[surprisal]] (CCNet proper scores with a 5-gram KenLM; the bigram
+    * shows the n-gram-LM shape at scale). Per bigram position i≥2:
+    * −ln(0.9·c(w₁w₂)/c(w₁) + 0.1·c(w₂)/N), fixed-pointed to integer
+    * micro-nats BEFORE the per-doc sum (order-free accumulation; the inner
+    * float expression is a single IEEE evaluation both engines share —
+    * identical operand order, identical doubles). Docs with <2 tokens have
+    * no bigram positions and drop out.
+    *
+    * Scale shape: bigrams are built MAP-SIDE from the token array (no
+    * self-join on position); then one bigram-keyed count (map-side combine),
+    * one vocab-sized count, and three joins back to the bigram stream —
+    * each keyed on gram/token hashes, the same exchange count at any corpus
+    * size. */
+  def surprisalBigram(spark: SparkSession, dir: String): DataFrame = {
+    val base = ScratchCache.persist(
+      docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("ws")))
+    base.count()
+    val toks = base.select(col("doc_id"), explode(col("ws")).as("tok"))
+    val n = toks.count()
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bi = base.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
+        "i -> struct(element_at(ws, i+1) AS w1, element_at(ws, i+2) AS w2)) " +
+        "ELSE array() END")).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bi.join(bc, Seq("w1", "w2"))
+      .join(uni.withColumnsRenamed(Map("tok" -> "w1", "c1" -> "cw1")), Seq("w1"))
+      .join(uni.withColumnsRenamed(Map("tok" -> "w2", "c1" -> "cw2")), Seq("w2"))
+      .select(col("doc_id"),
+        round(-log(lit(0.9) * col("c12") / col("cw1") +
+          lit(0.1) * col("cw2") / lit(n.toDouble)) * 1e6).cast("long").as("micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("micro").as("m"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("m") / (col("n_bigrams") * 1e6), 4).as("surprisal2"))
+  }
+
   /** Language-ID heuristic: score languages by marker-word hits, deterministic
     * priority on ties. (The synthetic corpus is English-vocabulary; the *mechanism*
     * — per-language marker scoring — is what matters.)

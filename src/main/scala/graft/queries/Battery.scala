@@ -1810,6 +1810,24 @@ object Battery {
         "SELECT doc_id, count(*) AS n_toks, " +
         "round(sum(micro) / (count(*) * 1e6), 4) AS surprisal FROM m GROUP BY 1")),
 
+    ("text_surprisal_bigram", // bigram LM surprisal, unigram-interpolated
+      // (one order up from text_surprisal; CCNet uses a 5-gram KenLM) —
+      // per-position micro-nat fixed-point before the order-free doc sum;
+      // the interpolation float expr has identical operand order both engines
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.surprisalBigram(s, d),
+      Some("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "t AS (SELECT doc_id, unnest(ws) AS tok FROM d), " +
+        "uni AS (SELECT tok, count(*) AS c1 FROM t GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM t), " +
+        "b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM d, " +
+        "LATERAL (SELECT unnest(range(1, len(ws))) AS i) u), " +
+        "bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2), " +
+        "m AS (SELECT doc_id, CAST(round(-ln(0.9 * c12 / u1.c1 + 0.1 * u2.c1 / n.n) " +
+        "* 1000000) AS BIGINT) AS micro FROM b JOIN bc USING (w1, w2) " +
+        "JOIN uni u1 ON u1.tok = b.w1 JOIN uni u2 ON u2.tok = b.w2 CROSS JOIN n) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(sum(micro) / (count(*) * 1e6), 4) AS surprisal2 FROM m GROUP BY 1")),
+
     ("curate_classifier", // fastText-style linear quality classifier trained
       // IN-ENGINE: batch perceptron on integer count features (dominant
       // feature centered at its integer corpus mean), 3 unrolled epochs —

@@ -352,15 +352,21 @@ object TextStats {
       lit(" at 192.168."), pmod(col("doc_id"), lit(256)), lit("."),
       pmod(col("doc_id") * 7, lit(256)), lit(" "),
       substring(col("text"), 1, 40))
-    docs(spark, dir).select(col("doc_id"), s.as("s"))
-      .select(col("doc_id"),
-        regexp_count(col("s"), lit(PiiEmail)).as("n_email"),
-        regexp_count(col("s"), lit(PiiIp)).as("n_ip"),
-        regexp_count(col("s"), lit(PiiPhone)).as("n_phone"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("s"), PiiEmail, "<EMAIL>"),
-            PiiIp, "<IP>"),
-          PiiPhone, "<PHONE>").as("redacted"))
+    redactOf(docs(spark, dir).select(col("doc_id"), s.as("s")))
   }
+
+  /** The scrub core over an explicit (doc_id, s) frame — shared VERBATIM by
+    * the batch operator above and the ingest-time streaming twin
+    * (`StreamOps.redactStream`): stateless map-side projection, so the same
+    * plan runs unmodified per micro-batch (no watermark, no state). */
+  def redactOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      regexp_count(col("s"), lit(PiiEmail)).as("n_email"),
+      regexp_count(col("s"), lit(PiiIp)).as("n_ip"),
+      regexp_count(col("s"), lit(PiiPhone)).as("n_phone"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("s"), PiiEmail, "<EMAIL>"),
+          PiiIp, "<IP>"),
+        PiiPhone, "<PHONE>").as("redacted"))
 }

@@ -80,6 +80,13 @@ object StreamOps {
   def qualityStream(docsStream: DataFrame): DataFrame =
     graft.pipeline.TextStats.qualityOf(docsStream)
 
+  /** Ingest-time PII scrub: the batch redaction projection applied per
+    * micro-batch (stateless, map-side, no watermark — release gating happens
+    * at ingest instead of in a later batch sweep). */
+  def redactStream(docsStream: DataFrame): DataFrame =
+    graft.pipeline.TextStats.redactOf(
+      docsStream.select(col("doc_id"), col("text").as("s")))
+
   /** Streaming near-duplicate detection against a STATIC corpus: incoming
     * documents are MinHash-signed map-side (per-micro-batch projection — the
     * same zero-shuffle path as the batch operator), band-bucketed, and

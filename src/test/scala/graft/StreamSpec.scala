@@ -208,4 +208,19 @@ class StreamSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     assert(got == exp)
   }
+
+  test("streaming PII redaction equals the batch projection") {
+    val dir = "/tmp/graft_stream/docs_pii"
+    spark.read.parquet(s"$sf/documents.parquet").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val got = StreamOps.runToMemory(
+      StreamOps.redactStream(spark.readStream.schema(schema).parquet(dir)),
+      "stream_redact", OutputMode.Append)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val exp = graft.pipeline.TextStats.redactOf(
+        spark.read.parquet(dir).select(col("doc_id"), col("text").as("s")))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
 }

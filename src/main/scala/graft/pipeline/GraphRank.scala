@@ -60,4 +60,36 @@ object GraphRank {
     }
     ranks.select(col("node"), col("r").as("pr"))
   }
+
+  /** Deterministic synchronous label propagation (community detection for
+    * source/domain clustering — the graph-side complement of the embedding
+    * clustering ops): labels start as the node's own id; each of `iters`
+    * synchronized rounds relabels every node with the MOST FREQUENT label
+    * among its neighbors, ties broken to the LEXICOGRAPHICALLY SMALLEST
+    * label. The (count desc, label asc) argmax is total, so results are
+    * exact strings and a DuckDB oracle unrolling the same rounds reproduces
+    * them bit-identically — no RNG, no update-order dependence (the
+    * asynchronous-LPA nemesis).
+    *
+    * Scale shape: per round one dst-keyed equi-join (labels ⋈ symmetrized
+    * edge list) and two groupBys — (node, label) counts with map-side
+    * combine, then a per-node min_by argmax (also map-side combinable).
+    * Edges symmetrized + DISTINCT once up front (each neighbor votes once).
+    * `iters` fixed (3): bounded lineage, no checkpoint. */
+  def labelProp(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e0 = edges(spark, dir)
+    val ed = ScratchCache.persist(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    ed.count()
+    var labels = ed.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 0 until iters) {
+      labels = ed.join(labels, col("node") === col("dst"))
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(min_by(col("lab"), struct((-col("cnt")).as("nc"), col("lab"))).as("lab"))
+        .withColumnRenamed("src", "node")
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
 }

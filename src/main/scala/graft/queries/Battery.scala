@@ -1151,6 +1151,32 @@ object Battery {
         " SELECT node, r AS pr FROM r5"
       }),
 
+    ("graph_lpa", // deterministic synchronous label propagation (community
+      // detection over the entity graph): most-frequent neighbor label, ties
+      // to the smallest label — a total argmax, so 3 unrolled rounds are
+      // exact strings and the oracle reproduces them bit-identically
+      (s: SparkSession, d: String) => graft.pipeline.GraphRank.labelProp(s, d),
+      Some {
+        val it = (n: Int, p: Int) =>
+          s"l$n AS (SELECT node, lab FROM (SELECT node, lab, " +
+          "row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rk " +
+          "FROM (SELECT e.src AS node, l.lab, count(*) AS cnt FROM ed e " +
+          s"JOIN l$p l ON l.node = e.dst GROUP BY 1, 2)) WHERE rk = 1), "
+        "WITH edges0 AS (SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src, " +
+        "'c' || CAST(o_custkey AS VARCHAR) AS dst FROM orders " +
+        "UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), " +
+        "'n' || CAST(c_nationkey AS VARCHAR) FROM customer " +
+        "UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), " +
+        "'n' || CAST(s_nationkey AS VARCHAR) FROM supplier " +
+        "UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR), " +
+        "'r' || CAST(n_regionkey AS VARCHAR) FROM nation), " +
+        "ed AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges0 " +
+        "UNION ALL SELECT dst, src FROM edges0)), " +
+        "l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed), " +
+        (1 to 3).map(i => it(i, i - 1)).mkString.stripSuffix(", ") +
+        " SELECT node, lab AS community FROM l3"
+      }),
+
     ("dd_semantic", // SemDeDup (arXiv:2303.09540): coarse k-means clusters,
       // then within-cluster-only pairwise cosine; prune any vector with a
       // lower-id semantic twin (cos >= tau) in its cluster. Oracle reuses

@@ -1748,7 +1748,20 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       c.map(_._1.as(s"__agg_in_$i"))
     }
     val keyCols = keys.filter(sol.reps.contains).map(v => col(bt(v)))
-    val pre = sol.df.select((keyCols ++ inCols.flatten): _*)
+    // COUNT(DISTINCT *) counts DISTINCT SOLUTIONS of the group (§18.5.1.2:
+    // Count over Distinct(Ωg)) — distinctness over the full visible var
+    // tuple, term-identity per column (id/TermRep columns ARE term identity;
+    // companions excluded). One map-side struct; count_distinct never sees a
+    // NULL because a struct literal is non-null even when every field is.
+    val needStar = aggs.exists(a =>
+      a.fn == "count" && a.e.isEmpty && a.distinct)
+    val starCol: Seq[Column] =
+      if (!needStar) Nil
+      else {
+        val vs = sol.vars.toSeq.sorted.map(v => col(bt(v)))
+        Seq(struct((if (vs.isEmpty) Seq(lit(1)) else vs): _*).as("__agg_star"))
+      }
+    val pre = sol.df.select((keyCols ++ starCol ++ inCols.flatten): _*)
 
     val sortStruct: Int => Column = i => {
       val v = col(s"__agg_in_$i")
@@ -1761,6 +1774,8 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       val mode = cOpt.map(_._2).getOrElse("view")
       def out(j: Int, c: Column): Column = c.as(s"__agg_out_${i}_$j")
       val cs: Seq[Column] = (a.fn, mode) match {
+        case ("count", _) if cOpt.isEmpty && a.distinct =>
+          Seq(count_distinct(col("__agg_star"))) // COUNT(DISTINCT *)
         case ("count", _) if cOpt.isEmpty => Seq(count(lit(1)))
         case ("count", _) if a.distinct => Seq(count_distinct(in))
         case ("count", _) => Seq(count(in))

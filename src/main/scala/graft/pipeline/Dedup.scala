@@ -342,6 +342,60 @@ object Dedup {
       minDocs: Int = 4): DataFrame =
     boilerplate(docs(spark, dir), n, minDocs)
 
+  /** Cross-document duplicated-SPAN detection — the exact-substring-dedup
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (arXiv:2107.06499): a token w-gram occurring in ≥2
+    * DISTINCT documents marks its start position as duplicated; per doc we
+    * report total grams, duplicated positions, and the LONGEST CONSECUTIVE
+    * duplicated run (`max_run` grams ≈ a shared substring of max_run+w−1
+    * tokens — the quantity substring dedup trims on). Differs from
+    * [[boilerplate]] in both threshold (df ≥ 2: ANY cross-doc repeat, not
+    * df > minDocs boilerplate mass) and output (positional run structure,
+    * not gram fractions).
+    *
+    * Scale shape: positional grams are built MAP-SIDE from the token array
+    * (one Generate, no position self-join); the dup-gram set is an h-keyed
+    * count over per-doc-distinct (doc, h) pairs (map-side combine) rejoined
+    * to the positional stream on the same hash partitioning — the set is
+    * corpus-sized, so deliberately NO broadcast; the run structure costs one
+    * doc-keyed window over DUPLICATED positions only (a small fraction of
+    * the stream in a deduplicated corpus). Gram identity is xxhash64 — the
+    * output is hash-free, so the hash only needs within-job consistency
+    * (same convention as [[decontaminate]]). */
+  def dupSpans(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    dupSpansOf(docs(spark, dir), w)
+
+  def dupSpansOf(corpus: DataFrame, w: Int = 8): DataFrame = {
+    // materialize BEFORE posexplode: Generate re-evaluates an un-materialized
+    // lambda input per OUTPUT row (same pitfall as boilerplate/decontaminate)
+    val arr = ScratchCache.persist(
+      corpus.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), expr(
+          s"CASE WHEN size(ws) > $w THEN transform(sequence(0, size(ws) - $w - 1), " +
+          s"i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $w)))) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END").as("gs")))
+    arr.count()
+    val pos = arr.select(col("doc_id"), posexplode(col("gs")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+    val dup = pos.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("h")
+    val flagged = pos.join(dup, Seq("h"), "left_semi")
+    val tot = arr.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .filter(col("n_grams") > 0)
+    // consecutive duplicated positions share (i − row_number) — the classic
+    // gaps-and-islands grouping, computed per doc over dup positions only
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    val runs = flagged
+      .withColumn("grp", col("i") - row_number().over(wn))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+    val agg = runs.groupBy("doc_id")
+      .agg(sum("run").as("dup_grams"), max("run").as("max_run"))
+    tot.join(agg, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("dup_grams"), col("max_run"))
+  }
+
   /** [[decontaminate]] over the documents table, with the deterministic
     * doc_id % 20 == 0 slice standing in for the held-out benchmark. */
   def decontaminateDir(spark: SparkSession, dir: String, n: Int = 8,

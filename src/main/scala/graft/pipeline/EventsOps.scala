@@ -164,4 +164,25 @@ object EventsOps {
         max(col("j.k")).as("max_k"),
         count(col("j.missing")).as("n_missing"),
         count(lit(1)).as("n"))
+
+  /** First-order event-type transition matrix (the per-user behavioral
+    * Markov model: which event follows which, and with what probability).
+    * Successor pairs come from ONE lead() window pass over the user-keyed
+    * stream ordered by the TOTAL key (ts, event_id) — equal-timestamp rows
+    * tie-break deterministically — so the operator costs one hash exchange
+    * on user_id plus an in-partition sort; the matrix itself is a
+    * |types|²-row aggregate and the row-normalized probability is a window
+    * over that tiny frame. Nothing pairwise, no self-join. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val m = events(spark, dir)
+      .withColumn("next", lead(col("event_type"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("event_type").as("prev"), col("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val rows = org.apache.spark.sql.expressions.Window.partitionBy("prev")
+    m.select(col("prev"), col("next"), col("cnt"),
+      round(col("cnt") / sum("cnt").over(rows), 4).as("prob"))
+  }
 }

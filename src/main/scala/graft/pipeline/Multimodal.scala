@@ -273,4 +273,85 @@ object Multimodal {
       .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
       .select("doc_id", "width", "height", "scale", "out_w", "out_h")
   }
+
+  final case class MMHash(doc_id: Long, phash: Long)
+
+  /** Block-average perceptual hash (aHash family) of a decoded raster:
+    * grayscale = integer channel sum per pixel; the image is partitioned
+    * into a 4×3 block grid (block of pixel x is `x*4 div w` — every block
+    * nonempty since w ≥ 4, h ≥ 3); bit b is set iff the block's mean
+    * exceeds the global mean, decided by INTEGER cross-multiplication
+    * (`blockSum·totalCount > totalSum·blockCount`) so there is no float
+    * anywhere and an oracle replaying the pixel rule reproduces the hash
+    * bit-for-bit. 12-bit hash, LSB = block 0 (top-left, row-major). */
+  def phashOfPpm(payload: Array[Byte]): Long = {
+    val s = new String(payload, 0, math.min(payload.length, 32), "US-ASCII")
+    require(s.startsWith("P6\n"), "not a P6 PPM")
+    val nl2 = s.indexOf('\n', 3)
+    val nl3 = s.indexOf('\n', nl2 + 1)
+    val Array(w, h) = s.substring(3, nl2).split(" ").map(_.toInt)
+    val off = nl3 + 1
+    require(payload.length == off + w * h * 3, "truncated raster")
+    val bSum = new Array[Long](12)
+    val bCnt = new Array[Long](12)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = off + (y * w + x) * 3
+        val g = (payload(p) & 0xFF) + (payload(p + 1) & 0xFF) + (payload(p + 2) & 0xFF)
+        val blk = (y * 3 / h) * 4 + (x * 4 / w)
+        bSum(blk) += g; bCnt(blk) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val ts = bSum.sum
+    val tc = bCnt.sum
+    var hash = 0L
+    var b = 0
+    while (b < 12) {
+      if (bSum(b) * tc > ts * bCnt(b)) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  /** Image near-duplicate detection by perceptual hash — the multimodal
+    * counterpart of the text near-dup family: REAL P6/PPM decode per doc
+    * (mapPartitions batch decode, embarrassingly parallel), then hamming-≤2
+    * pairs over the 12-bit [[phashOfPpm]] signatures.
+    *
+    * Scale shape: pairs come from an LSH band equi-join — 3 bands of 4 bits;
+    * by pigeonhole any pair within hamming 2 shares at least one EXACT band,
+    * so the banding is lossless (recall 1.0) for the ≤2 cut while never
+    * comparing across buckets. Same shape as the SimHash text pairs: the
+    * only shuffle is the band-keyed self-join, verified by bit_count(xor).
+    * The 12-bit width follows the tiny synthetic rasters (4×3 grid);
+    * production images take an 8×8 grid → 64-bit hashes with 16-bit bands,
+    * where band buckets are selective — the join shape is unchanged.
+    * Output: (a, b, hamming) with a < b. */
+  def phashPairs(spark: SparkSession, dir: String, maxHam: Int = 2): DataFrame = {
+    import spark.implicits._
+    val sig = ppmRecords(spark, dir)
+      .mapPartitions(_.map(r => MMHash(r.doc_id, phashOfPpm(r.payload))))
+      .toDF()
+      .transform(ScratchCache.persist)
+    sig.count() // materialize before the band explode + self-join fan-out
+    val bandCols = (0 until 3).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("phash"), b * 4).bitwiseAND(0xF).as("bh")))
+    val banded = sig.select(col("doc_id"), col("phash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.band").as("band"),
+        col("bk.bh").as("bh"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+  }
 }

@@ -274,6 +274,32 @@ object TextStats {
         round(col("m") / (col("n_bigrams") * 1e6), 4).as("surprisal2"))
   }
 
+  /** Per-document token entropy (lexical-diversity signal — the
+    * Gopher/C4-style repetition complement: low entropy ⇒ few distinct
+    * tokens dominate the doc): H = Σ_type (c/n)·ln(n/c) in nats over the
+    * doc's own token frequency table. The per-TYPE term is fixed-pointed to
+    * integer micro-nats (c · round(ln(n/c)·1e6)) BEFORE the per-doc sum, so
+    * accumulation is an order-free INTEGER sum — same determinism device as
+    * [[surprisal]], with a per-doc (not corpus-wide) model.
+    *
+    * Scale shape: n is the map-side token-array size (no corpus aggregate,
+    * no second pass), so the whole operator is one (doc, token)-keyed count
+    * with map-side combine and one doc-keyed sum — two narrow exchanges at
+    * any corpus size. */
+  def entropy(spark: SparkSession, dir: String): DataFrame = entropyOf(docs(spark, dir))
+
+  def entropyOf(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n"),
+        explode(col("ws")).as("tok"))
+      .groupBy("doc_id", "n", "tok").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("n"),
+        (col("c") * round(log(col("n") / col("c")) * 1e6).cast("long")).as("micro"))
+      .groupBy("doc_id", "n").agg(sum("micro").as("m"))
+      .select(col("doc_id"), col("n").as("n_toks"),
+        round(col("m") / (col("n") * 1e6), 4).as("entropy"))
+
   /** Language-ID heuristic: score languages by marker-word hits, deterministic
     * priority on ties. (The synthetic corpus is English-vocabulary; the *mechanism*
     * — per-language marker scoring — is what matters.)

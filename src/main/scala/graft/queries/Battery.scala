@@ -1122,6 +1122,26 @@ object Battery {
         "FROM tot t LEFT JOIN hit USING(doc_id) " +
         "WHERE round(CAST(coalesce(hits, 0) AS DOUBLE) / n_grams, 4) >= 0.05")),
 
+    ("dd_dup_spans", // exact-substring-dedup signal (Lee et al. 2107.06499):
+      // token-8-grams in >=2 distinct docs mark positions; per doc the
+      // longest consecutive duplicated run (gaps-and-islands over positions).
+      // Raw-gram oracle convention as dd_decontaminate (xxhash64 vs raw
+      // string grams, same 1..len-8 starts)
+      (s: SparkSession, d: String) => graft.pipeline.Dedup.dupSpans(s, d),
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "g AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS h FROM t, " +
+        "LATERAL (SELECT unnest(range(1, greatest(len(ws) - 7, 1))) AS i) u), " +
+        "dg AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g) " +
+        "GROUP BY h HAVING count(*) >= 2), " +
+        "f AS (SELECT doc_id, i FROM g WHERE h IN (SELECT h FROM dg)), " +
+        "tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1), " +
+        "runs AS (SELECT doc_id, count(*) AS run FROM (SELECT doc_id, " +
+        "i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM f) " +
+        "GROUP BY doc_id, grp), " +
+        "a AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS dup_grams, " +
+        "max(run) AS max_run FROM runs GROUP BY 1) " +
+        "SELECT tot.doc_id, n_grams, dup_grams, max_run FROM tot JOIN a USING(doc_id)")),
+
     // ---- similarity search ----
     ("graph_pagerank", // link-graph centrality for source-quality weighting
       // (Common Crawl publishes link ranks for exactly this curation use):
@@ -1176,6 +1196,29 @@ object Battery {
         (1 to 3).map(i => it(i, i - 1)).mkString.stripSuffix(", ") +
         " SELECT node, lab AS community FROM l3"
       }),
+
+    ("graph_triangles", // per-node triangle count + clustering coefficient
+      // over the part co-purchase graph. Spark runs the degree-ordered
+      // node-iterator (Suri/Vassilvitskii WWW'11 — wedges bounded by
+      // sum out-deg^2, out-deg <= O(sqrt m)); the oracle counts the same
+      // triangles with the naive a<b<c triple join (identical sets — the
+      // orientation only changes WHERE each triangle is enumerated)
+      (s: SparkSession, d: String) => graft.pipeline.GraphRank.triangles(s, d),
+      Some("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p " +
+        "FROM lineitem WHERE l_orderkey % 10 = 0), " +
+        "e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x " +
+        "JOIN li y ON x.ok = y.ok AND x.p < y.p), " +
+        "tr AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 " +
+        "JOIN e e2 ON e2.a = e1.b " +
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "nt AS (SELECT node, count(*) AS tri FROM (SELECT a AS node FROM tr " +
+        "UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr) GROUP BY 1), " +
+        "deg AS (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM e " +
+        "UNION ALL SELECT b FROM e) GROUP BY 1) " +
+        "SELECT d.node AS part, d.deg, CAST(coalesce(nt.tri, 0) AS BIGINT) AS tri, " +
+        "round(CASE WHEN d.deg >= 2 THEN 2.0 * coalesce(nt.tri, 0) / " +
+        "(d.deg * (d.deg - 1)) ELSE 0.0 END, 4) AS coeff " +
+        "FROM deg d LEFT JOIN nt USING(node)")),
 
     ("dd_semantic", // SemDeDup (arXiv:2303.09540): coarse k-means clusters,
       // then within-cluster-only pairwise cosine; prune any vector with a
@@ -1606,6 +1649,18 @@ object Battery {
         "CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k, " +
         "count(props->>'$.missing') AS n_missing, count(*) AS n FROM events GROUP BY 1")),
 
+    ("ev_transitions", // first-order event-type Markov transition matrix:
+      // successor pairs from ONE lead() window over the user-keyed stream
+      // ((ts, event_id) total order), then a |types|^2 count + row-normalized
+      // probability over that tiny frame
+      (s: SparkSession, d: String) => graft.pipeline.EventsOps.transitions(s, d),
+      Some("WITH p AS (SELECT event_type AS prev, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS next FROM events), " +
+        "c AS (SELECT prev, next, count(*) AS cnt FROM p " +
+        "WHERE next IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev, next, cnt, round(cnt / sum(cnt) OVER (PARTITION BY prev), 4) " +
+        "AS prob FROM c")),
+
     // ---- multimodal plumbing (decode step stubbed; see Multimodal scaladoc) ----
     ("mm_ppm_decode", // REAL image decode (no codec library needed): valid
       // P6/PPM payloads generated per doc, decoded by parsing the binary
@@ -1690,6 +1745,31 @@ object Battery {
         "CAST(floor(width * round(256.0 / greatest(width, height), 4)) AS INTEGER) AS out_w, " +
         "CAST(floor(height * round(256.0 / greatest(width, height), 4)) AS INTEGER) AS out_h " +
         "FROM f")),
+
+    ("mm_phash_pairs", // image near-dup detection: REAL P6/PPM decode, then
+      // a 12-bit block-average perceptual hash (integer cross-multiplication
+      // threshold — no float anywhere) and hamming<=2 pairs via a 3x4-bit
+      // band join (pigeonhole-lossless for the <=2 cut). Oracle replays the
+      // cyclic pixel rule byte-for-byte and brute-forces the pairs
+      (s: SparkSession, d: String) => graft.pipeline.Multimodal.phashPairs(s, d),
+      Some("WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS nb FROM documents), " +
+        "d AS (SELECT doc_id, hx, nb, CAST(4 + nb % 12 AS BIGINT) AS w, " +
+        "CAST(3 + doc_id % 5 AS BIGINT) AS h FROM b), " +
+        "px AS (SELECT doc_id, (((i // w) * 3) // h) * 4 + (((i % w) * 4) // w) AS blk, " +
+        "CAST(('0x' || substring(hx, CAST((3 * i) % nb AS INT) * 2 + 1, 2)) AS INT) + " +
+        "CAST(('0x' || substring(hx, CAST((3 * i + 1) % nb AS INT) * 2 + 1, 2)) AS INT) + " +
+        "CAST(('0x' || substring(hx, CAST((3 * i + 2) % nb AS INT) * 2 + 1, 2)) AS INT) AS g " +
+        "FROM d, LATERAL (SELECT unnest(range(w * h)) AS i) u), " +
+        "bl AS (SELECT doc_id, blk, sum(g) AS bs, count(*) AS bc FROM px GROUP BY 1, 2), " +
+        "tot AS (SELECT doc_id, sum(bs) AS ts, sum(bc) AS tc FROM bl GROUP BY 1), " +
+        "ph AS (SELECT bl.doc_id, CAST(sum(CASE WHEN bs * tc > ts * bc " +
+        "THEN (CAST(1 AS BIGINT) << CAST(blk AS INT)) ELSE 0 END) AS BIGINT) AS phash " +
+        "FROM bl JOIN tot USING(doc_id) GROUP BY 1) " +
+        "SELECT x.doc_id AS a, y.doc_id AS b, " +
+        "CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming " +
+        "FROM ph x JOIN ph y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.phash, y.phash)) <= 2")),
 
     // ---- corpus curation (split / sample / pack / cluster-rep) ----
 
@@ -1835,6 +1915,18 @@ object Battery {
         "AS BIGINT) AS micro FROM t JOIN c USING(tok) CROSS JOIN n) " +
         "SELECT doc_id, count(*) AS n_toks, " +
         "round(sum(micro) / (count(*) * 1e6), 4) AS surprisal FROM m GROUP BY 1")),
+
+    ("text_entropy", // per-doc token entropy (lexical diversity): per-TYPE
+      // term fixed-pointed to integer micro-nats (c * round(ln(n/c)*1e6))
+      // before the order-free per-doc integer sum — surprisal's device with
+      // a per-doc model; n is the map-side token-array size (no corpus pass)
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.entropy(s, d),
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n, unnest(ws) AS tok FROM t), " +
+        "tf AS (SELECT doc_id, n, tok, count(*) AS c FROM b GROUP BY 1, 2, 3), " +
+        "m AS (SELECT doc_id, n, sum(c * CAST(round(ln(CAST(n AS DOUBLE) / c) " +
+        "* 1000000) AS BIGINT)) AS m FROM tf GROUP BY 1, 2) " +
+        "SELECT doc_id, n AS n_toks, round(m / (n * 1e6), 4) AS entropy FROM m")),
 
     ("text_surprisal_bigram", // bigram LM surprisal, unigram-interpolated
       // (one order up from text_surprisal; CCNet uses a 5-gram KenLM) —

@@ -61,6 +61,38 @@ object StreamOps {
       }
   }
 
+  final case class TransState(lastTs: Long, lastId: Long, lastType: String)
+  final case class TransPair(user_id: Long, prev: String, next: String)
+
+  /** Streaming twin of [[graft.pipeline.EventsOps.transitions]]: per-user
+    * event-type successor pairs emitted incrementally. ONE keyed state entry
+    * per user holding only the LAST event — O(|users|) state independent of
+    * stream length, no pairwise work. Within a micro-batch rows sort by the
+    * same (ts, event_id) total key as the batch window; across micro-batches
+    * the carried last-event state stitches the boundary pair, so the pair
+    * multiset equals the batch lead() pass when per-user arrival respects
+    * event-time order (the kafka-partition-by-user layout). The downstream
+    * matrix aggregate stays the same tiny (prev, next) groupBy. */
+  def transitionsStream(spark: SparkSession, events: DataFrame): Dataset[TransPair] = {
+    import spark.implicits._
+    val evs = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[Ev]
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ListBuffer[TransPair]()
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            if (st != null) out += TransPair(uid, st.lastType, e.event_type)
+            st = TransState(e.ts.getTime, e.event_id, e.event_type)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already seen
     * within the watermark horizon — the incremental twin of the batch
     * exact-dedup (one keyed state store, no pairwise work). The watermark

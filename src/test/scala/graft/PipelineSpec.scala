@@ -667,4 +667,105 @@ class PipelineSpec extends AnyFunSuite {
     m.foreach { case (id, (rep, isRep)) => assert(isRep == (id == rep)) }
     assert(m(9003L)._1 == 9003L && m(9004L)._1 == 9004L)
   }
+
+  test("phash: same text + same dims collide at hamming 0; hash is 12-bit") {
+    import spark.implicits._
+    // height = 3 + doc_id % 5: ids 10/15 share dims AND text -> identical
+    // raster -> identical phash; 9999 has disjoint bytes
+    val same = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    val other = "0123456789 !@#$%^&*() completely different byte content " * 9
+    val rows = Seq(
+      (10L, same, "en", "s", same.length.toLong),
+      (15L, same, "en", "s", same.length.toLong),
+      (9999L, other, "en", "s", other.length.toLong))
+    val dir = "/tmp/graft_phash"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sigs = Multimodal.ppmRecords(spark, dir).collect()
+      .map(r => r.doc_id -> Multimodal.phashOfPpm(r.payload)).toMap
+    assert(sigs.values.forall(h => h >= 0 && h < 4096), "12-bit range")
+    assert(sigs(10L) == sigs(15L), "same raster must hash identically")
+    val pairs = Multimodal.phashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((10L, 15L)).contains(0L), s"expected (10,15) at ham 0: $pairs")
+  }
+
+  test("entropy: single-type doc scores 0, k uniform types score ln k") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("x " * 50).trim),                        // one type -> H = 0
+      (2L, (1 to 32).map(i => s"w$i").mkString(" ")), // 32 uniform -> ln 32
+      (3L, "a a a b"))                               // 3/4,1/4 mix
+    val got = TextStats.entropyOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == (50L, 0.0))
+    assert(got(2L)._1 == 32L &&
+      math.abs(got(2L)._2 - math.log(32)) < 1e-4)
+    val h3 = 0.75 * math.log(4.0 / 3) + 0.25 * math.log(4.0)
+    assert(got(3L)._1 == 4L && math.abs(got(3L)._2 - h3) < 1e-4)
+  }
+
+  test("dup spans: shared 12-token run yields max_run 5, unshared doc absent") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ") // 12 shared tokens
+    // keep the shared run away from doc ends: the 1..len-8 start convention
+    // drops the final gram, which would clip a doc-final span's last start
+    val docs = Seq(
+      (1L, shared + " " + (1 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"b$i").mkString(" ") + " " + shared + " " +
+        (11 to 20).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "))) // nothing shared
+    val got = Dedup.dupSpansOf(docs.toDF("doc_id", "text"), 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // a 12-token shared run has 12-8+1 = 5 duplicated 8-gram starts, all
+    // consecutive: dup_grams == max_run == 5 for both members
+    assert(got(1L)._2 == 5L && got(1L)._3 == 5L, s"doc1: $got")
+    assert(got(2L)._2 == 5L && got(2L)._3 == 5L, s"doc2: $got")
+    assert(!got.contains(3L), "doc with no cross-doc grams must be absent")
+    // n_grams = len - 8 per the 1..len-8 start convention
+    assert(got(1L)._1 == 32L - 8 && got(2L)._1 == 32L - 8)
+  }
+
+  test("transitions: pair mass = events - users, probs row-normalize to 1") {
+    val e = EventsOps.events(spark, sf)
+    val n = e.count()
+    val users = e.select("user_id").distinct().count()
+    val t = EventsOps.transitions(spark, sf).collect()
+    assert(t.map(_.getLong(2)).sum == n - users,
+      "each user contributes (n_u - 1) successor pairs")
+    t.groupBy(_.getString(0)).foreach { case (prev, rows) =>
+      val p = rows.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 0.01, s"row $prev sums to $p")
+    }
+  }
+
+  test("triangles: counts match a brute-force closure of the same edge set") {
+    val got = GraphRank.triangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // rebuild the same co-purchase edge set and close it brute-force
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (for {
+      (o1, p1) <- li; (o2, p2) <- li
+      if o1 == o2 && p1 < p2
+    } yield (p1, p2)).toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj.getOrElse(b, Set.empty) if edges((a, c))) {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    assert(got.keySet == nodes, "every graph node reported")
+    nodes.foreach { v =>
+      val deg = edges.count(e => e._1 == v || e._2 == v).toLong
+      assert(got(v)._1 == deg, s"deg($v)")
+      assert(got(v)._2 == triCount(v), s"tri($v): got ${got(v)._2} exp ${triCount(v)}")
+      val coeff = if (deg >= 2) BigDecimal(2.0 * triCount(v) / (deg * (deg - 1)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+      assert(got(v)._3 == coeff, s"coeff($v)")
+    }
+  }
 }

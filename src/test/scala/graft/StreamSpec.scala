@@ -209,6 +209,17 @@ class StreamSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("streaming transition pairs aggregate to the batch transition matrix") {
+    val out = StreamOps.runToMemory(
+      StreamOps.transitionsStream(spark, stream()).toDF(),
+      "transitions", OutputMode.Append)
+    val got = out.groupBy("prev", "next").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exp = graft.pipeline.EventsOps.transitions(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == exp, s"stream pair matrix must equal batch lead() matrix")
+  }
+
   test("streaming PII redaction equals the batch projection") {
     val dir = "/tmp/graft_stream/docs_pii"
     spark.read.parquet(s"$sf/documents.parquet").write.mode("overwrite").parquet(dir)

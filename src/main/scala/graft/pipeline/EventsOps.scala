@@ -165,6 +165,41 @@ object EventsOps {
         count(col("j.missing")).as("n_missing"),
         count(lit(1)).as("n"))
 
+  /** Last-touch-window click attribution, batch twin of
+    * [[graft.streaming.StreamOps.attributeClicks]]: every (view, click) pair
+    * of the same user with the click strictly after the view and within
+    * `horizonMin` minutes. Same output contract as the streaming operator,
+    * with the lag in exact integer microseconds.
+    *
+    * Scale shape — a BINNED interval join, not a user-wide cross: both sides
+    * are keyed by (user_id, horizon-sized time bucket) and views replicate
+    * into their own and the NEXT bucket (any qualifying view for a click in
+    * bucket t started in t or t−1, since the window is one bucket long), so
+    * the equi-join only pairs events within two horizon widths — per-key work
+    * is bounded by horizon × per-user rate, never |views|×|clicks| per user.
+    * This is the batch analogue of what the watermark bound gives the
+    * stream-stream interval join. The exact interval condition filters the
+    * bucket-candidates. */
+  def attributeClicks(spark: SparkSession, dir: String,
+      horizonMin: Int = 10): DataFrame = {
+    val horizonUs = horizonMin * 60000000L
+    val e = events(spark, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("view_us"))
+      .withColumn("bkt", explode(array(floor(col("view_us") / horizonUs),
+        floor(col("view_us") / horizonUs) + 1)))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"))
+      .withColumn("bkt", floor(col("click_us") / horizonUs))
+    views.join(clicks, Seq("bkt", "user_id"))
+      .where(col("click_us") > col("view_us") &&
+        col("click_us") - col("view_us") <= horizonUs)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (col("click_us") - col("view_us")).as("lag_us"))
+  }
+
   /** First-order event-type transition matrix (the per-user behavioral
     * Markov model: which event follows which, and with what probability).
     * Successor pairs come from ONE lead() window pass over the user-keyed

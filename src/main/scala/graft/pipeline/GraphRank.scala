@@ -112,14 +112,22 @@ object GraphRank {
     * — the shape that survives power-law co-occurrence graphs. The
     * order-%10 slice bounds the local-test graph; at scale it drops.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
+  /** Undirected part co-purchase edge set (a < b, distinct): parts sharing an
+    * order are linked. The order-%10 slice bounds the local-test graph; at
+    * scale it drops. Shared by [[triangles]], [[jaccardNeighbors]] and
+    * [[components]]. */
+  private def copurchase(spark: SparkSession, dir: String): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .filter(col("l_orderkey") % 10 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    val e = ScratchCache.persist(
+    ScratchCache.persist(
       li.as("x").join(li.as("y"), Seq("ok"))
         .where(col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b")).distinct())
+  }
+
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = copurchase(spark, dir)
     val deg = ScratchCache.persist(
       e.select(col("a").as("node")).union(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg")))
@@ -150,5 +158,56 @@ object GraphRank {
         round(when(col("deg") >= 2,
           lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)))
           .otherwise(lit(0.0)), 4).as("coeff"))
+  }
+
+  /** Neighbor-set Jaccard similarity for every co-neighbor node pair of the
+    * part co-purchase graph — the link-prediction / item-similarity feature
+    * ("how alike are two parts' purchase contexts"). For each pair (a, b)
+    * sharing at least one neighbor: |N(a)∩N(b)| / (|N(a)|+|N(b)|−|∩|).
+    *
+    * Scale shape: common-neighbor counts come from ONE wedge self-join keyed
+    * on the shared center w (cost Σ deg(w)² — the exact-similarity lower
+    * bound, there is no orientation trick here because every wedge must be
+    * COUNTED, not just detected), then one (a, b)-keyed count with map-side
+    * combine and two degree equi-joins. The hub guard caps wedge centers at
+    * `maxDeg` neighbors (a super-hub contributes deg² near-zero-signal pairs;
+    * dropping it is the standard sampled-Jaccard degradation — pairs only
+    * co-counted through surviving centers). The cut is replicated in the
+    * oracle, and the jac division is one IEEE op over exact integers. */
+  def jaccardNeighbors(spark: SparkSession, dir: String,
+      maxDeg: Long = 4096L): DataFrame = {
+    val e = copurchase(spark, dir)
+    val ed = ScratchCache.persist(
+      e.select(col("a").as("node"), col("b").as("nbr"))
+        .union(e.select(col("b").as("node"), col("a").as("nbr"))))
+    val deg = ScratchCache.persist(
+      ed.groupBy("node").agg(count(lit(1)).as("deg")))
+    // wedge enumeration through non-hub centers only
+    val centers = ed.select(col("nbr").as("w"), col("node"))
+      .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
+      .where(col("dw") <= maxDeg)
+      .select(col("w"), col("node"))
+    val common = centers.select(col("w"), col("node").as("x"))
+      .join(centers.select(col("w"), col("node").as("y")), "w")
+      .where(col("x") < col("y"))
+      .groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common.join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        round(col("common") / (col("da") + col("db") - col("common")), 4).as("jac"))
+  }
+
+  /** Connected components of the part co-purchase graph, as a first-class
+    * operator (component label = min member id, + component size): the
+    * corpus-partitioning primitive under the dedup cluster family, exposed
+    * directly. Reuses [[Dedup.clustersOf]] — bounded driver union-find for
+    * output-sized pair graphs (≤500k edges), distributed GraphX
+    * connectedComponents above that. Size is one component-keyed count. */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.clustersOf(copurchase(spark, dir))
+      .select(col("doc_id").as("node"), col("keep").as("component"))
+    val sz = comp.groupBy("component").agg(count(lit(1)).as("csize"))
+    comp.join(sz, "component").select(col("node"), col("component"), col("csize"))
   }
 }

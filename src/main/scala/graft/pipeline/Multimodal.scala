@@ -175,6 +175,55 @@ object Multimodal {
     wavRecords(spark, dir).mapPartitions(_.map(r => decodeWav(r.doc_id, r.payload)))
   }
 
+  final case class MMAudioFeat(doc_id: Long, n_frames: Long, zero_cross: Long,
+      energy: Long, active_frames: Long)
+
+  /** Frame-level audio feature extraction over the REAL WAV decode path —
+    * the speech-pipeline front end (voice-activity detection, energy
+    * gating): per clip the zero-crossing count, total energy, and the number
+    * of ACTIVE frames (frame energy above `activeThresh`, frames of `frame`
+    * samples = 20 ms at 8 kHz, trailing partial frame dropped).
+    *
+    * All-integer arithmetic — samples re-centered at `mid` (100, the
+    * synthetic corpus's byte midpoint; real 8-bit PCM uses 128), energy is
+    * Σ(s−mid)² in exact longs, activity is an integer comparison — so a
+    * DuckDB oracle replaying the cyclic byte rule reproduces every value
+    * bit-for-bit. Scale shape: mapPartitions batch decode, embarrassingly
+    * parallel, one pass over the payload bytes per record. */
+  def audioFeatures(spark: SparkSession, dir: String, frame: Int = 160,
+      mid: Int = 100, activeThresh: Long = 130000L): Dataset[MMAudioFeat] = {
+    import spark.implicits._
+    wavRecords(spark, dir).mapPartitions(_.map { r =>
+      val p = r.payload
+      val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def str4(off: Int) = new String(p, off, 4, "US-ASCII")
+      require(str4(0) == "RIFF" && str4(8) == "WAVE", "not a RIFF/WAVE file")
+      require(bb.getShort(20) == 1 && bb.getShort(22) == 1 &&
+        bb.getShort(34) == 8, "not mono 8-bit PCM")
+      require(str4(36) == "data", "missing data chunk")
+      val n = bb.getInt(40)
+      require(p.length == 44 + n, "truncated data chunk")
+      val nFrames = n / frame
+      var zc = 0L; var en = 0L; var af = 0L; var fe = 0L
+      var prevAbove = false
+      var i = 0
+      while (i < n) {
+        val d = (p(44 + i) & 0xFF) - mid
+        val sq = d.toLong * d
+        en += sq
+        val above = d >= 0
+        if (i > 0 && above != prevAbove) zc += 1
+        prevAbove = above
+        if (i < nFrames * frame) {
+          fe += sq
+          if ((i + 1) % frame == 0) { if (fe > activeThresh) af += 1; fe = 0L }
+        }
+        i += 1
+      }
+      MMAudioFeat(r.doc_id, nFrames.toLong, zc, en, af)
+    })
+  }
+
   /** Build a VALID PNG payload per document with the JDK's ImageIO encoder
     * (PNG/JPEG/GIF/BMP codecs ship with every JVM — no library needed).
     * Same dimensions and cyclic sample rule as [[ppmRecords]]: raster sample

@@ -248,6 +248,29 @@ object Similarity {
         not(coalesce(col("dup"), lit(false))).as("keep"))
   }
 
+  /** K-means clustering of the embedding corpus as a FIRST-CLASS operator
+    * (vec_id → cluster id + cluster size) — the data-curation clustering
+    * primitive (topic bucketing, cluster-balanced sampling, SemDeDup's first
+    * stage) exposed directly rather than embedded in an ANN index. Reuses the
+    * deterministic integer Lloyd trainer ([[trainCoarse]]: lowest-id seeds,
+    * exact integer (sum, count) centroids, no RNG), so assignments are
+    * bit-identical to the DuckDB oracle's unrolled CTE replica.
+    *
+    * Scale shape: centroids are nLists × dim integers shipped in the task
+    * closure; assignment is map-side; the size attach is one |clusters|-row
+    * broadcast join. Training is `iters` (list, dim)-keyed groupBys. */
+  def kmeansClusters(spark: SparkSession, dir: String, nLists: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val eq = quantizedFrame(spark, dir)
+    val cents = trainCoarse(eq, nLists, iters)
+    val corpus = ScratchCache.persist(
+      eq.withColumn("cl", coarseAssignUdf(cents)(col("q")))
+        .select(col("vec_id"), col("cl")))
+    val sz = corpus.groupBy("cl").agg(count(lit(1)).as("csize"))
+    corpus.join(broadcast(sz), "cl")
+      .select(col("vec_id"), col("cl"), col("csize"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
     * partitions the corpus into `nLists` inverted lists; each query probes its
     * `nProbe` nearest lists and reranks exactly within them.

@@ -2040,7 +2040,95 @@ object Battery {
         "WHERE h IN (SELECT h FROM tr) GROUP BY 1) " +
         "SELECT t.doc_id, split, n_grams, leaked_grams, " +
         "round(CAST(leaked_grams AS DOUBLE) / n_grams, 4) AS leak_frac " +
-        "FROM tot t JOIN hit USING(doc_id) WHERE leaked_grams > 0"))
+        "FROM tot t JOIN hit USING(doc_id) WHERE leaked_grams > 0")),
+
+    ("sim_kmeans", // k-means clustering as a first-class operator (vec_id →
+      // cluster + cluster size): the deterministic integer Lloyd trainer of
+      // the IVF/SemDeDup family exposed directly; oracle reuses the
+      // unrolled-Lloyd corpus CTE verbatim
+      (s: SparkSession, d: String) => graft.pipeline.Similarity.kmeansClusters(s, d),
+      Some(ivfCorpusCte +
+        "sz AS (SELECT cl, count(*) AS csize FROM corpus GROUP BY 1) " +
+        "SELECT c.vec_id, CAST(c.cl AS INT) AS cl, sz.csize " +
+        "FROM corpus c JOIN sz USING(cl)")),
+
+    ("graph_jaccard", // neighbor-set Jaccard for co-neighbor pairs of the
+      // part co-purchase graph (link-prediction / item-similarity feature):
+      // one wedge self-join on the shared center (hub centers capped at
+      // maxDeg=4096, mirrored in the oracle), then integer common/degree
+      // counts and one IEEE division
+      (s: SparkSession, d: String) => graft.pipeline.GraphRank.jaccardNeighbors(s, d),
+      Some("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p " +
+        "FROM lineitem WHERE l_orderkey % 10 = 0), " +
+        "e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x " +
+        "JOIN li y ON x.ok = y.ok AND x.p < y.p), " +
+        "ed AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e), " +
+        "deg AS (SELECT node, count(*) AS deg FROM ed GROUP BY 1), " +
+        "cen AS (SELECT ed.nbr AS w, ed.node FROM ed " +
+        "JOIN deg dw ON dw.node = ed.nbr WHERE dw.deg <= 4096), " +
+        "cm AS (SELECT x.node AS a, y.node AS b, count(*) AS common FROM cen x " +
+        "JOIN cen y ON x.w = y.w AND x.node < y.node GROUP BY 1, 2) " +
+        "SELECT cm.a, cm.b, cm.common, round(CAST(common AS DOUBLE) / " +
+        "(da.deg + db.deg - common), 4) AS jac FROM cm " +
+        "JOIN deg da ON da.node = cm.a JOIN deg db ON db.node = cm.b")),
+
+    ("graph_components", // connected components of the co-purchase graph as
+      // a first-class operator (label = min member id, + component size);
+      // oracle closes the same graph with a recursive CTE, as the dedup
+      // cluster entries do
+      (s: SparkSession, d: String) => graft.pipeline.GraphRank.components(s, d),
+      Some("WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, " +
+        "l_partkey AS p FROM lineitem WHERE l_orderkey % 10 = 0), " +
+        "e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x " +
+        "JOIN li y ON x.ok = y.ok AND x.p < y.p), " +
+        "ed AS (SELECT a AS x, b AS y FROM e UNION SELECT b, a FROM e), " +
+        "r(n, m) AS (SELECT x AS n, x AS m FROM (SELECT x FROM ed " +
+        "UNION SELECT y FROM ed) " +
+        "UNION SELECT r.n, ed.y FROM r JOIN ed ON r.m = ed.x), " +
+        "c AS (SELECT n AS node, min(m) AS component FROM r GROUP BY 1) " +
+        "SELECT node, component, count(*) OVER (PARTITION BY component) AS csize " +
+        "FROM c")),
+
+    ("ev_attribution", // last-touch-window click attribution (batch twin of
+      // the stream-stream interval join): (view, click) pairs of one user
+      // with 0 < lag <= 10 min — Spark runs the BINNED interval join
+      // ((user, horizon-bucket) equi-keys, views replicated into bucket+1)
+      // so per-key pair work is bounded by horizon x rate, never
+      // |views|x|clicks| per user; lag in exact integer micros. 60-min
+      // horizon: the synthetic stream is sparse per user (10 min attributes
+      // almost nothing), and the bucket math is horizon-independent
+      (s: SparkSession, d: String) =>
+        graft.pipeline.EventsOps.attributeClicks(s, d, horizonMin = 60),
+      Some("SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id, " +
+        "epoch_us(c.ts) - epoch_us(v.ts) AS lag_us " +
+        "FROM events v JOIN events c ON c.user_id = v.user_id " +
+        "AND v.event_type = 'view' AND c.event_type = 'click' " +
+        "AND c.ts > v.ts AND epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000")),
+
+    ("mm_audio_features", // frame-level audio features over the REAL WAV
+      // decode (speech-pipeline front end): zero-crossing count, total
+      // energy, active 20ms-frame count — all integer arithmetic re-centered
+      // at the corpus byte midpoint; oracle replays the cyclic byte rule
+      (s: SparkSession, d: String) =>
+        graft.pipeline.Multimodal.audioFeatures(s, d).toDF(),
+      Some("WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS nb FROM documents), " +
+        "px AS (SELECT doc_id, u.i AS i, " +
+        "CAST(('0x' || substring(hx, CAST(u.i % nb AS INT) * 2 + 1, 2)) AS INT) " +
+        "- 100 AS d, nb * 3 AS n FROM b, " +
+        "LATERAL (SELECT unnest(range(nb * 3)) AS i) u), " +
+        "z AS (SELECT doc_id, CAST(sum(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS zero_cross, CAST(sum(sq) AS BIGINT) AS energy FROM " +
+        "(SELECT doc_id, (d >= 0) <> (lag(d) OVER (PARTITION BY doc_id ORDER BY i) " +
+        ">= 0) AS chg, CAST(d AS BIGINT) * d AS sq FROM px) GROUP BY 1), " +
+        "fr AS (SELECT doc_id, i // 160 AS f, sum(CAST(d AS BIGINT) * d) AS fe " +
+        "FROM px WHERE i < (n // 160) * 160 GROUP BY 1, 2), " +
+        "af AS (SELECT doc_id, CAST(count(CASE WHEN fe > 130000 THEN 1 END) " +
+        "AS BIGINT) AS active_frames FROM fr GROUP BY 1) " +
+        "SELECT b.doc_id, CAST(nb * 3 // 160 AS BIGINT) AS n_frames, " +
+        "z.zero_cross, z.energy, " +
+        "coalesce(af.active_frames, CAST(0 AS BIGINT)) AS active_frames " +
+        "FROM b JOIN z USING(doc_id) LEFT JOIN af USING(doc_id)"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -768,4 +768,121 @@ class PipelineSpec extends AnyFunSuite {
       assert(got(v)._3 == coeff, s"coeff($v)")
     }
   }
+
+  /** Brute-force co-purchase edge set shared by the jaccard/components tests. */
+  private lazy val copurchaseEdges: Set[(Long, Long)] = {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (for {
+      (o1, p1) <- li; (o2, p2) <- li
+      if o1 == o2 && p1 < p2
+    } yield (p1, p2)).toSet
+  }
+
+  test("neighbor jaccard matches brute-force set intersection") {
+    val got = GraphRank.jaccardNeighbors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val nbrs = (copurchaseEdges.toSeq ++ copurchaseEdges.toSeq.map(_.swap))
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    val exp = for {
+      a <- nbrs.keySet; b <- nbrs.keySet
+      if a < b
+      c = (nbrs(a) & nbrs(b)).size.toLong
+      if c > 0
+    } yield (a, b) -> c
+    assert(got.keySet == exp.map(_._1), "pair sets agree")
+    exp.foreach { case ((a, b), c) =>
+      assert(got((a, b))._1 == c, s"common($a,$b)")
+      val jac = BigDecimal(c.toDouble / (nbrs(a).size + nbrs(b).size - c))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((a, b))._2 == jac, s"jac($a,$b)")
+    }
+  }
+
+  test("components: labels are the min reachable node, sizes consistent") {
+    val got = GraphRank.components(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute-force closure
+    val adj = (copurchaseEdges.toSeq ++ copurchaseEdges.toSeq.map(_.swap))
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    def reach(v: Long): Set[Long] = {
+      var seen = Set(v); var frontier = Set(v)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj(_)) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    assert(got.keySet == adj.keySet, "every node reported")
+    adj.keySet.foreach { v =>
+      val comp = reach(v)
+      assert(got(v)._1 == comp.min, s"component($v)")
+      assert(got(v)._2 == comp.size.toLong, s"csize($v)")
+    }
+  }
+
+  test("attribution: binned interval join equals the naive pair predicate, incl. bucket-crossing lags") {
+    val horizonMin = 60
+    val got = EventsOps.attributeClicks(spark, sf, horizonMin).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ev = EventsOps.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val exp = (for {
+      (vid, vu, vt, vus) <- ev if vt == "view"
+      (cid, cu, ct, cus) <- ev if ct == "click"
+      if cu == vu && cus > vus && cus - vus <= horizonMin * 60000000L
+    } yield (vid, cid, cus - vus)).toSet
+    assert(got == exp, s"got ${got.size} exp ${exp.size}")
+    // the bucket replication must capture pairs whose lag spans a bucket
+    // boundary — assert the device is exercised: some attributed pair's
+    // view and click fall in DIFFERENT horizon buckets
+    val h = horizonMin * 60000000L
+    val cross = exp.exists { case (vid, cid, _) =>
+      val vus = ev.find(_._1 == vid).get._4
+      val cus = ev.find(_._1 == cid).get._4
+      vus / h != cus / h
+    }
+    assert(cross, "test corpus exercises the bucket-crossing path")
+  }
+
+  test("audio features match a scalar replay of the sample rule") {
+    val got = Multimodal.audioFeatures(spark, sf).collect()
+      .map(f => f.doc_id -> f).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.take(50).foreach { case (id, text) =>
+      val tb = text.getBytes("UTF-8")
+      val n = tb.length * 3
+      val s = Array.tabulate(n)(i => tb(i % tb.length) & 0xFF)
+      val nf = n / 160
+      val zc = (1 until n).count(i => (s(i) >= 100) != (s(i - 1) >= 100)).toLong
+      val en = s.map(v => { val d = (v - 100).toLong; d * d }).sum
+      val af = (0 until nf).count { f =>
+        (f * 160 until (f + 1) * 160)
+          .map(i => { val d = (s(i) - 100).toLong; d * d }).sum > 130000L
+      }.toLong
+      val g = got(id)
+      assert((g.n_frames, g.zero_cross, g.energy, g.active_frames) ==
+        ((nf.toLong, zc, en, af)), s"doc $id")
+    }
+  }
+
+  test("kmeans clusters agree with the IVF assignment and partition the corpus") {
+    val got = Similarity.kmeansClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(got.length.toLong == n, "every vector assigned exactly once")
+    val sizes = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (vid, cl, csize) =>
+      assert(csize == sizes(cl), s"csize($vid)") }
+    // same trainer, same assignment as SemDeDup's first stage
+    val sem = Similarity.semDedup(spark, sf).select("vec_id", "cl").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (vid, cl, _) => assert(sem(vid) == cl, s"cl($vid)") }
+  }
 }

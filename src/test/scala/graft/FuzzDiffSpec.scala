@@ -100,7 +100,16 @@ class FuzzDiffSpec extends AnyFunSuite {
             Seq(expr(scope, 0), expr(scope, 0)))
         case 2 => ECall(pick(IndexedSeq("||", "||", "&&")),
           Seq(expr(scope, depth - 1), expr(scope, depth - 1)))
-        case 3 => ECall("!", Seq(expr(scope, depth - 1)))
+        case 3 =>
+          if (chance(0.6)) ECall("!", Seq(expr(scope, depth - 1)))
+          // error-propagation corners: IF's condition is an EBV (error →
+          // whole IF errors), COALESCE skips errors, STR/STRLEN on iris/ints
+          else rnd.nextInt(3) match {
+            case 0 => ECall("if", Seq(expr(scope, depth - 1),
+              expr(scope, 0), expr(scope, 0)))
+            case 1 => ECall("coalesce", Seq(expr(scope, 0), expr(scope, 0)))
+            case 2 => ECall("strlen", Seq(ECall("str", Seq(expr(scope, 0)))))
+          }
         case 4 | 7 => ECall("bound", Seq(EVar(pick(scope.toIndexedSeq))))
         case 5 => ECall(pick(IndexedSeq("+", "-", "*")),
           Seq(expr(scope, 0), expr(scope, 0)))
@@ -141,7 +150,7 @@ class FuzzDiffSpec extends AnyFunSuite {
         return if (chance(0.75)) bgp(Nil)
         else if (chance(0.5)) table(Nil)
         else APath(node(Nil, allowLit = false), path(), node(Nil, allowLit = true))
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 => AJoin(alg(depth - 1), alg(depth - 1))
         case 1 => AUnion(alg(depth - 1), alg(depth - 1))
         case 2 =>
@@ -165,8 +174,8 @@ class FuzzDiffSpec extends AnyFunSuite {
             val keys = rnd.shuffle(in).take(1 + rnd.nextInt(2.min(in.length)))
             val nAggs = rnd.nextInt(3)
             val aggs = Seq.fill(nAggs) {
-              val fn = pick(IndexedSeq("count", "sum", "min", "max", "sample",
-                "group_concat"))
+              val fn = pick(IndexedSeq("count", "sum", "avg", "min", "max",
+                "sample", "group_concat"))
               AggSpec(freshVar(), fn,
                 if (fn == "count" && chance(0.4)) None
                 // correlated (NOT) EXISTS as the aggregate argument — the
@@ -185,6 +194,22 @@ class FuzzDiffSpec extends AnyFunSuite {
           if (in.isEmpty) c
           else AProject(c, rnd.shuffle(in).take(1 + rnd.nextInt(in.length)))
         case 9 => alg(depth - 1)
+        case 10 =>
+          // ordered slice: DISTINCT + ORDER BY every in-scope var is a TOTAL
+          // order (distinct solutions must differ in some key, and the
+          // SPARQL term order including the unbound-first rule is total), so
+          // the sliced result SET is deterministic and both engines must
+          // select identical solutions — this exercises the order comparator
+          // and OFFSET/LIMIT against the interpreter, which the fixed corpus
+          // only covers with hand-picked keys
+          val c = ADistinct(alg(depth - 1))
+          val in = Algebra.inscope(c).toSeq.sorted
+          if (in.isEmpty) c
+          else {
+            val keys = in.map(v => SortKey(EVar(v), asc = chance(0.7)))
+            ASlice(AOrderBy(c, keys), rnd.nextInt(3).toLong,
+              (1 + rnd.nextInt(5)).toLong)
+          }
       }
     }
   }

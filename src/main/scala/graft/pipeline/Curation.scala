@@ -246,4 +246,31 @@ object Curation {
           .when(col("surprisal") <= col("q2"), "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** Data-constrained epoch planning (the repeat-count side of mixture
+    * construction, à la "Scaling Data-Constrained Language Models",
+    * arXiv:2305.16264: when a domain is smaller than its budget share, repeat
+    * it — up to the point repeats stop helping, capped here at `maxRepeats`).
+    * Per source: its token mass, the per-source budget share
+    * (`budget div |sources|`), the integer repeat count
+    * `min(ceil(share / tokens), maxRepeats)`, and the planned token total.
+    * All integer arithmetic (ceil as `(share + tokens − 1) div tokens`).
+    *
+    * Scale shape: one (source)-keyed token-count aggregate (|sources| rows),
+    * one unpartitioned window over that tiny frame for the source count —
+    * map-side everything else. */
+  def repeatPlan(spark: SparkSession, dir: String, budget: Long = 100000L,
+      maxRepeats: Long = 4L): DataFrame = {
+    val d = docs(spark, dir).select(col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("nt"))
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d.groupBy("source").agg(sum("nt").as("n_tokens"))
+      .withColumn("__nsrc", count(lit(1)).over(w))
+      .withColumn("share", expr(s"${budget}L DIV __nsrc"))
+      .withColumn("repeats",
+        least(expr("(share + n_tokens - 1) DIV n_tokens"), lit(maxRepeats)))
+      .select(col("source"), col("n_tokens"), col("share"), col("repeats"),
+        (col("repeats") * col("n_tokens")).as("planned_tokens"))
+  }
 }

@@ -200,6 +200,72 @@ object EventsOps {
         (col("click_us") - col("view_us")).as("lag_us"))
   }
 
+  /** RFM (recency / frequency / monetary) user features + quartile scores —
+    * the classic behavioral feature-engineering operator. Per user: days
+    * since last activity (integer days vs the corpus max timestamp),
+    * event count, and purchase value in exact milli-units; each metric then
+    * gets an ntile(4) quartile over a TOTAL order (metric, user_id), so
+    * bucket assignment is deterministic in both engines (ANSI ntile: first
+    * n mod 4 buckets take the extra row).
+    *
+    * Scale shape: one user-keyed aggregate; the corpus max is a 1-row
+    * broadcast; the three ntiles are windows over the |users|-row frame
+    * (users ≪ events — if even that sort is too big, the production
+    * substitute is a percentile-threshold broadcast join, same outputs). */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val per = e.groupBy("user_id").agg(
+      max(unix_micros(col("ts"))).as("last_us"),
+      count(lit(1)).as("frequency"),
+      sum(when(col("event_type") === "purchase",
+        round(col("value") * 1000).cast("long")).otherwise(0L))
+        .as("monetary_milli"))
+    val mx = e.agg(max(unix_micros(col("ts"))).as("max_us"))
+    import org.apache.spark.sql.expressions.Window
+    val rW = Window.orderBy(col("recency_days").asc, col("user_id").asc)
+    val fW = Window.orderBy(col("frequency").desc, col("user_id").asc)
+    val mW = Window.orderBy(col("monetary_milli").desc, col("user_id").asc)
+    per.join(broadcast(mx))
+      .withColumn("recency_days", expr("(max_us - last_us) DIV 86400000000L"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_milli"),
+        ntile(4).over(rW).cast("long").as("r_q"),
+        ntile(4).over(fW).cast("long").as("f_q"),
+        ntile(4).over(mW).cast("long").as("m_q"))
+  }
+
+  /** A/B readout: Welch z-test on purchase value between hash-assigned
+    * experiment arms (arm = user_id mod 2). Per-arm moments (n, Σv, Σv²) are
+    * exact integers over milli-fixed values (the ev_anomaly device), so the
+    * z statistic is one fixed IEEE op chain from identical integers in both
+    * engines — micro-rounded, with a zero-variance guard (z = 0: no
+    * detectable difference, also the correct answer). |z| >= 1.96 flags 5%
+    * two-sided significance.
+    *
+    * Scale shape: one map-side projection + one 2-group moment aggregate
+    * (map-side combinable); the test itself is arithmetic over 6 integers. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).filter(col("event_type") === "purchase")
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        round(col("value") * 1000).cast("long").as("mv"))
+    val c = e.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("mv")).otherwise(0L)).as("s_a"),
+      sum(when(col("arm") === 0, col("mv") * col("mv")).otherwise(0L)).as("q_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("mv")).otherwise(0L)).as("s_b"),
+      sum(when(col("arm") === 1, col("mv") * col("mv")).otherwise(0L)).as("q_b"))
+    val mA = col("s_a").cast("double") / col("n_a")
+    val mB = col("s_b").cast("double") / col("n_b")
+    val vA = col("q_a").cast("double") / col("n_a") - mA * mA
+    val vB = col("q_b").cast("double") / col("n_b") - mB * mB
+    val se2 = vA / col("n_a") + vB / col("n_b")
+    c.select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+      when(se2 <= 0, 0L)
+        .otherwise(round((mA - mB) / sqrt(se2) * 1e6).cast("long")).as("z_micro"))
+      .withColumn("significant", abs(col("z_micro")) >= 1960000L)
+  }
+
   /** First-order event-type transition matrix (the per-user behavioral
     * Markov model: which event follows which, and with what probability).
     * Successor pairs come from ONE lead() window pass over the user-keyed

@@ -395,4 +395,29 @@ object TextStats {
           regexp_replace(col("s"), PiiEmail, "<EMAIL>"),
           PiiIp, "<IP>"),
         PiiPhone, "<PHONE>").as("redacted"))
+
+  /** Zipf rank-frequency slope of the corpus vocabulary — the corpus-health
+    * diagnostic (natural language sits near slope −1; a corpus of boilerplate
+    * or template spam flattens or steepens it). Least-squares slope of
+    * ln(count) on ln(rank) over the top-`k` tokens of [[vocabTopK]].
+    *
+    * Determinism device: each ln() is fixed-pointed to integer micro-units
+    * per term, the regression sums (Σx, Σy, Σxy, Σx²) are exact integer
+    * sums of those (order-free — bounded: k·(ln k·1e6)² ≪ 2⁶³), and the
+    * slope is one integer→double division chain, micro-rounded. The raw
+    * integer sums ride along in the output so the oracle comparison pins
+    * them exactly. Scale: everything after vocabTopK's groupBy is a k-row
+    * frame. */
+  def zipfSlope(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val v = vocabTopK(spark, dir, k)
+      .select(round(log(col("rk").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * 1e6).cast("long").as("y"))
+    val s = v.agg(count(lit(1)).as("n_terms"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    s.select(col("n_terms"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+      round((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double") * 1e6)
+        .cast("long").as("slope_micro"))
+  }
 }

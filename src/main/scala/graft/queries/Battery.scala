@@ -2128,7 +2128,83 @@ object Battery {
         "SELECT b.doc_id, CAST(nb * 3 // 160 AS BIGINT) AS n_frames, " +
         "z.zero_cross, z.energy, " +
         "coalesce(af.active_frames, CAST(0 AS BIGINT)) AS active_frames " +
-        "FROM b JOIN z USING(doc_id) LEFT JOIN af USING(doc_id)"))
+        "FROM b JOIN z USING(doc_id) LEFT JOIN af USING(doc_id)")),
+
+    ("ev_rfm", // RFM user features + deterministic quartiles: integer
+      // recency days / frequency / milli-fixed monetary from one user-keyed
+      // aggregate; ntile(4) over (metric, user_id) total orders — the ANSI
+      // first-buckets-take-the-remainder rule matches across engines
+      (s: SparkSession, d: String) => graft.pipeline.EventsOps.rfm(s, d),
+      Some("WITH per AS (SELECT user_id, max(epoch_us(ts)) AS last_us, " +
+        "count(*) AS frequency, CAST(sum(CASE WHEN event_type = 'purchase' " +
+        "THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) " +
+        "AS monetary_milli FROM events GROUP BY 1), " +
+        "mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events), " +
+        "f AS (SELECT user_id, (max_us - last_us) // 86400000000 " +
+        "AS recency_days, frequency, monetary_milli FROM per, mx) " +
+        "SELECT user_id, recency_days, frequency, monetary_milli, " +
+        "CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r_q, " +
+        "CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f_q, " +
+        "CAST(ntile(4) OVER (ORDER BY monetary_milli DESC, user_id ASC) AS BIGINT) AS m_q " +
+        "FROM f")),
+
+    ("ev_ab_test", // Welch z-test on purchase value between hash-assigned
+      // arms (arm = user_id % 2): per-arm moments are exact integers over
+      // milli-fixed values, z is ONE identical IEEE op chain in both
+      // engines, micro-rounded, zero-variance guarded; |z| >= 1.96 flags 5%
+      // two-sided significance
+      (s: SparkSession, d: String) => graft.pipeline.EventsOps.abTest(s, d),
+      Some("WITH e AS (SELECT user_id % 2 AS arm, " +
+        "CAST(round(value * 1000) AS BIGINT) AS mv FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN mv ELSE 0 END) AS BIGINT) AS s_a, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN mv * mv ELSE 0 END) AS BIGINT) AS q_a, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN mv ELSE 0 END) AS BIGINT) AS s_b, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN mv * mv ELSE 0 END) AS BIGINT) AS q_b FROM e), " +
+        "zz AS (SELECT n_a, s_a, n_b, s_b, " +
+        "(CAST(q_a AS DOUBLE) / n_a - (CAST(s_a AS DOUBLE) / n_a) * " +
+        "(CAST(s_a AS DOUBLE) / n_a)) / n_a + " +
+        "(CAST(q_b AS DOUBLE) / n_b - (CAST(s_b AS DOUBLE) / n_b) * " +
+        "(CAST(s_b AS DOUBLE) / n_b)) / n_b AS se2, " +
+        "CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS md FROM c) " +
+        "SELECT n_a, s_a, n_b, s_b, CASE WHEN se2 <= 0 THEN 0 " +
+        "ELSE CAST(round(md / sqrt(se2) * 1000000) AS BIGINT) END AS z_micro, " +
+        "abs(CASE WHEN se2 <= 0 THEN 0 ELSE CAST(round(md / sqrt(se2) " +
+        "* 1000000) AS BIGINT) END) >= 1960000 AS significant FROM zz")),
+
+    ("curate_repeat_plan", // data-constrained epoch planning
+      // (arXiv:2305.16264): per source, integer repeat count
+      // min(ceil(budget-share / tokens), 4) and the planned token total —
+      // the repeat side of mixture construction, all integer arithmetic
+      (s: SparkSession, d: String) => graft.pipeline.Curation.repeatPlan(s, d),
+      Some("WITH t AS (SELECT source, CAST(sum(len(string_split(text, ' '))) " +
+        "AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +
+        "k AS (SELECT count(*) AS k FROM t) " +
+        "SELECT source, n_tokens, CAST(100000 // k AS BIGINT) AS share, " +
+        "CAST(least((100000 // k + n_tokens - 1) // n_tokens, 4) AS BIGINT) AS repeats, " +
+        "CAST(least((100000 // k + n_tokens - 1) // n_tokens, 4) * n_tokens " +
+        "AS BIGINT) AS planned_tokens FROM t, k")),
+
+    ("text_zipf", // Zipf rank-frequency slope over the top-100 vocabulary
+      // (corpus-health diagnostic): per-term ln() fixed-pointed to integer
+      // micros, regression sums exact integers (carried in the output), the
+      // slope one integer->double division chain
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.zipfSlope(s, d),
+      Some("WITH c AS (SELECT tok, count(*) AS cnt FROM (SELECT " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1), " +
+        "r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk " +
+        "FROM c ORDER BY cnt DESC, tok LIMIT 100), " +
+        "xy AS (SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x, " +
+        "CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y FROM r), " +
+        "s AS (SELECT count(*) AS n_terms, CAST(sum(x) AS BIGINT) AS sx, " +
+        "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, " +
+        "CAST(sum(x * x) AS BIGINT) AS sxx FROM xy) " +
+        "SELECT n_terms, sx, sy, sxy, sxx, " +
+        "CAST(round(CAST(n_terms * sxy - sx * sy AS DOUBLE) / " +
+        "CAST(n_terms * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT) " +
+        "AS slope_micro FROM s"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -872,6 +872,93 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm: metrics and quartiles match a scalar replay") {
+    val got = EventsOps.rfm(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val ev = EventsOps.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), round(col("value") * 1000).cast("long").as("mv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val maxUs = ev.map(_._2).max
+    val per = ev.groupBy(_._1).map { case (u, es) =>
+      (u, (maxUs - es.map(_._2).max) / 86400000000L, es.length.toLong,
+        es.filter(_._3 == "purchase").map(_._4).sum)
+    }.toSeq
+    def quartile(ordered: Seq[Long]): Map[Long, Long] = {
+      val n = ordered.length
+      ordered.zipWithIndex.map { case (u, i) =>
+        // ANSI ntile(4): first n%4 buckets take ceil(n/4) rows
+        val big = n % 4; val base = n / 4
+        val q = if (i < big * (base + 1)) i / (base + 1)
+          else big + (i - big * (base + 1)) / base
+        u -> (q + 1).toLong
+      }.toMap
+    }
+    val rq = quartile(per.sortBy(p => (p._2, p._1)).map(_._1))
+    val fq = quartile(per.sortBy(p => (-p._3, p._1)).map(_._1))
+    val mq = quartile(per.sortBy(p => (-p._4, p._1)).map(_._1))
+    assert(got.keySet == per.map(_._1).toSet)
+    per.foreach { case (u, rec, f, m) =>
+      assert(got(u) == ((rec, f, m, rq(u), fq(u), mq(u))), s"user $u") }
+  }
+
+  test("ab test: welch z matches a scalar replay of the integer moments") {
+    val row = EventsOps.abTest(spark, sf).collect().head
+    val mv = EventsOps.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), round(col("value") * 1000).cast("long").as("mv"))
+      .collect().map(r => (r.getLong(0) % 2, r.getLong(1)))
+    def mom(arm: Long) = {
+      val vs = mv.filter(_._1 == arm).map(_._2)
+      (vs.length.toLong, vs.sum, vs.map(v => v * v).sum)
+    }
+    val (na, sa, qa) = mom(0); val (nb, sb, qb) = mom(1)
+    val mA = sa.toDouble / na; val mB = sb.toDouble / nb
+    val se2 = (qa.toDouble / na - mA * mA) / na + (qb.toDouble / nb - mB * mB) / nb
+    val z = if (se2 <= 0) 0L else math.round((mA - mB) / math.sqrt(se2) * 1e6)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((na, sa, nb, sb)))
+    assert(row.getLong(4) == z, "z_micro")
+    assert(row.getBoolean(5) == (math.abs(z) >= 1960000L), "significance cut")
+  }
+
+  test("repeat plan: integer ceil and cap match a scalar replay") {
+    val got = Curation.repeatPlan(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val share = 100000L / toks.size
+    assert(got.keySet == toks.keySet)
+    toks.foreach { case (s, nt) =>
+      val reps = math.min((share + nt - 1) / nt, 4L)
+      assert(got(s) == ((nt, share, reps, reps * nt)), s"source $s") }
+  }
+
+  test("zipf slope: integer regression sums match a scalar replay") {
+    val row = TextStats.zipfSlope(spark, sf).collect().head
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .collect().map(_.getString(0))
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    val xy = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(math.log((i + 1).toDouble) * 1e6),
+        math.round(math.log(c.toDouble) * 1e6)) }
+    val n = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum; val sxx = xy.map(p => p._1 * p._1).sum
+    val slope = math.round(
+      (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble * 1e6)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5)) == ((n, sx, sy, sxy, sxx, slope)))
+    // natural-ish corpus: slope should be clearly negative
+    assert(row.getLong(5) < 0, "zipf slope negative")
+  }
+
   test("kmeans clusters agree with the IVF assignment and partition the corpus") {
     val got = Similarity.kmeansClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))

@@ -272,4 +272,50 @@ class FuzzDiffSpec extends AnyFunSuite {
     // queries must return rows, or the differential is vacuous
     assert(nonEmpty >= checked / 4, s"only $nonEmpty/$checked non-empty results")
   }
+
+  test("serializer→parser round-trip preserves semantics on random algebra trees") {
+    // the SERVICE-shipping differential generalized from the fixed corpus:
+    // serialize each random tree with AlgebraText, re-parse, and both the
+    // original and re-parsed algebra must agree under RefInterp (restricted
+    // to the original's in-scope vars — SELECT * projects exactly those).
+    // Driver-local only: this leg needs no Spark.
+    import graft.parser.{AlgebraText, SparqlParser}
+    var checked = 0
+    var nonEmpty = 0
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    for (d <- 0 until NDatasets) {
+      val gen = new Gen(baseSeed + 104729L + d * 7919L)
+      val triples = gen.triples()
+      val ds = RefInterp.Dataset.fromQuads(
+        triples.map(t => (t._1, t._2, t._3, g)), Set(g))
+      val env = RefInterp.Env(ds, ctx, None)
+      for (q <- 0 until QueriesPer) {
+        val a0 = gen.alg(2 + gen.rnd.nextInt(2))
+        val vis = Algebra.inscope(a0)
+        val id = s"ds=$d q=$q"
+        try {
+          val text = AlgebraText.selectQuery(a0, Nil)
+          val parsed = SparqlParser.parse(text)
+          val direct = RefInterp.eval(a0, env).map(_.filter(kv => vis(kv._1)))
+          val viaText = RefInterp.eval(parsed.algebra, env)
+            .map(_.filter(kv => vis(kv._1)))
+          if (!Isomorphism.solutionsEqual(direct, viaText))
+            failures += s"$id ROUND-TRIP DIVERGE\n  algebra: $a0\n  text: $text\n" +
+              s"  direct(${direct.size}): ${direct.take(8).mkString(" | ")}\n" +
+              s"  viaText(${viaText.size}): ${viaText.take(8).mkString(" | ")}"
+          checked += 1
+          if (direct.nonEmpty) nonEmpty += 1
+        } catch {
+          case e: Exception =>
+            failures += s"$id CRASH ${e.getClass.getSimpleName}: ${e.getMessage}\n" +
+              s"  algebra: $a0\n  text: ${scala.util.Try(
+                AlgebraText.selectQuery(a0, Nil)).getOrElse("<serialize failed>")}"
+        }
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} of $checked cases failed:\n" + failures.take(5).mkString("\n\n"))
+    assert(checked == NDatasets * QueriesPer)
+    assert(nonEmpty >= checked / 4, s"only $nonEmpty/$checked non-empty results")
+  }
 }

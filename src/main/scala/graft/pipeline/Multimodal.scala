@@ -239,6 +239,18 @@ object Multimodal {
   def jpegRecords(spark: SparkSession, dir: String): Dataset[MMRecord] =
     imageRecords(spark, dir, "jpg", "image/jpeg")
 
+  /** BMP twin of [[pngRecords]] — the second lossless ImageIO codec path
+    * (uncompressed device-independent bitmap), so full pixel statistics stay
+    * value-oracle-checkable like PNG. */
+  def bmpRecords(spark: SparkSession, dir: String): Dataset[MMRecord] =
+    imageRecords(spark, dir, "bmp", "image/bmp")
+
+  /** Batch REAL BMP decode (lossless → full pixel stats are exact). */
+  def bmpFeatures(spark: SparkSession, dir: String): Dataset[MMImage] = {
+    import spark.implicits._
+    bmpRecords(spark, dir).mapPartitions(_.map(r => decodeImage(r.doc_id, r.payload)))
+  }
+
   private def imageRecords(spark: SparkSession, dir: String, fmt: String,
       mime: String): Dataset[MMRecord] = {
     import spark.implicits._

@@ -1712,6 +1712,21 @@ object Battery {
         "/ ((4 + nb % 12) * (3 + doc_id % 5) * 3), 4) AS mean_px " +
         "FROM b")),
 
+    ("mm_bmp_decode", // second lossless ImageIO codec path (uncompressed
+      // BMP): decoded dimensions, band count and full pixel statistics are
+      // exact — same cyclic-rule oracle as PNG
+      (s: SparkSession, d: String) => graft.pipeline.Multimodal.bmpFeatures(s, d).toDF(),
+      Some("WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS nb FROM documents) " +
+        "SELECT doc_id, CAST(4 + nb % 12 AS INT) AS width, " +
+        "CAST(3 + doc_id % 5 AS INT) AS height, CAST(3 AS INT) AS channels, " +
+        "round(CAST(list_aggregate(list_transform(" +
+        "range((4 + nb % 12) * (3 + doc_id % 5) * 3), " +
+        "i -> CAST(('0x' || substring(hx, CAST(i % nb AS INT) * 2 + 1, 2)) AS INT)" +
+        "), 'sum') AS DOUBLE) " +
+        "/ ((4 + nb % 12) * (3 + doc_id % 5) * 3), 4) AS mean_px " +
+        "FROM b")),
+
     ("mm_jpeg_decode", // REAL lossy-codec decode via ImageIO: JPEG pixel
       // values are decoder-implementation-dependent, so the oracle checks
       // the structural outputs (decoded dimensions, band count), which are

@@ -207,6 +207,41 @@ object StreamOps {
           .as("lag_s"))
   }
 
+  /** Continuous A/B monitor — the streaming twin of
+    * [[graft.pipeline.EventsOps.abTest]]: per event-time window, per-arm
+    * purchase-value moments (n, Σmv, Σmv² in exact milli-integers) and the
+    * Welch z for that window, emitted when the watermark finalizes it (the
+    * sequential-monitoring readout: a dashboard gets one immutable z per
+    * window). Same zero-variance guard and micro-rounding as the batch
+    * operator; state is one row per open window. */
+  def abTestStream(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val e = events.filter(col("event_type") === "purchase")
+      .select(col("ts"), pmod(col("user_id"), lit(2L)).as("arm"),
+        round(col("value") * 1000).cast("long").as("mv"))
+      .withWatermark("ts", watermark)
+    val c = e.groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("mv")).otherwise(0L)).as("s_a"),
+        sum(when(col("arm") === 0, col("mv") * col("mv")).otherwise(0L)).as("q_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("mv")).otherwise(0L)).as("s_b"),
+        sum(when(col("arm") === 1, col("mv") * col("mv")).otherwise(0L)).as("q_b"))
+    val mA = col("s_a").cast("double") / col("n_a")
+    val mB = col("s_b").cast("double") / col("n_b")
+    val se2 = (col("q_a").cast("double") / col("n_a") - mA * mA) / col("n_a") +
+      (col("q_b").cast("double") / col("n_b") - mB * mB) / col("n_b")
+    // nested CASE: the outer arm-empty guard must decide BEFORE se2 is
+    // evaluated (ANSI double division by zero raises, it does not return Inf)
+    c.select(col("w.start").as("bucket"), col("n_a"), col("s_a"),
+      col("n_b"), col("s_b"),
+      when(col("n_a") === 0 || col("n_b") === 0, 0L)
+        .otherwise(when(se2 <= 0, 0L)
+          .otherwise(round((mA - mB) / sqrt(se2) * 1e6).cast("long")))
+        .as("z_micro"))
+  }
+
   /** Drive a streaming query to completion over the static directory (test/demo
     * harness: memory sink + processAllAvailable).
     */

@@ -234,4 +234,38 @@ class StreamSpec extends AnyFunSuite {
     assert(got == exp)
     assert(got.nonEmpty)
   }
+
+  test("streaming A/B monitor matches a batch replay per window") {
+    // Complete mode so every window is visible (the static fixture never
+    // advances the watermark past the last windows)
+    val got = StreamOps.runToMemory(
+      StreamOps.abTestStream(stream()), "ab_monitor", OutputMode.Complete)
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // batch replay of the same windowed Welch z over the static frame
+    val e = graft.pipeline.EventsOps.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("us"),
+        pmod(col("user_id"), lit(2L)).as("arm"),
+        round(col("value") * 1000).cast("long").as("mv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byW = e.groupBy(t => t._1 / 3600000000L * 3600000000L)
+    assert(got.keySet.map(_.getTime * 1000L) == byW.keySet)
+    byW.foreach { case (wus, rows) =>
+      def mom(arm: Long) = {
+        val vs = rows.filter(_._2 == arm).map(_._3)
+        (vs.length.toLong, vs.sum, vs.map(v => v * v).sum)
+      }
+      val (na, sa, qa) = mom(0); val (nb, sb, qb) = mom(1)
+      val z = if (na == 0 || nb == 0) 0L else {
+        val mA = sa.toDouble / na; val mB = sb.toDouble / nb
+        val se2 = (qa.toDouble / na - mA * mA) / na +
+          (qb.toDouble / nb - mB * mB) / nb
+        if (se2 <= 0) 0L else math.round((mA - mB) / math.sqrt(se2) * 1e6)
+      }
+      val g = got.find(_._1.getTime * 1000L == wus).get._2
+      assert(g == ((na, sa, nb, sb, z)), s"window $wus")
+    }
+    assert(got.nonEmpty)
+  }
 }

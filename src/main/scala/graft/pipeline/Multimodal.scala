@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata, processed in
   * partition-sized batches through a typed Dataset pipeline.
   *
-  * REAL decode paths: P6/PPM and RIFF/WAV (pure-JVM header parsers), and
-  * PNG/JPEG via the JDK's `javax.imageio.ImageIO` codecs. Only VIDEO (mp4)
-  * lacks any JVM codec, so [[features]]' `decodeStub` remains as the
-  * documented stand-in for that one format; the Spark-side plumbing — binary
-  * column, case-class schema, mapPartitions batch shape, partition sizing —
-  * is identical to the real paths (swap `decodeStub` for a codec call).
+  * REAL decode paths for every format: P6/PPM and RIFF/WAV (pure-JVM header
+  * parsers), PNG/JPEG/BMP via the JDK's `javax.imageio.ImageIO` codecs, and
+  * MP4 via a recursive ISO-BMFF box-tree walker ([[decodeMp4]] — container/
+  * track/frame-size layer; the codec BITSTREAM inside the frames has no JVM
+  * decoder, and no output depends on it). [[features]]' `decodeStub` remains
+  * only as the generic plumbing demo — binary column, case-class schema,
+  * mapPartitions batch shape — with deterministic pseudo-features.
   */
 object Multimodal {
 
@@ -38,11 +39,11 @@ object Multimodal {
       .as[MMRecord]
   }
 
-  /** STUB decoder — stands in ONLY for formats with no JVM codec (mp4
-    * video; images and audio have real paths: [[decodePpm]], [[decodeWav]],
-    * [[decodeImage]]). A real implementation would call the video codec
-    * here, once per record, reusing per-partition decoder state.
-    * Deterministic pseudo-features keep the pipeline testable without it.
+  /** STUB decoder — the generic plumbing demo only; every real format has a
+    * real path ([[decodePpm]], [[decodeWav]], [[decodeImage]],
+    * [[decodeMp4]]). A codec-bitstream pixel decoder would slot in here,
+    * once per record, reusing per-partition decoder state. Deterministic
+    * pseudo-features keep the pipeline testable without one.
     */
   private def decodeStub(r: MMRecord): MMFeature = {
     val n = r.payload.length.toLong
@@ -304,6 +305,111 @@ object Multimodal {
   def pngFeatures(spark: SparkSession, dir: String): Dataset[MMImage] = {
     import spark.implicits._
     pngRecords(spark, dir).mapPartitions(_.map(r => decodeImage(r.doc_id, r.payload)))
+  }
+
+  final case class MMVideo(doc_id: Long, timescale: Int, duration_ticks: Long,
+      n_frames: Long, total_frame_bytes: Long, mean_frame_byte: Double)
+
+  /** Build a VALID minimal ISO-BMFF (MP4) container per document:
+    * `ftyp` + `moov{mvhd, trak{mdia{stbl{stsz}}}}` + `mdat`, with the frame
+    * COUNT and per-frame SIZES in a real `stsz` box, the timescale/duration
+    * in a real `mvhd`, and the frame payload bytes (cyclic text rule, the
+    * ppm/wav device) in `mdat`. 30 fps at timescale 600 → 20 ticks/frame;
+    * frame i's size is 50 + (doc_id + i) % 20. The box tree is genuinely
+    * nested, so a decoder must WALK it — not fixed offsets. */
+  def mp4Records(spark: SparkSession, dir: String): Dataset[MMRecord] = {
+    import spark.implicits._
+    val gen = udf { (docId: Long, text: String) =>
+      val tb = text.getBytes("UTF-8")
+      val nFrames = (1 + docId % 5).toInt
+      val sizes = Array.tabulate(nFrames)(i => (50 + (docId + i) % 20).toInt)
+      val total = sizes.sum
+      def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        bb.putInt(8 + payload.length).put(tp.getBytes("US-ASCII")).put(payload)
+        bb.array()
+      }
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++
+        Array[Byte](0, 0, 0, 0) ++ "isom".getBytes("US-ASCII"))
+      val mvhd = {
+        val bb = java.nio.ByteBuffer.allocate(100) // version-0 mvhd payload
+        bb.putInt(0) // version + flags
+          .putInt(0).putInt(0) // creation, modification
+          .putInt(600) // timescale
+          .putInt(nFrames * 20) // duration
+        box("mvhd", bb.array())
+      }
+      val stsz = {
+        val bb = java.nio.ByteBuffer.allocate(12 + 4 * nFrames)
+        bb.putInt(0).putInt(0).putInt(nFrames) // flags, sample_size=0, count
+        sizes.foreach(bb.putInt)
+        box("stsz", bb.array())
+      }
+      val moov = box("moov", mvhd ++
+        box("trak", box("mdia", box("stbl", stsz))))
+      val mdat = box("mdat", Array.tabulate(total)(i => tb(i % tb.length)))
+      ftyp ++ moov ++ mdat
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), lit("video/mp4").as("mime"),
+        gen(col("doc_id"), col("text")).as("payload"))
+      .as[MMRecord]
+  }
+
+  /** REAL ISO-BMFF container decode — a recursive box-tree walker (size +
+    * fourcc headers, nested children), extracting the movie timescale and
+    * duration from `mvhd`, the frame count and per-frame sizes from `stsz`
+    * (walked down moov→trak→mdia→stbl), and frame-byte statistics from
+    * `mdat`. This is the container/track/frame layer of a video pipeline —
+    * the part that IS pure byte parsing; only the codec-bitstream pixel
+    * decode (H.264 etc.) has no JVM implementation, and no output here
+    * depends on it. */
+  def decodeMp4(docId: Long, payload: Array[Byte]): MMVideo = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    def fourcc(off: Int) = new String(payload, off + 4, 4, "US-ASCII")
+    /** Find the first box of type `tp` among the siblings in [from, until). */
+    def find(tp: String, from: Int, until: Int): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= until) {
+        val sz = bb.getInt(off)
+        require(sz >= 8 && off + sz <= until, s"bad box size $sz at $off")
+        if (fourcc(off) == tp) return Some((off + 8, off + sz))
+        off += sz
+      }
+      None
+    }
+    def need(tp: String, range: Option[(Int, Int)]): (Int, Int) = {
+      val (f, u) = range.getOrElse(throw new IllegalArgumentException("no parent"))
+      find(tp, f, u).getOrElse(
+        throw new IllegalArgumentException(s"missing $tp box"))
+    }
+    require(find("ftyp", 0, payload.length).isDefined, "not an ISO-BMFF file")
+    val moov = need("moov", Some((0, payload.length)))
+    val mvhd = need("mvhd", Some(moov))
+    require(bb.getInt(mvhd._1) == 0, "only version-0 mvhd supported")
+    val timescale = bb.getInt(mvhd._1 + 12)
+    val duration = bb.getInt(mvhd._1 + 16).toLong
+    val stsz = need("stsz",
+      Some(need("stbl", Some(need("mdia", Some(need("trak", Some(moov))))))))
+    require(bb.getInt(stsz._1 + 4) == 0, "fixed-size stsz unsupported")
+    val n = bb.getInt(stsz._1 + 8)
+    var total = 0L
+    var i = 0
+    while (i < n) { total += bb.getInt(stsz._1 + 12 + 4 * i); i += 1 }
+    val mdat = need("mdat", Some((0, payload.length)))
+    require(mdat._2 - mdat._1 == total, "mdat length != sum of frame sizes")
+    var sum = 0L
+    var j = mdat._1
+    while (j < mdat._2) { sum += payload(j) & 0xFF; j += 1 }
+    MMVideo(docId, timescale, duration, n.toLong, total,
+      BigDecimal(sum.toDouble / total).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  /** Batch REAL MP4 container decode over partition iterators. */
+  def mp4Features(spark: SparkSession, dir: String): Dataset[MMVideo] = {
+    import spark.implicits._
+    mp4Records(spark, dir).mapPartitions(_.map(r => decodeMp4(r.doc_id, r.payload)))
   }
 
   final case class MMDims(doc_id: Long, width: Int, height: Int, channels: Int)

@@ -1737,6 +1737,27 @@ object Battery {
         "CAST(3 + doc_id % 5 AS INT) AS height, CAST(3 AS INT) AS channels " +
         "FROM documents")),
 
+    ("mm_mp4_decode", // REAL ISO-BMFF (MP4) container decode: a recursive
+      // box-tree walker extracts timescale/duration from mvhd, frame count +
+      // sizes from stsz (moov→trak→mdia→stbl), and frame-byte stats from
+      // mdat — the container/track/frame layer that IS pure byte parsing
+      // (only the codec bitstream has no JVM decoder, and nothing here
+      // depends on it). Oracle replays the generator's size + cyclic rules
+      (s: SparkSession, d: String) => graft.pipeline.Multimodal.mp4Features(s, d).toDF(),
+      Some("WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS nb, 1 + doc_id % 5 AS nf FROM documents), " +
+        "sz AS (SELECT doc_id, CAST(sum(50 + (doc_id + u.i) % 20) AS BIGINT) " +
+        "AS total FROM b, LATERAL (SELECT unnest(range(nf)) AS i) u GROUP BY 1), " +
+        "m AS (SELECT b.doc_id, sz.total, " +
+        "round(CAST(list_aggregate(list_transform(range(sz.total), " +
+        "j -> CAST(('0x' || substring(hx, CAST(j % nb AS INT) * 2 + 1, 2)) AS INT)" +
+        "), 'sum') AS DOUBLE) / sz.total, 4) AS mean_frame_byte " +
+        "FROM b JOIN sz USING(doc_id)) " +
+        "SELECT b.doc_id, CAST(600 AS INT) AS timescale, " +
+        "CAST(nf * 20 AS BIGINT) AS duration_ticks, CAST(nf AS BIGINT) AS n_frames, " +
+        "m.total AS total_frame_bytes, m.mean_frame_byte " +
+        "FROM b JOIN m ON m.doc_id = b.doc_id")),
+
     ("mm_features",
       (s: SparkSession, d: String) => graft.pipeline.Multimodal.features(s, d).toDF(),
       Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +

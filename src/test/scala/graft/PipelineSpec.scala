@@ -959,6 +959,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getLong(5) < 0, "zipf slope negative")
   }
 
+  test("mp4 container decode: box walker matches the generator and rejects corruption") {
+    val recs = Multimodal.mp4Records(spark, sf).collect()
+    val got = Multimodal.mp4Features(spark, sf).collect()
+      .map(f => f.doc_id -> f).toMap
+    recs.take(50).foreach { r =>
+      val f = got(r.doc_id)
+      val nf = 1 + r.doc_id % 5
+      assert(f.timescale == 600 && f.duration_ticks == nf * 20 &&
+        f.n_frames == nf, s"doc ${r.doc_id} header fields")
+      val total = (0L until nf).map(i => 50 + (r.doc_id + i) % 20).sum
+      assert(f.total_frame_bytes == total, s"doc ${r.doc_id} stsz sum")
+    }
+    // corruption must be detected, not silently mis-parsed
+    val p = recs.head.payload
+    val truncated = p.dropRight(1)
+    intercept[Exception](Multimodal.decodeMp4(0L, truncated))
+    val badMagic = p.clone(); badMagic(4) = 'X'
+    intercept[Exception](Multimodal.decodeMp4(0L, badMagic))
+  }
+
   test("kmeans clusters agree with the IVF assignment and partition the corpus") {
     val got = Similarity.kmeansClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))

@@ -430,7 +430,34 @@ object Dedup {
     * bounds the worst block at maxBlockDocs² candidate pairs regardless of
     * corpus size. */
   def ngramJaccardOf(d: DataFrame, n: Int = 3,
-      threshold: Double = 0.4, maxBlockDocs: Int = 4096): DataFrame = {
+      threshold: Double = 0.4, maxBlockDocs: Int = 4096): DataFrame =
+    ngramPairStats(d, n, maxBlockDocs)
+      .withColumn("jaccard", round(col("inter") /
+        (col("sa") + col("sb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+
+  /** Asymmetric near-dup (quote / subset detection): max-containment
+    * `|A∩B| / min(|A|, |B|)` over the same blocked candidate pairs as
+    * [[ngramJaccardOf]] — a short document fully quoted inside a long one
+    * scores 1.0 here while its Jaccard stays low. Same block/cap scale
+    * shape; only the finishing formula differs. */
+  def ngramContainment(spark: SparkSession, dir: String, n: Int = 3,
+      threshold: Double = 0.5, maxBlockDocs: Int = 4096): DataFrame =
+    ngramContainmentOf(docs(spark, dir), n, threshold, maxBlockDocs)
+
+  def ngramContainmentOf(d: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, maxBlockDocs: Int = 4096): DataFrame =
+    ngramPairStats(d, n, maxBlockDocs)
+      .withColumn("containment",
+        round(col("inter") / least(col("sa"), col("sb")), 4))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
+
+  /** Shared candidate-pair statistics of the blocked n-gram family:
+    * (a, b, inter, sa, sb) for every within-block doc pair. */
+  private def ngramPairStats(d: DataFrame, n: Int,
+      maxBlockDocs: Int): DataFrame = {
     // ONE row per document, computed ENTIRELY map-side: the doc's distinct
     // gram set as an array (array_distinct over the gram transform — no
     // explode, no dedup shuffle, no collect). Pair intersections are then a
@@ -474,10 +501,6 @@ object Dedup {
       .agg(max(col("inter")).as("inter"), max(col("sa")).as("sa"),
         max(col("sb")).as("sb"))
     inter
-      .withColumn("jaccard", round(col("inter") /
-        (col("sa") + col("sb") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
   }
 
   /** Doc-level (source, lenb, doc_id) block membership — the staggered

@@ -30,38 +30,83 @@ object Retrieval {
     d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
 
-  /** BM25 top-k, query-by-example: each doc with doc_id < nQueries queries
-    * the rest of the corpus with its own distinct tokens. Output
-    * (qid, nid, score_micro, rk). */
-  def bm25TopK(spark: SparkSession, dir: String, nQueries: Int = 5,
-      k: Int = 5): DataFrame = {
+  /** Corpus-side index frames: (tfs persisted, dfs, lens, totalLen, N). */
+  private def index(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, Long, Long) = {
     val d = TextStats.docs(spark, dir)
     val lens = d.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("len"))
     val agg = lens.agg(sum("len").as("tot"), count(lit(1)).as("n")).first()
-    val (tot, n) = (agg.getLong(0), agg.getLong(1))
     val tfs = ScratchCache.persist(tf(d))
     val dfs = tfs.groupBy("tok").agg(count(lit(1)).as("df"))
-    val qterms = tfs.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("qid"), col("tok"))
-    // one fixed op chain per (tf, df, len) triple, identical in the oracle:
-    // idf = ln((N - df + 0.5) / (df + 0.5) + 1)
-    // norm = (1 - b) + b * (len * N) / totalLen      [exact-integer inputs]
-    // term = idf * tf * (k1 + 1) / (tf + k1 * norm)  -> round to micro-units
+    (tfs, dfs, lens, agg.getLong(0), agg.getLong(1))
+  }
+
+  /** BM25 scoring of a (qid, tok) query-term frame against the index:
+    * one fixed op chain per (tf, df, len) triple, identical in the oracle:
+    * idf = ln((N - df + 0.5) / (df + 0.5) + 1)
+    * norm = (1 - b) + b * (len * N) / totalLen      [exact-integer inputs]
+    * term = idf * tf * (k1 + 1) / (tf + k1 * norm)  -> round to micro-units
+    * Output (qid, nid, score_micro). */
+  private def bm25Score(qterms: DataFrame, tfs: DataFrame, dfs: DataFrame,
+      lens: DataFrame, tot: Long, n: Long): DataFrame = {
     val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val norm = lit(1.0 - B) + lit(B) * (col("len") * lit(n.toDouble)) / lit(tot.toDouble)
     val term = idf * col("tf") * lit(K1 + 1.0) / (col("tf") + lit(K1) * norm)
-    val scored = qterms
+    qterms
       .join(tfs.withColumnRenamed("doc_id", "nid"), "tok")
       .filter(col("nid") =!= col("qid"))
       .join(dfs, "tok")
       .join(lens.withColumnRenamed("doc_id", "nid"), "nid")
       .select(col("qid"), col("nid"), round(term * 1e6).cast("long").as("micro"))
       .groupBy("qid", "nid").agg(sum("micro").as("score_micro"))
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("score_micro").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
+  }
+
+  /** BM25 top-k, query-by-example: each doc with doc_id < nQueries queries
+    * the rest of the corpus with its own distinct tokens. Output
+    * (qid, nid, score_micro, rk). */
+  def bm25TopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5): DataFrame = {
+    val (tfs, dfs, lens, tot, n) = index(spark, dir)
+    val qterms = tfs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("tok"))
+    topK(bm25Score(qterms, tfs, dfs, lens, tot, n), k)
+  }
+
+  /** Pseudo-relevance-feedback query expansion (RM3/Rocchio-lite, fully
+    * deterministic): run BM25, take each query's top-`fbDocs` results, rank
+    * candidate expansion terms by their summed tf across those feedback docs
+    * (an exact integer; ties on the token), add the top-`fbTerms` terms NOT
+    * already in the query, and re-score. The classic recall lever of a
+    * lexical retrieval stack. Output (qid, nid, score_micro, rk).
+    *
+    * Scale shape: two posting-list joins (the second with ≤ fbTerms more
+    * terms per query) plus one feedback join bounded by |q|·fbDocs rows —
+    * same cost family as bm25TopK, no new corpus-sized structure. */
+  def bm25Prf(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
+      fbDocs: Int = 3, fbTerms: Int = 5): DataFrame = {
+    val (tfs, dfs, lens, tot, n) = index(spark, dir)
+    val q0 = tfs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("tok"))
+      .transform(ScratchCache.persist)
+    val fb = topK(bm25Score(q0, tfs, dfs, lens, tot, n), fbDocs)
+      .select(col("qid"), col("nid"))
+    val exW = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("wt").desc, col("tok"))
+    val ex = fb.join(tfs.withColumnRenamed("doc_id", "nid"), "nid")
+      .join(q0, Seq("qid", "tok"), "left_anti")
+      .groupBy("qid", "tok").agg(sum("tf").as("wt"))
+      .withColumn("rk", row_number().over(exW)).filter(col("rk") <= fbTerms)
+      .select(col("qid"), col("tok"))
+    val q2 = q0.union(ex).distinct()
+    topK(bm25Score(q2, tfs, dfs, lens, tot, n), k)
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking

@@ -128,6 +128,31 @@ object Battery {
     "JOIN lens ON lens.doc_id = f.doc_id CROSS JOIN ag WHERE f.doc_id <> q.qid), " +
     "s AS (SELECT qid, nid, CAST(sum(micro) AS BIGINT) AS score_micro FROM sc GROUP BY 1, 2)"
 
+  /** Shared oracle-CTE prefix of the blocked n-gram family (Jaccard +
+    * containment): candidate pairs within staggered (source, length-band)
+    * blocks capped at 4096 docs, ending with `i(a, b, inter)` and `sizes`
+    * in scope. */
+  private val ngramPairCte: String =
+    "WITH g AS (SELECT DISTINCT doc_id, source, n_chars, gr FROM " +
+    "(SELECT doc_id, source, n_chars, " +
+    "unnest(list_transform(range(0, greatest(length(text) - 3, 0) + 1), " +
+    "i -> substring(text, CAST(i + 1 AS INT), 3))) AS gr FROM documents)), " +
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1), " +
+    "memb AS (SELECT DISTINCT doc_id, source, u.lenb FROM documents, " +
+    "unnest([CAST(floor(n_chars / 64.0) AS INT), " +
+    "CAST(floor((n_chars + 32) / 64.0) AS INT) + 1000000]) u(lenb)), " +
+    "over AS (SELECT source, lenb FROM memb GROUP BY 1, 2 HAVING count(*) > 4096), " +
+    "blocked AS (SELECT doc_id, b0.source, gr, b0.lenb FROM " +
+    "(SELECT doc_id, source, gr, u.lenb FROM g, " +
+    "unnest([CAST(floor(n_chars / 64.0) AS INT), " +
+    "CAST(floor((n_chars + 32) / 64.0) AS INT) + 1000000]) u(lenb)) b0 " +
+    "LEFT JOIN over o ON o.source = b0.source AND o.lenb = b0.lenb " +
+    "WHERE o.source IS NULL), " +
+    "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.gr " +
+    "FROM blocked x JOIN blocked y ON x.source = y.source " +
+    "AND x.lenb = y.lenb AND x.gr = y.gr AND x.doc_id < y.doc_id), " +
+    "i AS (SELECT a, b, count(*) AS inter FROM pairs GROUP BY 1, 2) "
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- scans / BGP / joins ----
@@ -1078,28 +1103,20 @@ object Battery {
       // mirrors Dedup.ngramOversizedBlocks). The Spark side dedups
       // xxhash64(gram) while the oracle dedups the grams themselves —
       // identical sets absent a 64-bit collision inside one document
-      Some("WITH g AS (SELECT DISTINCT doc_id, source, n_chars, gr FROM " +
-        "(SELECT doc_id, source, n_chars, " +
-        "unnest(list_transform(range(0, greatest(length(text) - 3, 0) + 1), " +
-        "i -> substring(text, CAST(i + 1 AS INT), 3))) AS gr FROM documents)), " +
-        "sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1), " +
-        "memb AS (SELECT DISTINCT doc_id, source, u.lenb FROM documents, " +
-        "unnest([CAST(floor(n_chars / 64.0) AS INT), " +
-        "CAST(floor((n_chars + 32) / 64.0) AS INT) + 1000000]) u(lenb)), " +
-        "over AS (SELECT source, lenb FROM memb GROUP BY 1, 2 HAVING count(*) > 4096), " +
-        "blocked AS (SELECT doc_id, b0.source, gr, b0.lenb FROM " +
-        "(SELECT doc_id, source, gr, u.lenb FROM g, " +
-        "unnest([CAST(floor(n_chars / 64.0) AS INT), " +
-        "CAST(floor((n_chars + 32) / 64.0) AS INT) + 1000000]) u(lenb)) b0 " +
-        "LEFT JOIN over o ON o.source = b0.source AND o.lenb = b0.lenb " +
-        "WHERE o.source IS NULL), " +
-        "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.gr " +
-        "FROM blocked x JOIN blocked y ON x.source = y.source " +
-        "AND x.lenb = y.lenb AND x.gr = y.gr AND x.doc_id < y.doc_id), " +
-        "i AS (SELECT a, b, count(*) AS inter FROM pairs GROUP BY 1, 2) " +
+      Some(ngramPairCte +
         "SELECT a, b, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard " +
         "FROM i JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
         "WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.3")),
+
+    ("dd_ngram_containment", // asymmetric near-dup (quote/subset detection):
+      // max-containment inter/min(|A|,|B|) over the SAME blocked candidate
+      // pairs — a short doc quoted inside a long one scores 1.0 while its
+      // Jaccard stays low; shares the pair-stats CTE with dd_ngram_jaccard
+      (s: SparkSession, d: String) => graft.pipeline.Dedup.ngramContainment(s, d),
+      Some(ngramPairCte +
+        "SELECT a, b, round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment " +
+        "FROM i JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
+        "WHERE round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) >= 0.5")),
 
     ("dd_decontaminate", // benchmark decontamination: corpus docs sharing
       // token-8-grams with the held-out doc_id%20==0 slice above threshold.
@@ -1247,6 +1264,35 @@ object Battery {
         " SELECT qid, nid, score_micro, rk FROM (SELECT *, " +
         "CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, nid) " +
         "AS BIGINT) AS rk FROM s) WHERE rk <= 5")),
+
+    ("ret_bm25_prf", // pseudo-relevance-feedback query expansion
+      // (RM3/Rocchio-lite): BM25 top-3 feedback docs per query, expansion
+      // terms ranked by exact integer summed-tf (ties on token, originals
+      // excluded via anti-join), top-5 added, re-scored. The oracle extends
+      // the shared BM25 CTE with the same three stages
+      (s: SparkSession, d: String) => graft.pipeline.Retrieval.bm25Prf(s, d),
+      Some("WITH " + bm25Cte(5) + ", " +
+        "fb AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY score_micro DESC, nid) AS rk FROM s) " +
+        "WHERE rk <= 3), " +
+        "exw AS (SELECT fb.qid, f.tok, CAST(sum(f.tf) AS BIGINT) AS wt " +
+        "FROM fb JOIN tf f ON f.doc_id = fb.nid " +
+        "WHERE NOT EXISTS (SELECT 1 FROM q WHERE q.qid = fb.qid AND q.tok = f.tok) " +
+        "GROUP BY 1, 2), " +
+        "ex AS (SELECT qid, tok FROM (SELECT qid, tok, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY wt DESC, tok) AS rk FROM exw) WHERE rk <= 5), " +
+        "q2 AS (SELECT qid, tok FROM q UNION SELECT qid, tok FROM ex), " +
+        "sc2 AS (SELECT q2.qid, f.doc_id AS nid, CAST(round(" +
+        "ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 / " +
+        "(tf + 1.2 * (0.25 + 0.75 * (len * CAST(n AS DOUBLE)) / CAST(tot AS DOUBLE))) " +
+        "* 1000000) AS BIGINT) AS micro " +
+        "FROM q2 JOIN tf f USING(tok) JOIN df USING(tok) " +
+        "JOIN lens ON lens.doc_id = f.doc_id CROSS JOIN ag WHERE f.doc_id <> q2.qid), " +
+        "s2 AS (SELECT qid, nid, CAST(sum(micro) AS BIGINT) AS score_micro " +
+        "FROM sc2 GROUP BY 1, 2) " +
+        "SELECT qid, nid, score_micro, rk FROM (SELECT *, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, nid) " +
+        "AS BIGINT) AS rk FROM s2) WHERE rk <= 5")),
 
     ("ret_hybrid_rrf", // hybrid retrieval: reciprocal-rank fusion of the
       // BM25 lexical top-20 and the dense cosine top-20 (doc i <-> vec i);

@@ -959,6 +959,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getLong(5) < 0, "zipf slope negative")
   }
 
+  test("ngram containment: a quoted substring scores 1.0 while jaccard stays low") {
+    import spark.implicits._
+    // non-repetitive host: every word unique, so the host's gram set is
+    // large and the quote's grams are a small fraction of it
+    val long = (0 until 150).map(i => s"word$i item$i").mkString(" ")
+    // doc 2 = a short quote of doc 1, length-padded by REPEATING itself:
+    // repetition adds no new distinct grams (beyond a few seam trigrams), so
+    // containment stays ~1.0, and the padding keeps both docs in the same
+    // length band — the blocked candidate generation pairs same-band docs
+    // (true cross-length quote detection needs a different blocking; this
+    // operator's contract is the banded one)
+    val short = long.substring(100, 213)
+    val doc2 = ((short + " ") * 40).substring(0, long.length - 10)
+    val rows = Seq(
+      (1L, long, "en", "srcQ", long.length.toLong),
+      (2L, doc2, "en", "srcQ", doc2.length.toLong))
+    val dir = "/tmp/graft_containment"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val cont = Dedup.ngramContainmentOf(d, threshold = 0.9).collect()
+    assert(cont.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getDouble(2) >= 0.9), s"containment found: ${cont.mkString}")
+    // the same pair must NOT be a symmetric near-dup at a high jaccard bar
+    val jac = Dedup.ngramJaccardOf(d, threshold = 0.9).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "jaccard correctly below the symmetric bar")
+  }
+
+  test("prf expansion changes the ranking and keeps the top-k contract") {
+    val base = Retrieval.bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prf = Retrieval.bm25Prf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // contract: 5 ranked results per query, ranks 1..5
+    prf.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"q$q ranks") }
+    // expansion must actually fire: some (qid, nid) score differs from the
+    // unexpanded run (expansion terms add posting-list contributions)
+    assert(prf.exists(p => !base.contains((p._1, p._2, p._3))),
+      "expanded scores identical to base — expansion never fired")
+  }
+
   test("mp4 container decode: box walker matches the generator and rejects corruption") {
     val recs = Multimodal.mp4Records(spark, sf).collect()
     val got = Multimodal.mp4Features(spark, sf).collect()

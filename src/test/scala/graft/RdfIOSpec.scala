@@ -260,4 +260,52 @@ class RdfIOSpec extends AnyFunSuite {
     assert(out.contains(" a "), out)
     assert(out.contains("^^xsd:dateTime") || out.contains("^^<http://www.w3.org/2001/XMLSchema#dateTime>"), out)
   }
+
+  test("fuzz: Turtle and N-Quads round-trip random term graphs (escaping corners)") {
+    import graft.model.{Term, Lit, Iri, BNode}
+    val rnd = new scala.util.Random(20260815L)
+    // the string corner cases a serializer gets wrong: quotes, backslashes,
+    // LF/CR/TAB (must be escaped in both formats), raw control chars (legal
+    // unescaped in Turtle/N-Triples strings), non-ASCII BMP + astral pairs,
+    // and the empty string
+    val weird = IndexedSeq("plain", "with \"quotes\"", "back\\slash",
+      "tab\there", "new\nline", "cr\rreturn", "uni \u00e9 \u4e2d",
+      "emoji \ud83d\ude00", "ctrl \u0001\u001f", "", "trailing\\",
+      "\"", "\\n not an escape")
+    def pick[A](xs: IndexedSeq[A]): A = xs(rnd.nextInt(xs.length))
+    val iris = IndexedSeq("http://f.ex/a", "http://f.ex/p#x",
+      "urn:x:\u00fcber", "http://f.ex/path/deep?q=1")
+    def lit(): Term = rnd.nextInt(5) match {
+      case 0 => Term.str(pick(weird))
+      case 1 => Lit(pick(weird), "http://f.ex/customDt", null)
+      case 2 => Term.langStr(pick(weird), if (rnd.nextBoolean()) "en" else "en-us")
+      // non-canonical numeric lexicals: the writer's bare-token shortcut must
+      // preserve the exact lexical form through the numeric token path
+      case 3 => Lit(pick(IndexedSeq("42", "042", "+7", "-0")), Term.xsdInteger, null)
+      case 4 => Lit(pick(IndexedSeq("1.5", "-0.25", "2.0E3", "1e5")),
+        if (rnd.nextBoolean()) Term.xsdDecimal else Term.xsdDouble, null)
+    }
+    def node(): Term = rnd.nextInt(4) match {
+      case 0 => Iri(pick(iris))
+      case 1 | 2 => BNode("b" + rnd.nextInt(4))
+      case 3 => Iri(pick(iris))
+    }
+    for (round <- 0 until 200) {
+      val ts = Seq.fill(1 + rnd.nextInt(8))(
+        (node(), Iri(pick(iris)), if (rnd.nextBoolean()) lit() else node()))
+      // Turtle: serialize → reparse → bnode-isomorphic (labels may be
+      // regrouped by the subject/predicate grouping, content must survive)
+      val ttl = sources.TurtleWriter.serialize(ts)
+      val back = RdfIO.parseTurtle(ttl)
+      assert(testkit.Isomorphism.isomorphic(ts.distinct, back.distinct),
+        s"round $round turtle diverged\n$ttl\n in: ${ts.mkString("; ")}\n out: ${back.mkString("; ")}")
+      // N-Quads: line-level exact round-trip (labels preserved verbatim)
+      ts.foreach { case (s, p, o) =>
+        val line = s"${RdfIO.serializeTerm(s)} ${RdfIO.serializeTerm(p)} ${RdfIO.serializeTerm(o)} ."
+        val parsed = RdfIO.parseLine(line)
+        assert(parsed.contains((s, p, o, None)),
+          s"round $round nquads diverged: $line -> $parsed")
+      }
+    }
+  }
 }

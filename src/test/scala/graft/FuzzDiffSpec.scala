@@ -243,6 +243,14 @@ class FuzzDiffSpec extends AnyFunSuite {
       val triples = gen.triples()
       val store = buildStore(triples)
       val comp = new Compiler(store, ctx)
+      // the reference's two-STORE device on top of the two-evaluator one:
+      // the same random dataset through the persisted bucketed layout
+      // (inline-id codec, subject bucketing) — every 3rd query re-runs
+      // against it, so codec/layout bugs surface under random shapes too
+      val pdir = s"/tmp/graft_fuzz_store/$baseSeed-$d"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pdir))
+      StorePersist.save(store, pdir, buckets = 4)
+      val pcomp = new Compiler(StorePersist.open(spark, pdir), ctx)
       val ds = RefInterp.Dataset.fromQuads(
         triples.map(t => (t._1, t._2, t._3, g)), Set(g))
       for (q <- 0 until QueriesPer) {
@@ -256,6 +264,13 @@ class FuzzDiffSpec extends AnyFunSuite {
             failures += s"$id DIVERGE\n  algebra: $a0\n  data: ${triples.mkString("; ")}\n" +
               s"  engine(${eng.size}): ${eng.take(8).mkString(" | ")}\n" +
               s"  interp(${itp.size}): ${itp.take(8).mkString(" | ")}"
+          if (q % 3 == 0) {
+            val peng = engineRows(pcomp, a)
+            if (!Isomorphism.solutionsEqual(peng, itp))
+              failures += s"$id PERSISTED-STORE DIVERGE\n  algebra: $a0\n" +
+                s"  persisted(${peng.size}): ${peng.take(8).mkString(" | ")}\n" +
+                s"  interp(${itp.size}): ${itp.take(8).mkString(" | ")}"
+          }
           checked += 1
           if (eng.nonEmpty) nonEmpty += 1
         } catch {
@@ -264,6 +279,7 @@ class FuzzDiffSpec extends AnyFunSuite {
               s"  algebra: $a0\n  data: ${triples.mkString("; ")}"
         }
       }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pdir))
     }
     assert(failures.isEmpty,
       s"${failures.size} of $checked cases failed:\n" + failures.take(5).mkString("\n\n"))

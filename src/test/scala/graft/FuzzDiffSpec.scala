@@ -37,7 +37,13 @@ class FuzzDiffSpec extends AnyFunSuite {
   private val iris = (0 until 6).map(i => Iri(s"http://f.ex/i$i"))
   private val preds = (0 until 4).map(i => s"http://f.ex/p$i")
   private val lits: IndexedSeq[Term] =
-    IndexedSeq(Term.str("a"), Term.str("b"), Term.int(1), Term.int(2), Term.int(3))
+    IndexedSeq(Term.str("a"), Term.str("b"), Term.int(1), Term.int(2), Term.int(3),
+      // float specials: NaN (all comparisons false, != true, errors nowhere),
+      // the infinities, negative zero (= 0.0 but a distinct term), and a
+      // decimal — the numeric-promotion and total-order corners
+      Lit("NaN", Term.xsdDouble, null), Lit("INF", Term.xsdDouble, null),
+      Lit("-INF", Term.xsdDouble, null), Lit("-0.0", Term.xsdDouble, null),
+      Lit("2.5", Term.xsdDecimal, null))
   private val g: Term = Iri("http://f.ex/g")
 
   private final class Gen(seed: Long) {

@@ -396,6 +396,25 @@ object TextStats {
           PiiIp, "<IP>"),
         PiiPhone, "<PHONE>").as("redacted"))
 
+  /** Per-source distinct-token cardinality by KMV sketch
+    * ([[graft.functions.KMVAgg]]) next to the exact count — the mergeable
+    * distinct-count estimator a 1000-executor pipeline uses where exact
+    * countDistinct's full shuffle is too expensive (vocabulary tracking,
+    * per-domain cardinality monitors). The sketch state is k·8 bytes per
+    * group with map-side combine; the hash is the md5-prefix integer BOTH
+    * engines share, so the estimate itself is value-oracle-checked, not
+    * just bounded. k=16 keeps the test corpus in the true estimation
+    * regime (sources here have ≥16 distinct tokens). */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"), col("tok"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    t.groupBy("source").agg(
+      graft.functions.KMVAgg(col("h"), k).as("est_distinct"),
+      countDistinct("tok").as("n_exact"))
+  }
+
   /** Zipf rank-frequency slope of the corpus vocabulary — the corpus-health
     * diagnostic (natural language sits near slope −1; a corpus of boilerplate
     * or template spam flattens or steepens it). Least-squares slope of

@@ -2269,6 +2269,25 @@ object Battery {
         "CAST(least((100000 // k + n_tokens - 1) // n_tokens, 4) * n_tokens " +
         "AS BIGINT) AS planned_tokens FROM t, k")),
 
+    ("text_kmv_distinct", // KMV distinct-count sketch (custom
+      // TypedImperativeAggregate; mergeable k-smallest-hash state) next to
+      // the exact count: est = (k-1)*2^60 // kth-smallest md5-prefix hash —
+      // the ESTIMATE is oracle-checked bit-exactly, not just bounded
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.kmvDistinct(s, d),
+      Some("WITH t AS (SELECT DISTINCT source, tok FROM (SELECT source, " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents)), " +
+        "h AS (SELECT DISTINCT source, " +
+        "CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM t), " +
+        "r AS (SELECT source, h, row_number() OVER (PARTITION BY source " +
+        "ORDER BY h) AS rk, count(*) OVER (PARTITION BY source) AS n FROM h), " +
+        "est AS (SELECT source, CASE WHEN any_value(n) < 16 THEN " +
+        "CAST(any_value(n) AS BIGINT) ELSE CAST((15 * " +
+        "CAST(1152921504606846976 AS HUGEINT)) // max(CASE WHEN rk = 16 " +
+        "THEN h END) AS BIGINT) END AS est_distinct FROM r " +
+        "WHERE rk <= 16 GROUP BY 1), " +
+        "ex AS (SELECT source, count(*) AS n_exact FROM t GROUP BY 1) " +
+        "SELECT source, est_distinct, n_exact FROM est JOIN ex USING(source)")),
+
     ("text_zipf", // Zipf rank-frequency slope over the top-100 vocabulary
       // (corpus-health diagnostic): per-term ln() fixed-pointed to integer
       // micros, regression sums exact integers (carried in the output), the

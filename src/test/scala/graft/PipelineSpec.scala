@@ -988,6 +988,29 @@ class PipelineSpec extends AnyFunSuite {
       "jaccard correctly below the symmetric bar")
   }
 
+  test("kmv sketch: exact under k, banded error above k, partition-invariant") {
+    import spark.implicits._
+    // under k distinct values the sketch IS the exact count
+    val exactK = TextStats.kmvDistinct(spark, sf, k = 100000).collect()
+    exactK.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"k > n must be exact: ${r.getString(0)}"))
+    // in the estimation regime the relative error stays in the KMV band
+    val est = TextStats.kmvDistinct(spark, sf, k = 16).collect()
+    est.foreach { r =>
+      val (e, n) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(e - n) / n < 0.8,
+        s"${r.getString(0)}: est $e vs exact $n out of band") }
+    // merge path: estimate must not depend on partitioning (update-only vs
+    // many-partition merge trees give the same k-smallest set)
+    val hs = (1 to 5000).map(i => (i % 7, i * 2654435761L & ((1L << 60) - 1)))
+    val df1 = hs.toDF("g", "h").coalesce(1)
+    val df32 = hs.toDF("g", "h").repartition(32)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(graft.functions.KMVAgg(col("h"), 16).as("est"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(agg(df1) == agg(df32), "partitioning changed the sketch estimate")
+  }
+
   test("prf expansion changes the ranking and keeps the top-k contract") {
     val base = Retrieval.bm25TopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -415,6 +415,46 @@ object TextStats {
       countDistinct("tok").as("n_exact"))
   }
 
+  /** Cross-source vocabulary OVERLAP estimated from KMV sketch sets alone
+    * (theta-style intersection): for every source pair, count the shared
+    * hashes below θ = min of the two sketches' thresholds (a side with
+    * fewer than k distinct values is exact — its θ is the full 2⁶⁰ domain)
+    * and rescale by 2⁶⁰/θ. The pairwise-overlap matrix of a 1000-domain
+    * corpus from |domains| k-hash sketches — no token-level pair join
+    * anywhere; the exact count rides along here for comparison (at scale
+    * it is exactly the join you're avoiding). All arithmetic exact BigInt,
+    * estimate oracle-checked bit-for-bit. */
+  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val full = 1L << 60
+    val t = ScratchCache.persist(docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok")).distinct())
+    val sets = t
+      .select(col("source"), col("tok"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("source")
+      .agg(graft.functions.KMVSetAgg(col("h"), k).as("ks"))
+      .withColumn("theta",
+        when(size(col("ks")) < k, lit(full)).otherwise(element_at(col("ks"), -1)))
+      .transform(ScratchCache.persist)
+    val est = udf { (c: Long, theta: Long) =>
+      ((BigInt(c) << 60) / BigInt(theta)).toLong } // |pairs|-sized frame only
+    val pairs = sets.select(col("source").as("a"), col("ks").as("ka"),
+        col("theta").as("ta"))
+      .join(sets.select(col("source").as("b"), col("ks").as("kb"),
+        col("theta").as("tb")), col("a") < col("b"))
+      .withColumn("theta", least(col("ta"), col("tb")))
+      .withColumn("c", size(filter(array_intersect(col("ka"), col("kb")),
+        x => x < col("theta"))).cast("long"))
+      .select(col("a"), col("b"), est(col("c"), col("theta")).as("est_overlap"))
+    val exact = t.select(col("source").as("a"), col("tok"))
+      .join(t.select(col("source").as("b"), col("tok")), "tok")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_exact"))
+    pairs.join(exact, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("est_overlap"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+  }
+
   /** Zipf rank-frequency slope of the corpus vocabulary — the corpus-health
     * diagnostic (natural language sits near slope −1; a corpus of boilerplate
     * or template spam flattens or steepens it). Least-squares slope of

@@ -2288,6 +2288,38 @@ object Battery {
         "ex AS (SELECT source, count(*) AS n_exact FROM t GROUP BY 1) " +
         "SELECT source, est_distinct, n_exact FROM est JOIN ex USING(source)")),
 
+    ("text_kmv_overlap", // theta-style KMV set intersection: per source
+      // pair the vocabulary overlap estimated from the two k-hash sketch
+      // sets alone (shared hashes below min-theta, rescaled 2^60/theta; an
+      // under-k side is exact with theta = the full domain) — no token-level
+      // pair join; the exact count rides along for comparison
+      (s: SparkSession, d: String) => graft.pipeline.TextStats.kmvOverlap(s, d),
+      Some("WITH t AS (SELECT DISTINCT source, tok FROM (SELECT source, " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents)), " +
+        "h AS (SELECT DISTINCT source, " +
+        "CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM t), " +
+        "r AS (SELECT source, h, row_number() OVER (PARTITION BY source " +
+        "ORDER BY h) AS rk, count(*) OVER (PARTITION BY source) AS n FROM h), " +
+        "ks AS (SELECT source, h, n FROM r WHERE rk <= 16), " +
+        "th AS (SELECT source, CASE WHEN any_value(n) < 16 THEN " +
+        "CAST(1152921504606846976 AS BIGINT) ELSE max(h) END AS theta " +
+        "FROM ks GROUP BY 1), " +
+        "p AS (SELECT ta.source AS a, tb.source AS b, " +
+        "least(ta.theta, tb.theta) AS theta FROM th ta JOIN th tb " +
+        "ON ta.source < tb.source), " +
+        "sh AS (SELECT x.source AS a, y.source AS b, x.h FROM ks x " +
+        "JOIN ks y ON y.h = x.h AND x.source < y.source), " +
+        "cc AS (SELECT sh.a, sh.b, count(*) AS c FROM sh JOIN p " +
+        "ON p.a = sh.a AND p.b = sh.b WHERE sh.h < p.theta GROUP BY 1, 2), " +
+        "ex AS (SELECT x.source AS a, y.source AS b, count(*) AS n_exact " +
+        "FROM t x JOIN t y ON y.tok = x.tok AND x.source < y.source " +
+        "GROUP BY 1, 2) " +
+        "SELECT p.a, p.b, CAST((CAST(coalesce(cc.c, 0) AS HUGEINT) * " +
+        "1152921504606846976) // p.theta AS BIGINT) AS est_overlap, " +
+        "coalesce(ex.n_exact, 0) AS n_exact FROM p " +
+        "LEFT JOIN cc ON cc.a = p.a AND cc.b = p.b " +
+        "LEFT JOIN ex ON ex.a = p.a AND ex.b = p.b")),
+
     ("text_zipf", // Zipf rank-frequency slope over the top-100 vocabulary
       // (corpus-health diagnostic): per-term ln() fixed-pointed to integer
       // micros, regression sums exact integers (carried in the output), the

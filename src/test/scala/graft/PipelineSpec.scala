@@ -1011,6 +1011,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(agg(df1) == agg(df32), "partitioning changed the sketch estimate")
   }
 
+  test("kmv overlap: exact when both sketches are exact, banded otherwise") {
+    // with k far above the vocabulary, both sketch sets are the full hash
+    // sets -> theta = the whole domain -> the estimate IS the exact overlap
+    val big = TextStats.kmvOverlap(spark, sf, k = 100000).collect()
+    big.foreach(r => assert(r.getLong(2) == r.getLong(3),
+      s"(${r.getString(0)},${r.getString(1)}): exact sketches must match"))
+    // estimation regime: relative error within the KMV band on real overlaps
+    val est = TextStats.kmvOverlap(spark, sf, k = 16).collect()
+    est.filter(_.getLong(3) >= 16).foreach { r =>
+      val (e, n) = (r.getLong(2).toDouble, r.getLong(3).toDouble)
+      assert(math.abs(e - n) / n < 0.9,
+        s"(${r.getString(0)},${r.getString(1)}): est $e vs $n out of band") }
+    assert(est.length == big.length && est.nonEmpty, "all pairs present")
+  }
+
   test("prf expansion changes the ranking and keeps the top-k contract") {
     val base = Retrieval.bm25TopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -247,6 +247,33 @@ object Curation {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Apply the [[domainMixture]] weights as a DETERMINISTIC weighted
+    * sample — the mixture-execution step: doc kept iff its content hash
+    * (uniform on [0, 2⁴⁰)) falls below `acceptance · 2⁴⁰`, where acceptance
+    * = min(1, weight · baseRate) integer-scaled to millionths. Hash-based
+    * thresholding makes the sample reproducible (re-runs keep the SAME
+    * docs — rand() would not), map-side per doc, and weight-proportional in
+    * expectation. The 40-bit domain keeps `h·10⁶ < accept·2⁴⁰` inside exact
+    * long arithmetic (both sides ≤ ~1.2e18). Output: every doc with its
+    * acceptance (ppm) and the keep flag.
+    *
+    * Scale shape: the weight table is a |sources|-row broadcast; everything
+    * else is one scan-shaped projection. */
+  def weightedSample(spark: SparkSession, dir: String,
+      baseRate: Double = 0.5): DataFrame = {
+    val w = domainMixture(spark, dir)
+      .select(col("source"), col("weight"))
+    val accept = least(round(col("weight") * baseRate * 1e6).cast("long"),
+      lit(1000000L))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("text")), 1, 10), 16, 10).cast("long").as("h"))
+      .join(broadcast(w), "source")
+      .select(col("doc_id"), col("source"),
+        accept.as("accept_ppm"),
+        (col("h") * lit(1000000L) < accept * lit(1L << 40)).as("keep"))
+  }
+
   /** Data-constrained epoch planning (the repeat-count side of mixture
     * construction, à la "Scaling Data-Constrained Language Models",
     * arXiv:2305.16264: when a domain is smaller than its budget share, repeat

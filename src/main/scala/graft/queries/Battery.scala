@@ -2288,6 +2288,24 @@ object Battery {
         "ex AS (SELECT source, count(*) AS n_exact FROM t GROUP BY 1) " +
         "SELECT source, est_distinct, n_exact FROM est JOIN ex USING(source)")),
 
+    ("curate_weighted_sample", // mixture execution: the domain-mix weights
+      // applied as a DETERMINISTIC hash-threshold sample — keep iff
+      // h(text) * 1e6 < accept_ppm * 2^40, all exact long arithmetic;
+      // reproducible where rand() would not be
+      (s: SparkSession, d: String) => graft.pipeline.Curation.weightedSample(s, d),
+      Some("WITH dd AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+        "AS nt FROM documents), " +
+        "m AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens FROM dd GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot, count(*) AS nsrc FROM m), " +
+        "w AS (SELECT source, round((1.0 / nsrc) / " +
+        "(CAST(n_tokens AS DOUBLE) / tot), 4) AS weight FROM m, tt), " +
+        "a AS (SELECT source, least(CAST(round(weight * 0.5 * 1000000) AS BIGINT), " +
+        "1000000) AS accept_ppm FROM w) " +
+        "SELECT doc_id, d2.source, accept_ppm, " +
+        "(CAST(concat('0x', substring(md5(text), 1, 10)) AS BIGINT) * 1000000) < " +
+        "(accept_ppm * 1099511627776) AS keep " +
+        "FROM documents d2 JOIN a USING(source)")),
+
     ("text_kmv_overlap", // theta-style KMV set intersection: per source
       // pair the vocabulary overlap estimated from the two k-hash sketch
       // sets alone (shared hashes below min-theta, rescaled 2^60/theta; an

@@ -242,6 +242,26 @@ object StreamOps {
         .as("z_micro"))
   }
 
+  /** Continuous cardinality monitor: per event-time window the DISTINCT-USER
+    * estimate from the KMV sketch ([[graft.functions.KMVAgg]]) next to the
+    * exact count — the streaming shape of per-window "how many uniques"
+    * dashboards. The sketch state is k·8 bytes per open window (vs the
+    * exact count's full id set — the reason sketches exist in streams); the
+    * md5-prefix hash makes the estimate deterministic, so the batch replay
+    * in StreamSpec compares it exactly. */
+  def cardinalityStream(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours", k: Int = 16): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        col("user_id"))
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(graft.functions.KMVAgg(col("h"), k).as("est_users"),
+        approx_count_distinct("user_id").as("approx_users"))
+      .select(col("w.start").as("bucket"), col("est_users"), col("approx_users"))
+
   /** Drive a streaming query to completion over the static directory (test/demo
     * harness: memory sink + processAllAvailable).
     */

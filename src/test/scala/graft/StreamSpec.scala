@@ -235,6 +235,26 @@ class StreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming cardinality monitor: KMV estimate matches a batch replay") {
+    val got = StreamOps.runToMemory(
+      StreamOps.cardinalityStream(stream()), "card_monitor", OutputMode.Complete)
+      .collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // batch replay: same expressions over the same static frame
+    val exp = graft.pipeline.EventsOps.events(spark, sf)
+      .select(col("ts"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"), col("user_id"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.KMVAgg(col("h"), 16).as("est"),
+        approx_count_distinct("user_id").as("apx"))
+      .select(col("w.start"), col("est"), col("apx"))
+      .collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp)
+    assert(got.nonEmpty)
+    // estimates are sane: nonzero where events exist
+    got.values.foreach { case (e, a) => assert(e > 0 && a > 0) }
+  }
+
   test("streaming A/B monitor matches a batch replay per window") {
     // Complete mode so every window is visible (the static fixture never
     // advances the watermark past the last windows)

@@ -412,6 +412,46 @@ object Multimodal {
     mp4Records(spark, dir).mapPartitions(_.map(r => decodeMp4(r.doc_id, r.payload)))
   }
 
+  final case class MMFrame(doc_id: Long, frame_idx: Int, size: Long,
+      is_key: Boolean)
+
+  /** Key-frame selection from the REAL container parse: per clip, one row
+    * per frame with its stsz size and the I-frame heuristic flag
+    * `size · n_frames > total_bytes` (strictly above the mean frame size,
+    * decided by integer cross-multiplication — I-frames carry a full image
+    * and dwarf the deltas; at a real sampling stage these indexes feed the
+    * codec's seek table). Map-side from the same box walk as
+    * [[mp4Features]]; no decode of the frame bitstream is needed to pick
+    * the candidates — that is the point of doing it container-side. */
+  def mp4KeyFrames(spark: SparkSession, dir: String): Dataset[MMFrame] = {
+    import spark.implicits._
+    mp4Records(spark, dir).mapPartitions(_.flatMap { r =>
+      val p = r.payload
+      val bb = java.nio.ByteBuffer.wrap(p)
+      def fourcc(off: Int) = new String(p, off + 4, 4, "US-ASCII")
+      def find(tp: String, from: Int, until: Int): (Int, Int) = {
+        var off = from
+        while (off + 8 <= until) {
+          val sz = bb.getInt(off)
+          require(sz >= 8 && off + sz <= until, s"bad box size $sz at $off")
+          if (fourcc(off) == tp) return (off + 8, off + sz)
+          off += sz
+        }
+        throw new IllegalArgumentException(s"missing $tp box")
+      }
+      val moov = find("moov", 0, p.length)
+      val stbl = { val t = find("trak", moov._1, moov._2)
+        val m = find("mdia", t._1, t._2); find("stbl", m._1, m._2) }
+      val stsz = find("stsz", stbl._1, stbl._2)
+      val n = bb.getInt(stsz._1 + 8)
+      val sizes = Array.tabulate(n)(i => bb.getInt(stsz._1 + 12 + 4 * i).toLong)
+      val total = sizes.sum
+      sizes.iterator.zipWithIndex.map { case (sz, i) =>
+        MMFrame(r.doc_id, i, sz, sz * n > total)
+      }
+    })
+  }
+
   final case class MMDims(doc_id: Long, width: Int, height: Int, channels: Int)
 
   /** Batch REAL JPEG decode, keeping only the fields deterministic under a

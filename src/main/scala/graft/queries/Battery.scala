@@ -1804,6 +1804,20 @@ object Battery {
         "m.total AS total_frame_bytes, m.mean_frame_byte " +
         "FROM b JOIN m ON m.doc_id = b.doc_id")),
 
+    ("mm_keyframes", // key-frame candidates from the container parse: one
+      // row per frame with its stsz size + the I-frame heuristic
+      // (size strictly above the clip mean, integer cross-multiplied) — no
+      // bitstream decode needed to pick them. Oracle replays the size rule
+      (s: SparkSession, d: String) =>
+        graft.pipeline.Multimodal.mp4KeyFrames(s, d).toDF(),
+      Some("WITH f AS (SELECT doc_id, 1 + doc_id % 5 AS nf FROM documents), " +
+        "fr AS (SELECT doc_id, CAST(u.i AS INT) AS frame_idx, " +
+        "CAST(50 + (doc_id + u.i) % 20 AS BIGINT) AS size, nf FROM f, " +
+        "LATERAL (SELECT unnest(range(nf)) AS i) u), " +
+        "tt AS (SELECT doc_id, sum(size) AS total FROM fr GROUP BY 1) " +
+        "SELECT fr.doc_id, frame_idx, size, size * nf > total AS is_key " +
+        "FROM fr JOIN tt USING(doc_id)")),
+
     ("mm_features",
       (s: SparkSession, d: String) => graft.pipeline.Multimodal.features(s, d).toDF(),
       Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +

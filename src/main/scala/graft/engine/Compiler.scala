@@ -2218,7 +2218,17 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         case _ => throw new IllegalArgumentException("empty NPS")
       }
     case PPlus(p) => closure(s, p, o, g, includeZero = false)
-    case PStar(p) => closure(s, p, o, g, includeZero = true)
+    case PStar(p) =>
+      // a constant endpoint with NO dictionary id is absent from the graph:
+      // no edge can reach it, so the ONLY possible solution is the
+      // zero-length one (ALP includes the start term unconditionally) —
+      // and the id-space closure could not represent that row anyway
+      def absent(n: Node): Boolean = n match {
+        case T(t) => store.idOf(t).isEmpty
+        case _ => false
+      }
+      if (absent(s) || absent(o)) zeroLength(s, o, g)
+      else closure(s, p, o, g, includeZero = true)
     case PZeroOne(p) =>
       val one = compilePath(s, p, o, g)
       unionSols(zeroLength(s, o, g), one) match { case u =>
@@ -2254,23 +2264,36 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     q.select(col("s").as("t")).union(q.select(col("o").as("t"))).dropDuplicates()
   }
 
+  /** One-row solution binding `v` to the constant term `t`, even when the
+    * term has no dictionary id (absent from the graph): SPARQL 1.1 §18.4's
+    * ALP procedure puts the start term in the result set UNCONDITIONALLY
+    * (`R := R ∪ {x}` before any step), so `?x p* <notInGraph>` must yield
+    * x = <notInGraph>. With no id available the row is emitted in STRUCT
+    * space (TermRep) — mixed-rep joins/unions convert as needed. */
+  private def constRow(v: String, t: Term): Sol = store.idOf(t) match {
+    case Some(id) =>
+      Sol(spark.range(1).select(lit(id).as(v)), Map(v -> IdRep), Set(v), Set.empty)
+    case None =>
+      val schema = StructType(Seq(StructField(v, TermRow.schema, nullable = true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(TermRow.toRow(t))), 1), schema)
+      Sol(df, Map(v -> TermRep), Set(v), Set.empty, consts = Map(v -> Seq(t)),
+        card = Some(1L))
+  }
+
   private def zeroLength(s: Node, o: Node, g: Node): Sol = (s, o) match {
     case (V(sn), V(on)) =>
       val t = graphTerms(g)
       Sol(t.select(col("t").as(sn), col("t").as(on)),
         Map(sn -> IdRep, on -> IdRep), Set(sn, on), Set.empty)
-    case (V(sn), T(t)) =>
-      val id = store.idOf(t)
-      val df = spark.range(1).select(lit(id.getOrElse(-1L)).as(sn))
-      Sol(if (id.isDefined) df else df.filter(lit(false)), Map(sn -> IdRep), Set(sn), Set.empty)
-    case (T(t), V(on)) =>
-      val id = store.idOf(t)
-      val df = spark.range(1).select(lit(id.getOrElse(-1L)).as(on))
-      Sol(if (id.isDefined) df else df.filter(lit(false)), Map(on -> IdRep), Set(on), Set.empty)
+    case (V(sn), T(t)) => constRow(sn, t)
+    case (T(t), V(on)) => constRow(on, t)
     case (T(t1), T(t2)) =>
-      val same = t1 == t2 && store.idOf(t1).isDefined
+      // term equality decides the zero-length match; graph membership is
+      // irrelevant (ALP includes the start node before any step)
       val df = spark.range(1).select(lit(1).as("__one"))
-      Sol(if (same) df.select() else df.select().filter(lit(false)), Map.empty, Set.empty, Set.empty)
+      Sol(if (t1 == t2) df.select() else df.select().filter(lit(false)),
+        Map.empty, Set.empty, Set.empty)
   }
 
   /** Iterative fixpoint for p+ / p*. Seeds from a bound subject/object when

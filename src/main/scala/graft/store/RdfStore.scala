@@ -171,6 +171,11 @@ object StoreEncoder {
       // disables the predicate's decExact flag and with it the fast path
       col("o.lex").try_cast(org.apache.spark.sql.types.DecimalType(38, 18))
         .as("odec"))
+      // RDF graphs are SETS of triples: duplicate input quads collapse at
+      // load (ids preserve term identity incl. lexical form, so id-tuple
+      // dedup IS term dedup; onum/odec are functions of o). One exchange at
+      // load time, same family as the dictionary distinct above.
+      .dropDuplicates("s", "p", "o", "g")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val graphs = quads.select("g").distinct().collect().map(_.getLong(0)).toSeq
     val (profiles, spg) = RdfStore.computeProfiles(quads)

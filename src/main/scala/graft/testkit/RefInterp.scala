@@ -54,7 +54,9 @@ object RefInterp {
     def fromQuads(quads: Seq[(Term, Term, Term, Term)], defaults: Set[Term]): Dataset = {
       def n(t: Term): Term = TermRow.fromRow(TermRow.toRow(t))
       val by = quads.groupBy(q => n(q._4)).map { case (g, qs) =>
-        g -> qs.map(q => (n(q._1), n(q._2), n(q._3))).toIndexedSeq
+        // RDF graphs are SETS: duplicate input quads collapse (mirrors
+        // StoreEncoder.encode's id-tuple dedup)
+        g -> qs.map(q => (n(q._1), n(q._2), n(q._3))).distinct.toIndexedSeq
       }
       Dataset(by, defaults.map(n))
     }

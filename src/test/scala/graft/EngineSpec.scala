@@ -883,4 +883,53 @@ class EngineSpec extends AnyFunSuite {
       m.invoke(spark.sparkContext, None)
     }
   }
+
+  test("zero-length paths match constant endpoints ABSENT from the graph (fuzzer find)") {
+    // SPARQL 1.1 §18.4 ALP puts the start term in the result set before any
+    // step, so `?x p* <absent>` yields x = <absent> even though no quad
+    // mentions it — including id-less literals like NaN (term equality, not
+    // IEEE equality, decides the zero-length match)
+    val ex = "http://example.org/"
+    def rows(a: Algebra) =
+      Results.materialize(tcomp, tcomp.compile(Rewriter.rewrite(a))).collect()
+    val absentIri = T(Iri(ex + "not-in-graph"))
+    val nan = T(Lit("NaN", Term.xsdDouble, null))
+    // ?x knows* <absent> → exactly the zero-length row
+    val r1 = rows(APath(V("x"), PStar(PLink(ex + "knows")), absentIri))
+    assert(r1.map(_.getStruct(0).getString(1)).toSeq == Seq(ex + "not-in-graph"))
+    // ?x knows* "NaN"^^xsd:double → x = the NaN literal
+    val r2 = rows(APath(V("x"), PStar(PLink(ex + "knows")), nan))
+    assert(r2.length == 1 && r2.head.getStruct(0).getString(1) == "NaN")
+    // <absent> knows* <absent> → one (empty) solution; different constants → none
+    assert(rows(APath(absentIri, PStar(PLink(ex + "knows")), absentIri)).length == 1)
+    assert(rows(APath(absentIri, PStar(PLink(ex + "knows")), T(Iri(ex + "s1")))).isEmpty)
+    // zero-or-one behaves the same on the zero branch
+    val r3 = rows(APath(V("x"), PZeroOne(PLink(ex + "knows")), nan))
+    assert(r3.length == 1 && r3.head.getStruct(0).getString(1) == "NaN")
+    // and one-or-more does NOT manufacture the zero-length row
+    assert(rows(APath(V("x"), PPlus(PLink(ex + "knows")), absentIri)).isEmpty)
+  }
+
+  test("duplicate input quads collapse at load: RDF graphs are sets (fuzzer find)") {
+    val ex = "http://example.org/"
+    def iri(s: String) = Iri(ex + s)
+    val g = iri("g")
+    val dup: Seq[(Term, Term, Term, Term)] = Seq(
+      (iri("a"), iri("p"), iri("b"), g),
+      (iri("a"), iri("p"), iri("b"), g), // byte-identical duplicate
+      (iri("a"), iri("p"), Term.str("x"), g),
+      // same value, different lexical form: NOT a duplicate (term identity)
+      (iri("a"), iri("q"), Term.int(1), g),
+      (iri("a"), iri("q"), Lit("01", Term.xsdInteger, null), g))
+    val schema = StructType(Seq("s", "p", "o", "g").map(n =>
+      StructField(n, TermRow.schema, nullable = true)))
+    val rows = dup.map { case (s, pp, o, gg) =>
+      Row(TermRow.toRow(s), TermRow.toRow(pp), TermRow.toRow(o), TermRow.toRow(gg)) }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val store = StoreEncoder.encode(df, IriScheme.default)
+    assert(store.quads.count() == 4, "duplicate quad must collapse; lexical variants must not")
+    val c = new Compiler(store, ExprEval.Ctx(nowEpochUs = 0L))
+    val sol = c.compile(BGP(Seq(QuadPattern(V("s"), N.iri(ex + "p"), V("o")))))
+    assert(sol.df.count() == 2, "BGP over the deduped store")
+  }
 }

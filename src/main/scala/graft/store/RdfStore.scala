@@ -222,6 +222,13 @@ object StoreEncoder {
       col("oid").as("o"), col("gid").as("g"), col("o.num").as("onum"),
       col("o.lex").try_cast(org.apache.spark.sql.types.DecimalType(38, 18))
         .as("odec"))
+      // set semantics on insert (same contract as encode's load-time dedup):
+      // dedup WITHIN the batch, then drop quads already present — an
+      // anti-join keyed on the id tuple, so the cost scales with the BATCH,
+      // not with a full-store re-shuffle
+      .dropDuplicates("s", "p", "o", "g")
+      .join(store.quads.select("s", "p", "o", "g"),
+        Seq("s", "p", "o", "g"), "left_anti")
     val quads = store.quads.unionByName(newQuads)
     val graphs = quads.select("g").distinct().collect().map(_.getLong(0)).toSeq
     val (profiles, spg) = RdfStore.computeProfiles(quads)

@@ -76,5 +76,12 @@ class TestkitSpec extends AnyFunSuite {
     val idNew = store1.idOf(Term.str("a-very-long-literal-one")).get
     assert(idOld == idNew)
     assert(store1.idOf(Term.str("another-long-literal-two")).isDefined)
+    // set semantics on insert: re-appending existing quads (plus an
+    // in-batch duplicate) changes nothing
+    val store2 = StoreEncoder.append(store1, quadsDf(Seq(
+      (Iri("urn:s2"), name, Term.int(7), g),
+      (Iri("urn:s2"), name, Term.int(7), g),
+      (Iri("urn:s1"), name, Term.str("a-very-long-literal-one"), g))))
+    assert(store2.quads.count() == 4, "duplicate insert must be a no-op")
   }
 }

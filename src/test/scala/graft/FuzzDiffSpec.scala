@@ -33,6 +33,10 @@ class FuzzDiffSpec extends AnyFunSuite {
     sys.env.get("SPARK_GRAFT_FUZZ_DATASETS").map(_.toInt).getOrElse(10)
   private val QueriesPer =
     sys.env.get("SPARK_GRAFT_FUZZ_QUERIES").map(_.toInt).getOrElse(12)
+  /** Base tree depth (actual depth = base + rnd(0..1)); deeper trees probe
+    * nested-scope corners at the cost of wider plans per case. */
+  private val Depth =
+    sys.env.get("SPARK_GRAFT_FUZZ_DEPTH").map(_.toInt).getOrElse(2)
 
   private val iris = (0 until 6).map(i => Iri(s"http://f.ex/i$i"))
   private val preds = (0 until 4).map(i => s"http://f.ex/p$i")
@@ -260,7 +264,7 @@ class FuzzDiffSpec extends AnyFunSuite {
       val ds = RefInterp.Dataset.fromQuads(
         triples.map(t => (t._1, t._2, t._3, g)), Set(g))
       for (q <- 0 until QueriesPer) {
-        val a0 = gen.alg(2 + gen.rnd.nextInt(2))
+        val a0 = gen.alg(Depth + gen.rnd.nextInt(2))
         val a = Rewriter.rewrite(a0)
         val id = s"ds=$d q=$q"
         try {
@@ -312,7 +316,7 @@ class FuzzDiffSpec extends AnyFunSuite {
         triples.map(t => (t._1, t._2, t._3, g)), Set(g))
       val env = RefInterp.Env(ds, ctx, None)
       for (q <- 0 until QueriesPer) {
-        val a0 = gen.alg(2 + gen.rnd.nextInt(2))
+        val a0 = gen.alg(Depth + gen.rnd.nextInt(2))
         val vis = Algebra.inscope(a0)
         val id = s"ds=$d q=$q"
         try {

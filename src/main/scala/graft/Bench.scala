@@ -30,6 +30,12 @@ object Bench {
   }
   private def jitMs: Long =
     java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+  /** 1-minute system load average — recorded per query so an entry timed
+    * during external machine contention is self-labeling (the r10-r12
+    * "q_agg_q1 noise" thread: first-pass numbers 10-40× steady state with
+    * no plan change). -1 if the platform doesn't expose it. */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,19 +70,23 @@ object Bench {
       System.gc()
     }
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
-    def onePass(): Seq[(String, Double, Long, Long)] = names.map { case (name, fn) =>
+    def onePass(): Seq[(String, Double, Long, Long, Double)] = names.map { case (name, fn) =>
+      val la0 = loadAvg
       val (g0, j0, t0) = (gcMs, jitMs, System.nanoTime())
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       val (gd, jd) = (gcMs - g0, jitMs - j0)
+      val la = math.max(la0, loadAvg)
       // post-query housekeeping stays OUTSIDE the timed window: drop scratch
       // persists and let the ContextCleaner reclaim broadcast/shuffle state
       // now rather than during the next query's timed region
       graft.pipeline.ScratchCache.drain()
       System.gc()
-      (name, sec, gd, jd)
+      (name, sec, gd, jd, la)
     }
-    val all: Seq[Seq[(String, Double, Long, Long)]] = (1 to passes).map(_ => onePass())
+    val loadStart = loadAvg
+    val all: Seq[Seq[(String, Double, Long, Long, Double)]] = (1 to passes).map(_ => onePass())
+    val loadEnd = loadAvg
     // per query: the fastest pass — a transient external burst in one pass
     // cannot inflate the recorded number
     val results = names.indices.map(i => all.map(_(i)).minBy(_._2))
@@ -87,21 +97,32 @@ object Bench {
     // precision.
     def ms3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + ms3(v) }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
-    val qsFull = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qsFull = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val diag = results.map { case (k, _, g, j) => s"\"$k\":[$g,$j]" }
+    // [gc-ms, jit-ms, loadavg×1000] for the reported (fastest) pass — an
+    // inflated entry carries its own environmental attribution
+    val diag = results.map { case (k, _, g, j, l) =>
+      s"\"$k\":[$g,$j,${math.round(l * 1000)}]" }
       .mkString("{", ",", "}")
-    val perPass = all.map(p => p.map { case (k, v, _, _) => s"\"$k\":" + v }
+    val perPass = all.map(p => p.map { case (k, v, _, _, _) => s"\"$k\":" + v }
+      .mkString("{", ",", "}")).mkString("[", ",", "]")
+    val perPassLoad = all.map(p => p.map { case (k, _, _, _, l) =>
+      s"\"$k\":" + math.round(l * 1000) }
       .mkString("{", ",", "}")).mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    def ld(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val line =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,""" +
+      s""""load":[${ld(loadStart)},${ld(loadEnd)}],"sf":"$sfDir"}"""
     println(line)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
-      s""""gc_jit_ms":$diag,"passes":$perPass,"warmup":$doWarm,"cpus":$cpus,"sf":"$sfDir"}"""
+      s""""gc_jit_load":$diag,"pass_load_milli":$perPassLoad,""" +
+      s""""load":[$loadStart,$loadEnd],""" +
+      s""""passes":$perPass,"warmup":$doWarm,"cpus":$cpus,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
       try w.println(full) finally w.close()

@@ -1218,6 +1218,16 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       val n = statCount(qp).get
       compile(ATable(Seq(out), Seq(Seq(Some(Term.int(n))))))
 
+    // Characteristic-sets star-COUNT shortcut (reference parity: Diomede also
+    // answers star-shaped COUNT(?v) / COUNT(DISTINCT ?s) statically from its
+    // characteristic sets, DiomedeQuadStore.swift:15-97): a group-less COUNT
+    // over a subject-star of bound predicates is a sum over the sets whose
+    // predicate set covers the star — LocalRelation-only plan, zero scans.
+    case AGroup(BGP(pats), Seq(), Seq(agg))
+        if pats.nonEmpty && starStatCount(pats, agg).isDefined =>
+      compile(ATable(Seq(agg.out),
+        Seq(Seq(Some(Term.int(starStatCount(pats, agg).get))))))
+
     case AGroup(c, keys, aggs) =>
       var sol = compile(c)
       // EXISTS inside an aggregate argument — SUM(IF(EXISTS{…},1,0)) —
@@ -1249,7 +1259,16 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     case ATable(vs, rows) =>
       val schema = StructType(vs.map(v => StructField(v, TermRow.schema, nullable = true)))
       val data = rows.map(r => Row.fromSeq(r.map(_.map(TermRow.toRow).orNull)))
-      val df = spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq, 1), schema)
+      // small VALUES become a LocalRelation (no RDD job, size-estimable for
+      // broadcast planning, constant-foldable — and the statistics COUNT
+      // shortcuts compile to a scan-free LocalRelation-only plan); genuinely
+      // large inline tables still distribute
+      val df =
+        if (rows.size <= 10000) {
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(data.toSeq.asJava, schema)
+        } else
+          spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq, 1), schema)
       val consts =
         if (rows.size > 1000) Map.empty[String, Seq[Term]]
         else vs.zipWithIndex.map { case (v, i) =>
@@ -1288,6 +1307,72 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
   private def compileDistinct(sol: Sol): Sol = {
     if (sol.sortCols.isEmpty) sol.copy(df = sol.df.dropDuplicates())
     else sol.copy(df = sol.df.dropDuplicates(sol.reps.keySet.toSeq))
+  }
+
+  /** Exact static count for a star-shaped group-less COUNT over the default
+    * graph, from characteristic sets (Neumann & Moerkotte; the reference's
+    * Diomede shortcut, DiomedeQuadStore.swift:15-97). NEVER an estimate:
+    * shapes the statistics can't prove exactly return None and stay dynamic.
+    *
+    *  - COUNT(DISTINCT ?s) = Σ subjects(S) over sets S ⊇ P — exact always
+    *    (a subject matches the star iff its predicate set covers P).
+    *  - COUNT(*) / COUNT(?v) for an always-bound pattern var = the same sum,
+    *    exact iff every queried predicate is single-valued within every
+    *    matching set (occ == subjects there): each matching subject then
+    *    contributes exactly one solution row. A multi-valued predicate in
+    *    any matching set makes the row count Σ_s Π m_i(s), which per-set
+    *    totals cannot reproduce — refused, not estimated.
+    *  - single-pattern extras from the predicate profile: COUNT(?v)
+    *    non-distinct = quad count; COUNT(DISTINCT ?s/?o) = distS/distO. */
+  private def starStatCount(pats: Seq[QuadPattern], agg: AggSpec): Option[Long] = {
+    if (agg.fn != "count") return None
+    if (store.defaultGraphs.toSet != store.graphIds.toSet) return None
+    if (!pats.forall(_.g == DefaultGraph)) return None
+    // shape: one shared subject var, bound predicates with known ids,
+    // pairwise-distinct object vars none of which repeats the subject var
+    val subj = pats.head.s match { case v: V => v; case _ => return None }
+    if (!pats.forall(_.s == subj)) return None
+    val objVars = pats.map(_.o).collect { case V(n) => n }
+    if (objVars.size != pats.size) return None
+    if ((objVars :+ subj.name).distinct.size != pats.size + 1) return None
+    val pids = pats.map(_.p).map {
+      case T(t) => store.idOf(t).getOrElse(return None)
+      case _ => return None
+    }
+    if (pids.distinct.size != pids.size) return None
+    // counted expression must be bound in EVERY solution: * or a pattern var
+    agg.e match {
+      case None | Some(EVar(_)) => ()
+      case _ => return None
+    }
+    agg.e.foreach { case EVar(v) =>
+      if (v != subj.name && !objVars.contains(v)) return None
+    case _ => return None }
+    val profile = store.predProfiles.get(pids.head)
+    if (pats.size == 1) {
+      // profile-only answers (exact regardless of multi-valuedness)
+      if (!agg.distinct) return profile.map(_.count)
+      agg.e match {
+        case Some(EVar(v)) if v == subj.name =>
+          return profile.filter(_.distS > 0).map(_.distS)
+        case Some(EVar(v)) if v == objVars.head =>
+          return profile.filter(_.distO > 0).map(_.distO)
+        case _ => return None
+      }
+    }
+    val sets = store.charSets.getOrElse(return None)
+    val pset = pids.toSet
+    val supers = sets.filter(cs => pset.subsetOf(cs.preds.toSet))
+    val nSubj = supers.map(_.subjects).sum
+    if (agg.distinct) agg.e match {
+      case Some(EVar(v)) if v == subj.name => Some(nSubj)
+      case _ => None // COUNT(DISTINCT ?o_i) is not derivable from set totals
+    } else {
+      val singleValued = supers.forall(cs => pids.forall { p =>
+        cs.occ(cs.preds.indexOf(p)) == cs.subjects
+      })
+      if (singleValued) Some(nSubj) else None
+    }
   }
 
   /** Exact count for a single quad pattern from per-predicate statistics (only

@@ -238,9 +238,10 @@ object EventsOps {
     * experiment arms (arm = user_id mod 2). Per-arm moments (n, Σv, Σv²) are
     * exact integers over milli-fixed values (the ev_anomaly device), so the
     * z statistic is one fixed IEEE op chain from identical integers in both
-    * engines — micro-rounded, with a zero-variance guard (z = 0: no
-    * detectable difference, also the correct answer). |z| >= 1.96 flags 5%
-    * two-sided significance.
+    * engines — micro-rounded, with an empty-arm guard and a zero-variance
+    * guard (z = 0: no detectable difference, also the correct answer; an
+    * empty arm otherwise NULL-poisons the division chain under non-ANSI and
+    * raises under ANSI). |z| >= 1.96 flags 5% two-sided significance.
     *
     * Scale shape: one map-side projection + one 2-group moment aggregate
     * (map-side combinable); the test itself is arithmetic over 6 integers. */
@@ -261,7 +262,8 @@ object EventsOps {
     val vB = col("q_b").cast("double") / col("n_b") - mB * mB
     val se2 = vA / col("n_a") + vB / col("n_b")
     c.select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
-      when(se2 <= 0, 0L)
+      when(col("n_a") === 0 || col("n_b") === 0, 0L)
+        .when(se2 <= 0, 0L)
         .otherwise(round((mA - mB) / sqrt(se2) * 1e6).cast("long")).as("z_micro"))
       .withColumn("significant", abs(col("z_micro")) >= 1960000L)
   }

@@ -75,7 +75,11 @@ object GraphRank {
     * edge list) and two groupBys — (node, label) counts with map-side
     * combine, then a per-node min_by argmax (also map-side combinable).
     * Edges symmetrized + DISTINCT once up front (each neighbor votes once).
-    * `iters` fixed (3): bounded lineage, no checkpoint. */
+    * `iters` is a PARAMETER: each round stacks join+2×groupBy onto the
+    * lineage, so every 4th round `localCheckpoint`s the label frame (the
+    * same cadence as the path-closure fixpoint, Compiler.fix) — without it
+    * a deep run re-plans and AQE-replays a 15·iters-operator chain at every
+    * round boundary. */
   def labelProp(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val e0 = edges(spark, dir)
     val ed = ScratchCache.persist(
@@ -83,12 +87,13 @@ object GraphRank {
     ed.count()
     var labels = ed.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
-    for (_ <- 0 until iters) {
+    for (i <- 1 to iters) {
       labels = ed.join(labels, col("node") === col("dst"))
         .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("src"))
         .agg(min_by(col("lab"), struct((-col("cnt")).as("nc"), col("lab"))).as("lab"))
         .withColumnRenamed("src", "node")
+      if (i % 4 == 0 && i < iters) labels = labels.localCheckpoint()
     }
     labels.select(col("node"), col("lab").as("community"))
   }
@@ -203,11 +208,22 @@ object GraphRank {
     * corpus-partitioning primitive under the dedup cluster family, exposed
     * directly. Reuses [[Dedup.clustersOf]] — bounded driver union-find for
     * output-sized pair graphs (≤500k edges), distributed GraphX
-    * connectedComponents above that. Size is one component-keyed count. */
+    * connectedComponents above that. Size is one component-keyed count.
+    * Parts that never co-occur with another part (orders holding a single
+    * distinct part) are unioned in as size-1 components — the operator
+    * partitions the WHOLE sliced part universe, not just the edge-touched
+    * subset; the singleton side is one anti join against the cluster
+    * output, no extra shuffle shape. */
   def components(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_partkey").as("node")).distinct()
     val comp = Dedup.clustersOf(copurchase(spark, dir))
       .select(col("doc_id").as("node"), col("keep").as("component"))
-    val sz = comp.groupBy("component").agg(count(lit(1)).as("csize"))
-    comp.join(sz, "component").select(col("node"), col("component"), col("csize"))
+    val singles = nodes.join(comp.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    val all = comp.union(singles)
+    val sz = all.groupBy("component").agg(count(lit(1)).as("csize"))
+    all.join(sz, "component").select(col("node"), col("component"), col("csize"))
   }
 }

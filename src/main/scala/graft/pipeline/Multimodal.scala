@@ -357,24 +357,43 @@ object Multimodal {
   }
 
   /** REAL ISO-BMFF container decode — a recursive box-tree walker (size +
-    * fourcc headers, nested children), extracting the movie timescale and
-    * duration from `mvhd`, the frame count and per-frame sizes from `stsz`
-    * (walked down moov→trak→mdia→stbl), and frame-byte statistics from
-    * `mdat`. This is the container/track/frame layer of a video pipeline —
-    * the part that IS pure byte parsing; only the codec-bitstream pixel
-    * decode (H.264 etc.) has no JVM implementation, and no output here
-    * depends on it. */
+    * fourcc headers, nested children, all three size encodings: 32-bit
+    * compact, size==1 64-bit largesize, size==0 to-end-of-scope), extracting
+    * the movie timescale and duration from `mvhd`, the frame count and
+    * per-frame sizes from `stsz` (walked down moov→trak→mdia→stbl), and
+    * byte statistics over the actual `mdat` payload (real files don't
+    * guarantee |mdat| == Σ stsz — multi-track or padded mdat). Remaining
+    * fixture-shaped limits are declared by `require`: version-0 mvhd and
+    * variable-size stsz; and only the codec-bitstream pixel decode (H.264
+    * etc.) has no JVM implementation — no output here depends on it. */
   def decodeMp4(docId: Long, payload: Array[Byte]): MMVideo = {
     val bb = java.nio.ByteBuffer.wrap(payload)
     def fourcc(off: Int) = new String(payload, off + 4, 4, "US-ASCII")
+    /** Bounds of the box headed at `off` inside sibling scope [off, until):
+      * (payloadStart, boxEnd), decoding compact, largesize (size==1, 64-bit
+      * length after the fourcc) and open (size==0, runs to the end of the
+      * enclosing scope — legal for a last box, typically mdat) headers. */
+    def boxBounds(off: Int, until: Int): (Int, Int) = {
+      val sz = bb.getInt(off)
+      if (sz == 0) (off + 8, until)
+      else if (sz == 1) {
+        require(off + 16 <= until, s"truncated largesize header at $off")
+        val large = bb.getLong(off + 8)
+        require(large >= 16 && off + large <= until,
+          s"bad largesize $large at $off")
+        (off + 16, off + large.toInt)
+      } else {
+        require(sz >= 8 && off + sz <= until, s"bad box size $sz at $off")
+        (off + 8, off + sz)
+      }
+    }
     /** Find the first box of type `tp` among the siblings in [from, until). */
     def find(tp: String, from: Int, until: Int): Option[(Int, Int)] = {
       var off = from
       while (off + 8 <= until) {
-        val sz = bb.getInt(off)
-        require(sz >= 8 && off + sz <= until, s"bad box size $sz at $off")
-        if (fourcc(off) == tp) return Some((off + 8, off + sz))
-        off += sz
+        val (ps, end) = boxBounds(off, until)
+        if (fourcc(off) == tp) return Some((ps, end))
+        off = end
       }
       None
     }
@@ -397,13 +416,17 @@ object Multimodal {
     var i = 0
     while (i < n) { total += bb.getInt(stsz._1 + 12 + 4 * i); i += 1 }
     val mdat = need("mdat", Some((0, payload.length)))
-    require(mdat._2 - mdat._1 == total, "mdat length != sum of frame sizes")
+    // byte stats over the actual mdat payload — no |mdat| == Σ stsz
+    // assumption (multi-track / padded mdat files violate it)
+    val mLen = mdat._2 - mdat._1
     var sum = 0L
     var j = mdat._1
     while (j < mdat._2) { sum += payload(j) & 0xFF; j += 1 }
-    MMVideo(docId, timescale, duration, n.toLong, total,
-      BigDecimal(sum.toDouble / total).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble)
+    val mean =
+      if (mLen == 0) 0.0
+      else BigDecimal(sum.toDouble / mLen)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    MMVideo(docId, timescale, duration, n.toLong, total, mean)
   }
 
   /** Batch REAL MP4 container decode over partition iterators. */

@@ -973,6 +973,33 @@ object Battery {
         "n" -> "long"),
       Some("SELECT count(*) AS n FROM lineitem")),
 
+    ("q_count_star_stat", // star-shape COUNT(*) answered statically from
+      // characteristic sets (Diomede parity, DiomedeQuadStore.swift:15-97):
+      // every queried predicate is single-valued within every matching set,
+      // so the count is Σ subjects over covering sets — LocalRelation plan,
+      // zero scans (plan asserted in EngineSpec)
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(BGP(Seq(
+          qp(V("c"), p("customer", "c_name"), V("nm")),
+          qp(V("c"), p("customer", "c_acctbal"), V("bal")),
+          qp(V("c"), p("customer", "c_mktsegment"), V("seg")))),
+          Seq.empty, Seq(AggSpec("n", "count", None))),
+        "n" -> "long"),
+      Some("SELECT count(*) AS n FROM customer")),
+
+    ("q_count_distinct_subj_stat", // star-shape COUNT(DISTINCT ?s) from the
+      // same characteristic sets — a subject matches iff its predicate set
+      // covers the star, so the distinct-subject count is the same
+      // Σ subjects; exact with NO single-valuedness requirement
+      (s: SparkSession, d: String) => run(s, d,
+        AGroup(BGP(Seq(
+          qp(V("o"), p("orders", "o_orderstatus"), V("st")),
+          qp(V("o"), p("orders", "o_totalprice"), V("tp")))),
+          Seq.empty,
+          Seq(AggSpec("n", "count", Some(EVar("o")), distinct = true))),
+        "n" -> "long"),
+      Some("SELECT count(DISTINCT o_orderkey) AS n FROM orders")),
+
     ("q_sparql_text", // end-to-end through the SPARQL *text* parser
       (s: SparkSession, d: String) => {
         val eng = new graft.GraftEngine(RelToRdf.cached(s, d))
@@ -2170,8 +2197,10 @@ object Battery {
 
     ("graph_components", // connected components of the co-purchase graph as
       // a first-class operator (label = min member id, + component size);
-      // oracle closes the same graph with a recursive CTE, as the dedup
-      // cluster entries do
+      // isolated parts (never co-ordered with another part) join in as
+      // size-1 components, so the whole sliced part universe is
+      // partitioned; oracle closes the same graph with a recursive CTE, as
+      // the dedup cluster entries do
       (s: SparkSession, d: String) => graft.pipeline.GraphRank.components(s, d),
       Some("WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, " +
         "l_partkey AS p FROM lineitem WHERE l_orderkey % 10 = 0), " +
@@ -2181,9 +2210,12 @@ object Battery {
         "r(n, m) AS (SELECT x AS n, x AS m FROM (SELECT x FROM ed " +
         "UNION SELECT y FROM ed) " +
         "UNION SELECT r.n, ed.y FROM r JOIN ed ON r.m = ed.x), " +
-        "c AS (SELECT n AS node, min(m) AS component FROM r GROUP BY 1) " +
+        "c AS (SELECT n AS node, min(m) AS component FROM r GROUP BY 1), " +
+        "allc AS (SELECT node, component FROM c UNION ALL " +
+        "SELECT p, p FROM (SELECT DISTINCT p FROM li) " +
+        "WHERE p NOT IN (SELECT node FROM c)) " +
         "SELECT node, component, count(*) OVER (PARTITION BY component) AS csize " +
-        "FROM c")),
+        "FROM allc")),
 
     ("ev_attribution", // last-touch-window click attribution (batch twin of
       // the stream-stream interval join): (view, click) pairs of one user
@@ -2265,9 +2297,11 @@ object Battery {
         "(CAST(q_b AS DOUBLE) / n_b - (CAST(s_b AS DOUBLE) / n_b) * " +
         "(CAST(s_b AS DOUBLE) / n_b)) / n_b AS se2, " +
         "CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS md FROM c) " +
-        "SELECT n_a, s_a, n_b, s_b, CASE WHEN se2 <= 0 THEN 0 " +
+        "SELECT n_a, s_a, n_b, s_b, CASE WHEN n_a = 0 OR n_b = 0 THEN 0 " +
+        "WHEN se2 <= 0 THEN 0 " +
         "ELSE CAST(round(md / sqrt(se2) * 1000000) AS BIGINT) END AS z_micro, " +
-        "abs(CASE WHEN se2 <= 0 THEN 0 ELSE CAST(round(md / sqrt(se2) " +
+        "abs(CASE WHEN n_a = 0 OR n_b = 0 THEN 0 WHEN se2 <= 0 THEN 0 " +
+        "ELSE CAST(round(md / sqrt(se2) " +
         "* 1000000) AS BIGINT) END) >= 1960000 AS significant FROM zz")),
 
     ("curate_repeat_plan", // data-constrained epoch planning

@@ -43,6 +43,9 @@ object LangPrefStore {
 
     val filtered = plain.unionByName(kept)
     val (profiles, spg) = RdfStore.computeProfiles(filtered)
-    store.copy(quads = filtered, predProfiles = profiles, spgAllInline = spg)
+    // charSetStats are quad-set-derived: the filtered store must NOT inherit
+    // the unfiltered stats (they'd answer star COUNTs over dropped quads)
+    store.copy(quads = filtered, predProfiles = profiles, spgAllInline = spg,
+      charSetStats = None)
   }
 }

@@ -37,9 +37,25 @@ final case class RdfStore(
       * HashPartitioning(s)/sorted output, so same-subject BGP joins plan
       * shuffle-free and sort-free — the Spark analogue of the reference's
       * index-ordered merge joins (IDQueryPlan.swift:183-225). */
-    bucketedS: Boolean = false) {
+    bucketedS: Boolean = false,
+    /** Characteristic-set statistics loaded from a persisted manifest
+      * (None = not persisted; [[charSets]] computes them on demand). */
+    charSetStats: Option[Seq[CharSetStat]] = None) {
 
   def spark: SparkSession = quads.sparkSession
+
+  /** Characteristic sets (Neumann & Moerkotte, ICDE'11; reference analogue:
+    * Diomede's COUNT-from-characteristic-sets shortcut, kasei/kineo
+    * QuadStore/DiomedeQuadStore.swift:15-97): subjects partitioned by their
+    * exact predicate set, with the subject count and per-predicate quad
+    * totals of each set. Answers star-shaped COUNT queries statically —
+    * exactly, never as an estimate (the compiler refuses shapes the stats
+    * can't prove). Computed lazily once per store session; persisted stores
+    * load it from the manifest (the ANALYZE-once contract). None = the
+    * store exceeded the set cap (pathological heterogeneity) — the stat is
+    * disabled and star counts stay dynamic. */
+  @transient lazy val charSets: Option[Seq[CharSetStat]] =
+    charSetStats.map(Some(_)).getOrElse(RdfStore.computeCharSets(quads))
 
   /** Ids of all named graphs (distinct g values). Small by construction. */
   lazy val graphIds: Seq[Long] =
@@ -86,6 +102,14 @@ final case class PredProfile(allInline: Boolean, allNumeric: Boolean, count: Lon
       * (QueryPlanner.swift:113,399-408; QueryPlanCost.swift:231-248). */
     distS: Long = 0L, distO: Long = 0L)
 
+/** One characteristic set: the subjects whose predicate set is EXACTLY
+  * `preds` (sorted ids), how many there are, and — aligned with `preds` —
+  * the total quad count each predicate contributes over those subjects.
+  * `occ(i) == subjects` proves every member subject carries predicate
+  * `preds(i)` exactly once, which is what makes star COUNT(*) answers exact
+  * (each matching subject contributes exactly one solution row). */
+final case class CharSetStat(preds: Seq[Long], subjects: Long, occ: Seq[Long])
+
 object RdfStore {
   import TermId._
   private val dictTags = Seq(TAG_BLANK, TAG_IRI, TAG_DECIMAL, TAG_DOUBLE, TAG_FLOAT,
@@ -123,6 +147,43 @@ object RdfStore {
         distS = r.getLong(7), distO = r.getLong(8))).toMap
     val spg = perPred.forall(_.getInt(3) == 0)
     (m, spg)
+  }
+
+  /** Characteristic-set ANALYZE pass: group quads by (s, p) with map-side
+    * combine, attach each subject's sorted predicate set, then aggregate
+    * per (set, p). Two shuffles over ANALYZE-time data — the standard
+    * cluster-scale way to build this stat (the set count is bounded by the
+    * schema's predicate-combination diversity, not by data volume).
+    * None when the store holds more than `maxSets` distinct sets — a
+    * pathologically heterogeneous corpus where the stat would be
+    * driver-resident dead weight (Neumann & Moerkotte cap it the same way). */
+  def computeCharSets(quads: DataFrame,
+      maxSets: Int = 4096): Option[Seq[CharSetStat]] = {
+    val sp = quads.groupBy("s", "p").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val subjSet = sp.groupBy("s")
+        .agg(sort_array(collect_list(col("p"))).as("preds"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bySet = sp.join(subjSet, "s")
+        .groupBy("preds", "p").agg(sum("c").as("occ"))
+      val grouped = subjSet.groupBy("preds").agg(count(lit(1)).as("n"))
+      // cap BEFORE collecting: a pathological corpus must not be collected
+      // onto the driver just to discover it exceeds the cap
+      val overCap = grouped.limit(maxSets + 1).count() > maxSets
+      val out = if (overCap) None
+      else {
+        val subjects = grouped.collect()
+        val occ = bySet.collect()
+          .map(r => (r.getSeq[Long](0), r.getLong(1)) -> r.getLong(2)).toMap
+        Some(subjects.map { r =>
+          val preds = r.getSeq[Long](0)
+          CharSetStat(preds, r.getLong(1), preds.map(p => occ((preds, p))))
+        }.toSeq)
+      }
+      subjSet.unpersist()
+      out
+    } finally sp.unpersist()
   }
 }
 

@@ -49,8 +49,10 @@ object StorePersist {
     * stores. BUMP THIS whenever TermId encoding, IriScheme, or RelToRdf
     * change shape: cached on-disk stores written by an older build would
     * otherwise be silently reused with wrong ids. [[savedCodecVersion]]
-    * lets callers detect and rebuild stale caches. */
-  val CodecVersion = 2
+    * lets callers detect and rebuild stale caches.
+    * v3: manifest carries characteristic-set statistics (r13) — older
+    * caches lack them and would silently lose the static star-COUNT path. */
+  val CodecVersion = 3
 
   /** The codec version a saved store was written with (0 = pre-versioning). */
   def savedCodecVersion(dir: String): Int = {
@@ -86,6 +88,13 @@ object StorePersist {
     }.mkString("[", ",", "]")
     val named = store.namedGraphs
       .map(ns => ns.mkString("[", ",", "]")).getOrElse("null")
+    // characteristic sets: computed here (the ANALYZE-once point) and
+    // persisted, so open() answers star COUNTs statically with no extra
+    // pass. An over-cap store simply omits the key (stat disabled).
+    val charSets = store.charSets.map(_.map(cs =>
+        s"""{"preds":[${cs.preds.mkString(",")}],"subjects":${cs.subjects},""" +
+          s""""occ":[${cs.occ.mkString(",")}]}""")
+      .mkString("[", ",", "]"))
     // reopen DDL is generated from the actual quads schema (captured here, not
     // hardcoded at open) so a future schema change cannot silently diverge
     val dataCols = store.quads.schema.fields
@@ -100,6 +109,7 @@ object StorePersist {
          |"codecVersion":$CodecVersion,
          |"layout":"ps",
          |"schemaDDL":"$dataCols",
+         |${charSets.map(cs => s""""charSets":$cs,""").getOrElse("")}
          |"profiles":$profiles}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "meta.json"), meta)
   }
@@ -147,13 +157,15 @@ object StorePersist {
       predProfiles = meta.profiles,
       spgAllInline = meta.spg,
       namedGraphs = meta.namedGraphs,
-      bucketedS = meta.buckets > 0)
+      bucketedS = meta.buckets > 0,
+      charSetStats = meta.charSets)
   }
 
   // minimal hand-rolled JSON decode for the manifest (no extra dependencies)
   private final case class Meta(defaultGraphs: Seq[Long], spg: Boolean,
       namedGraphs: Option[Seq[Long]], profiles: Map[Long, PredProfile],
-      buckets: Int = 0, layout: String = "", schemaDDL: String = "")
+      buckets: Int = 0, layout: String = "", schemaDDL: String = "",
+      charSets: Option[Seq[CharSetStat]] = None)
 
   private def ujsonLite(s: String): Meta = {
     def arr(name: String): Seq[Long] = {
@@ -183,7 +195,16 @@ object StorePersist {
         distS = Option(m.group(8)).map(_.toLong).getOrElse(0L),
         distO = Option(m.group(9)).map(_.toLong).getOrElse(0L))
     }.toMap
+    val csRe =
+      """\{"preds":\[([^\]]*)\],"subjects":(\d+),"occ":\[([^\]]*)\]\}""".r
+    val charSets =
+      if (!s.contains("\"charSets\":")) None
+      else Some(csRe.findAllMatchIn(s).map { m =>
+        def longs(g: String) =
+          g.split(',').filter(_.trim.nonEmpty).map(_.trim.toLong).toSeq
+        CharSetStat(longs(m.group(1)), m.group(2).toLong, longs(m.group(3)))
+      }.toSeq)
     Meta(arr("defaultGraphs"), s.contains("\"spgAllInline\":true"), named, profiles,
-      buckets, layout, schemaDDL)
+      buckets, layout, schemaDDL, charSets)
   }
 }

@@ -932,4 +932,97 @@ class EngineSpec extends AnyFunSuite {
     val sol = c.compile(BGP(Seq(QuadPattern(V("s"), N.iri(ex + "p"), V("o")))))
     assert(sol.df.count() == 2, "BGP over the deduped store")
   }
+
+  test("q_agg_q1 plan pin: bucket-aligned star, partial aggregate, ONE shuffle (partial→final agg only)") {
+    // the three-round-old bench-noise thread (r10-r12): q_agg_q1's recorded
+    // seconds drifted with machine load while the plan never changed. Pin the
+    // plan STRUCTURALLY so a real regression (an exchange sneaking between
+    // the co-bucketed scans, or the map-side combine disappearing) is caught
+    // by the suite rather than inferred from timing archaeology.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable size-based broadcast so the assertion reflects the at-scale
+    // plan, where no side of the 5-pattern star fits in a broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("q_agg_q1")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      val hashEx = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx == 1,
+        s"q_agg_q1 must shuffle exactly once (group-key exchange between " +
+          s"partial and final aggregate); got $hashEx:\n${plan.take(4000)}")
+      assert(plan.contains("partial_"),
+        s"map-side (partial) aggregation missing:\n${plan.take(4000)}")
+      // the one hash exchange must sit between the two aggregate halves,
+      // i.e. below the final HashAggregate — not between scans
+      val lines = plan.split("\n")
+      val firstAgg = lines.indexWhere(_.contains("HashAggregate"))
+      val exLine = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+      assert(firstAgg >= 0 && exLine > firstAgg,
+        "the single exchange must be the aggregate boundary, not a join shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("characteristic-sets star COUNT: LocalRelation-only plan, exact values, principled refusal") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    def isStatic(sol: Sol): Boolean =
+      sol.df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[LocalRelation])
+    def countOf(c: Compiler, sol: Sol): Long =
+      Results.materialize(c, sol).collect()
+        .map(_.getStruct(0).getString(1).toLong).head
+    // comp over the testdata store
+    val star = AGroup(BGP(Seq(
+      QuadPattern(V("c"), p("customer", "c_name"), V("nm")),
+      QuadPattern(V("c"), p("customer", "c_acctbal"), V("bal")),
+      QuadPattern(V("c"), p("customer", "c_mktsegment"), V("seg")))),
+      Seq.empty, Seq(AggSpec("n", "count", None)))
+    val sol = comp.compile(star)
+    assert(isStatic(sol), "star COUNT(*) must compile to a LocalRelation-only plan:\n" +
+      sol.df.queryExecution.optimizedPlan.toString)
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(countOf(comp, sol) == nCust)
+    // COUNT(DISTINCT ?s) over a 2-pattern star
+    val distinctS = AGroup(BGP(Seq(
+      QuadPattern(V("o"), p("orders", "o_orderstatus"), V("st")),
+      QuadPattern(V("o"), p("orders", "o_totalprice"), V("tp")))),
+      Seq.empty, Seq(AggSpec("n", "count", Some(EVar("o")), distinct = true)))
+    val solD = comp.compile(distinctS)
+    assert(isStatic(solD), "star COUNT(DISTINCT ?s) must be static")
+    assert(countOf(comp, solD) == spark.read.parquet(s"$sf/orders.parquet").count())
+    // multi-valued predicate: COUNT(*) must REFUSE the static path (per-set
+    // totals can't reproduce Σ_s Π m_i(s)) and still answer correctly;
+    // COUNT(DISTINCT ?s) stays static (no single-valuedness requirement)
+    val ex = "http://example.org/mv/"
+    def iri(s: String) = Iri(ex + s)
+    val g = iri("g")
+    val mvQuads: Seq[(Term, Term, Term, Term)] = Seq(
+      (iri("d1"), iri("name"), Term.str("a"), g),
+      (iri("d1"), iri("tag"), Term.str("t1"), g),
+      (iri("d1"), iri("tag"), Term.str("t2"), g),
+      (iri("d2"), iri("name"), Term.str("b"), g),
+      (iri("d2"), iri("tag"), Term.str("t3"), g),
+      (iri("d3"), iri("name"), Term.str("c"), g)) // no tag: outside the star
+    val schema = StructType(Seq("s", "p", "o", "g").map(n =>
+      StructField(n, TermRow.schema, nullable = true)))
+    val rows = mvQuads.map { case (s0, pp, o, gg) =>
+      Row(TermRow.toRow(s0), TermRow.toRow(pp), TermRow.toRow(o), TermRow.toRow(gg))
+    }
+    val mvStore = StoreEncoder.encode(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
+      IriScheme.default)
+    val mvComp = new Compiler(mvStore, ExprEval.Ctx(nowEpochUs = 0L))
+    val mvStar = BGP(Seq(
+      QuadPattern(V("x"), N.iri(ex + "name"), V("nm")),
+      QuadPattern(V("x"), N.iri(ex + "tag"), V("tg"))))
+    val mvCount = mvComp.compile(AGroup(mvStar, Seq.empty,
+      Seq(AggSpec("n", "count", None))))
+    assert(!isStatic(mvCount),
+      "COUNT(*) over a multi-valued predicate must stay dynamic")
+    assert(countOf(mvComp, mvCount) == 3L) // d1 × {t1,t2} + d2 × {t3}
+    val mvDist = mvComp.compile(AGroup(mvStar, Seq.empty,
+      Seq(AggSpec("n", "count", Some(EVar("x")), distinct = true))))
+    assert(isStatic(mvDist),
+      "COUNT(DISTINCT ?s) is exact from set totals even with multi-valued predicates")
+    assert(countOf(mvComp, mvDist) == 2L) // d1, d2 (d3 has no tag)
+  }
 }

@@ -801,7 +801,7 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("components: labels are the min reachable node, sizes consistent") {
+  test("components: labels are the min reachable node, sizes consistent, singletons included") {
     val got = GraphRank.components(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // brute-force closure
@@ -815,12 +815,44 @@ class PipelineSpec extends AnyFunSuite {
       }
       seen
     }
-    assert(got.keySet == adj.keySet, "every node reported")
+    // the operator partitions the WHOLE sliced part universe: parts that
+    // never co-occur with another part come back as size-1 components
+    val universe = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_partkey")).distinct().collect().map(_.getLong(0)).toSet
+    assert(got.keySet == universe, "every sliced part reported")
+    (universe -- adj.keySet).foreach { v =>
+      assert(got(v) == ((v, 1L)), s"singleton($v)")
+    }
     adj.keySet.foreach { v =>
       val comp = reach(v)
       assert(got(v)._1 == comp.min, s"component($v)")
       assert(got(v)._2 == comp.size.toLong, s"csize($v)")
     }
+  }
+
+  test("labelProp: deep run (iters=10) matches brute-force synchronous LPA; checkpoint cadence bounds plan depth") {
+    val e0 = GraphRank.edges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sym = (e0 ++ e0.map(_.swap)).distinct
+    val adj = sym.groupMap(_._2)(_._1) // voters for each node = its neighbors
+    val nodes = sym.map(_._1).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 0 until 10) {
+      lab = nodes.map { n =>
+        val votes = adj(n).map(lab).groupBy(identity).view.mapValues(_.size)
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val deep = GraphRank.labelProp(spark, sf, iters = 10)
+    val got = deep.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == lab, "iters=10 labels match the brute-force replay")
+    // the 4-round localCheckpoint cadence truncates lineage: the deep run's
+    // final plan must be no larger than an uncheckpointed 3-round plan
+    def planSize(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planSize(deep) <= planSize(GraphRank.labelProp(spark, sf, iters = 3)),
+      "checkpoint cadence keeps the deep plan bounded")
   }
 
   test("attribution: binned interval join equals the naive pair predicate, incl. bucket-crossing lags") {

@@ -2110,14 +2110,36 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     for (spec <- fns) {
       // build partition/order columns
       val partCols = spec.partBy.filter(sol.reps.contains).map(v => col(bt(v)))
-      var ordCols: Seq[Column] = Seq.empty
+      var ordComps: Seq[(Seq[Column], Boolean)] = Seq.empty
       for (k <- spec.ordBy) {
         val (s2, comps) = sortComponents(sol, k.e)
         sol = s2
-        ordCols = ordCols ++ comps.map(cc => if (k.asc) cc.asc_nulls_first else cc.desc_nulls_last)
+        ordComps = ordComps :+ (comps, k.asc)
+      }
+      val ordCols: Seq[Column] = ordComps.flatMap { case (comps, asc) =>
+        comps.map(cc => if (asc) cc.asc_nulls_first else cc.desc_nulls_last)
       }
       val wBase = if (partCols.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(partCols: _*)
       val w = if (ordCols.isEmpty) wBase else wBase.orderBy(ordCols: _*)
+
+      // Whole-partition GROUP_CONCAT at scale: a window operator puts the
+      // hot partition's EVERY row and its collect state on ONE task — the
+      // same holistic-aggregate shape compileGroup's salted two-phase plan
+      // exists for. A whole-partition frame makes the window expressible as
+      // a per-key aggregate joined back to the rows, which unlocks that
+      // exact device (phase 1 per (keys, salt), merge per key, join back).
+      // Gated like compileGroup: statistics must bound the input ABOVE the
+      // hot-group cap; all-ASC order keys only (the merge re-sorts by the
+      // key components + lex, which is the asc_nulls_first frame order; a
+      // DESC key has no struct-sort equivalent).
+      val hotGroupCap = spark.conf.get(Compiler.HotGroupCapKey,
+        Compiler.DefaultHotGroupCap.toString).toLong
+      val saltedWhole = spec.fn == "group_concat" && spec.e.isDefined &&
+        spec.frame.forall(_ == (Long.MinValue, Long.MaxValue)) && !spec.range &&
+        ordComps.forall(_._2) && sol.card.forall(_ > hotGroupCap)
+      if (saltedWhole) {
+        sol = saltedWindowConcat(sol, spec, ordComps)
+      } else {
 
       // num fast path: double-family vars aggregate their companion directly
       // (COUNT is type-agnostic; SUM/AVG need FAM_DBL for correct typing)
@@ -2263,8 +2285,57 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       }
       sol = Sol(sol.df.withColumn(spec.out, outCol), sol.reps + (spec.out -> TermRep),
         sol.certain, sol.nums)
+      }
     }
     sol
+  }
+
+  /** Two-phase salted whole-partition windowed GROUP_CONCAT (see the gate in
+    * [[compileWindow]]): phase 1 collects (sort-components, lex) structs per
+    * (partition keys, spread salt) — bounding any task's collect state to
+    * ~1/salts of the hottest partition — the merge flattens per key, sorts
+    * by the asc_nulls_first struct order (key components, then lex as the
+    * determinism tie-break: under a total order ties are identical elements,
+    * so this IS the frame order), concats, and the result joins back to the
+    * row frame null-safely on the partition keys (broadcast single row for
+    * the unpartitioned window). */
+  private def saltedWindowConcat(sol0: Sol, spec: WinSpec,
+      ordComps: Seq[(Seq[Column], Boolean)]): Sol = {
+    var sol = sol0
+    val (s2, inCol) = exprColumn(sol, spec.e.get)
+    sol = s2
+    val partVars = spec.partBy.filter(sol.reps.contains)
+    val sortFields = ordComps.flatMap(_._1).zipWithIndex.map { case (c, i) =>
+      c.as(s"__wo_$i") }
+    val elem = struct((sortFields :+ inCol.getField("lex").as("__lex")): _*)
+    val base = sol.df
+    val keyed = base.select(
+      partVars.zipWithIndex.map { case (v, i) => col(bt(v)).as(s"__wk_$i") } :+
+        when(inCol.getField("lex").isNotNull, elem).as("__we"): _*)
+    val salt = "__graft_wsalt"
+    val keyRefs = partVars.indices.map(i => col(s"__wk_$i"))
+    val p1 = keyed
+      .withColumn(salt, graft.pipeline.Skew.spreadSalt(keyed, Compiler.HotGroupSalts))
+      .groupBy(keyRefs :+ col(salt): _*)
+      .agg(collect_list(col("__we")).as("__wp"))
+    val outCol = struct(
+      lit(TermRow.KIND_LITERAL).as("kind"),
+      concat_ws(spec.sep,
+        transform(array_sort(flatten(collect_list(col("__wp")))),
+          x => x.getField("__lex"))).as("lex"),
+      lit(Term.xsdString).as("dt"),
+      lit(null).cast(StringType).as("lang"),
+      lit(null).cast(DoubleType).as("num"))
+    val aggDf = p1.groupBy(keyRefs: _*).agg(outCol.as(spec.out))
+    val joined =
+      if (partVars.isEmpty) base.crossJoin(broadcast(aggDf))
+      else {
+        val cond = partVars.zipWithIndex.map { case (v, i) =>
+          base(bt(v)) <=> aggDf(s"__wk_$i") }.reduce(_ && _)
+        base.join(aggDf, cond, "left")
+          .drop(partVars.indices.map(i => s"__wk_$i"): _*)
+      }
+    Sol(joined, sol.reps + (spec.out -> TermRep), sol.certain, sol.nums)
   }
 
   // ---- property paths -------------------------------------------------------

@@ -66,8 +66,43 @@ object AlgebraText {
       val sel = keys.map("?" + _) ++ aggs.map(a => s"(${aggText(a)} AS ?${a.out})")
       val grp = if (keys.isEmpty) "" else s" GROUP BY ${keys.map("?" + _).mkString(" ")}"
       s"{ SELECT ${sel.mkString(" ")} WHERE { ${pattern(c)} }$grp }"
+    case AWindow(c, fns) =>
+      // subselect projecting the child's scope plus the window outputs —
+      // the reference's window extension syntax (Window.swift;
+      // QueryPlanner.swift:699-720)
+      val inVars = Algebra.inscope(c).toSeq.sorted
+      val sel = inVars.map("?" + _) ++ fns.map(f => s"(${winText(f)} AS ?${f.out})")
+      s"{ SELECT ${sel.mkString(" ")} WHERE { ${pattern(c)} } }"
     case other =>
       throw new UnsupportedOperationException(s"SERVICE pattern: ${other.getClass.getSimpleName}")
+  }
+
+  private def winText(w: WinSpec): String = {
+    val call = w.fn match {
+      case "rank" | "dense_rank" | "row_number" => s"${w.fn.toUpperCase}()"
+      case "ntile" => s"NTILE(${w.arg})"
+      case "count" if w.e.isEmpty => "COUNT(*)"
+      case "group_concat" =>
+        s"""GROUP_CONCAT(${w.e.map(expr).getOrElse("*")}; SEPARATOR="${w.sep}")"""
+      case fn => s"${fn.toUpperCase}(${w.e.map(expr).getOrElse("*")})"
+    }
+    def bound(v: Long, isStart: Boolean): String = v match {
+      case Long.MinValue => "UNBOUNDED PRECEDING"
+      case Long.MaxValue => "UNBOUNDED FOLLOWING"
+      case 0L => "CURRENT ROW"
+      case n if n < 0 => s"${-n} PRECEDING"
+      case n => s"$n FOLLOWING"
+    }
+    val clauses = Seq(
+      if (w.partBy.isEmpty) ""
+      else s"PARTITION BY ${w.partBy.map("?" + _).mkString(" ")}",
+      if (w.ordBy.isEmpty) ""
+      else "ORDER BY " + w.ordBy.map(k =>
+        if (k.asc) s"ASC(${expr(k.e)})" else s"DESC(${expr(k.e)})").mkString(" "),
+      w.frame.map { case (lo, hi) =>
+        s"${if (w.range) "RANGE" else "ROWS"} BETWEEN ${bound(lo, true)} AND ${bound(hi, false)}"
+      }.getOrElse("")).filter(_.nonEmpty)
+    s"$call OVER (${clauses.mkString(" ")})"
   }
 
   private def quad(q: QuadPattern): String = {

@@ -376,6 +376,9 @@ final class SparqlParser(input: String) {
     val reduced = !distinct && eatKw("REDUCED")
     var star = false
     val items = scala.collection.mutable.ListBuffer[(String, Option[Expr])]()
+    // window applications keyed by output var (reference window extension:
+    // `(RANK() OVER (…) AS ?r)` in the projection list)
+    val winItems = scala.collection.mutable.Map[String, WinSpec]()
     ws()
     if (eatCh('*')) star = true
     else {
@@ -386,11 +389,20 @@ final class SparqlParser(input: String) {
           case Some(v) => items += ((v, None))
           case None =>
             if (eatCh('(')) {
-              val e = parseExpression()
-              expectKw("AS")
-              val v = parseVar()
-              expectCh(')')
-              items += ((v, Some(e)))
+              tryWindowSpec() match {
+                case Some(w) =>
+                  expectKw("AS")
+                  val v = parseVar()
+                  expectCh(')')
+                  winItems(v) = w.copy(out = v)
+                  items += ((v, None))
+                case None =>
+                  val e = parseExpression()
+                  expectKw("AS")
+                  val v = parseVar()
+                  expectCh(')')
+                  items += ((v, Some(e)))
+              }
             } else go = false
         }
         ws()
@@ -477,11 +489,18 @@ final class SparqlParser(input: String) {
         case _ => ()
       }
       for ((v, eo) <- rewrittenItems) {
-        eo match {
-          case None =>
-            if (!allowed.contains(v))
-              fail(s"variable ?$v is projected but neither grouped nor aggregated")
-          case Some(e) => checkGrouped(e, "SELECT expression")
+        winItems.get(v) match {
+          case Some(w) =>
+            // §18.2.4.1 applies inside the window specification too: its
+            // input, order and partition vars see the grouped result
+            (w.e.toSeq ++ w.ordBy.map(_.e) ++ w.partBy.map(EVar.apply))
+              .foreach(checkGrouped(_, "window specification"))
+          case None => eo match {
+            case None =>
+              if (!allowed.contains(v))
+                fail(s"variable ?$v is projected but neither grouped nor aggregated")
+            case Some(e) => checkGrouped(e, "SELECT expression")
+          }
         }
         allowed += v
       }
@@ -492,10 +511,20 @@ final class SparqlParser(input: String) {
       g = AGroup(g, groupKeys.toSeq, aggSpecs.toSeq)
       aggNode = g.asInstanceOf[AGroup]
       for (h <- rewrittenHaving) g = AFilter(h, g)
-      // bind non-aggregate select expressions over the grouped result
-      for ((v, Some(e)) <- rewrittenItems if e != EVar(v)) g = AExtend(g, v, e)
+      // bind non-aggregate select expressions / windows over the grouped
+      // result, in projection order (a window may reference earlier aliases)
+      for ((v, eo) <- rewrittenItems) winItems.get(v) match {
+        case Some(w) => g = AWindow(g, Seq(w))
+        case None => eo match {
+          case Some(e) if e != EVar(v) => g = AExtend(g, v, e)
+          case _ => ()
+        }
+      }
     } else {
-      for ((v, Some(e)) <- rewrittenItems) g = AExtend(g, v, e)
+      for ((v, eo) <- rewrittenItems) winItems.get(v) match {
+        case Some(w) => g = AWindow(g, Seq(w))
+        case None => eo.foreach(e => g = AExtend(g, v, e))
+      }
     }
 
     val (g2raw, projected) = parseSolutionModifiersWithProject(g,
@@ -522,6 +551,129 @@ final class SparqlParser(input: String) {
       swap(g2raw)
     } else g2raw
     (ParsedQuery("select", g2, projected, Seq.empty, Seq.empty, dsDefaults, dsNamed), projected)
+  }
+
+  // ---- window applications (reference extension) ----------------------------
+
+  private val winRankFns = Set("rank", "dense_rank", "row_number", "ntile")
+  private val winAggFns =
+    Set("count", "sum", "avg", "min", "max", "sample", "group_concat")
+
+  /** Try `FN(args) OVER (PARTITION BY… ORDER BY… [ROWS|RANGE BETWEEN b AND b])`
+    * at the current position — the reference's (non-standard) window syntax,
+    * parsed by swift-sparql-syntax and planned at kasei/kineo
+    * QueryPlanner.swift:699-720 (application model Window.swift). RANGE
+    * frames are a Spark-native extension here; the reference throws on them
+    * (MaterializedQueryPlan.swift:849-852). Returns None with the position
+    * restored when the text is not a window application (e.g. a plain
+    * aggregate projection `(COUNT(?x) AS ?c)`). */
+  private def tryWindowSpec(): Option[WinSpec] = {
+    val save = pos
+    val head: Option[(String, Int, Option[Expr], String)] =
+      try {
+        ws()
+        val start = pos
+        while (pos < input.length && isPNChar(input(pos))) pos += 1
+        val fn = input.substring(start, pos).toLowerCase
+        if (!winRankFns.contains(fn) && !winAggFns.contains(fn)) None
+        else {
+          ws()
+          if (!eatCh('(')) None
+          else {
+            var arg = 0
+            var e: Option[Expr] = None
+            var sep = " "
+            fn match {
+              case "rank" | "dense_rank" | "row_number" => ()
+              case "ntile" => arg = parseLong().toInt
+              case "count" =>
+                ws(); if (!eatCh('*')) e = Some(parseExpression())
+              case "group_concat" =>
+                e = Some(parseExpression())
+                ws()
+                if (eatCh(';')) {
+                  expectKw("SEPARATOR"); ws(); expectCh('='); sep = parseString()
+                }
+              case _ => e = Some(parseExpression())
+            }
+            expectCh(')')
+            if (eatKw("OVER")) Some((fn, arg, e, sep)) else None
+          }
+        }
+      } catch { case _: ParseException => None }
+    head match {
+      case None => pos = save; None
+      case Some((fn, arg, e, sep)) =>
+        // OVER consumed: this IS a window application; errors now propagate
+        expectCh('(')
+        val partBy = scala.collection.mutable.ListBuffer[String]()
+        if (eatKw("PARTITION")) {
+          expectKw("BY")
+          var v = tryVar()
+          if (v.isEmpty) fail("PARTITION BY requires at least one variable")
+          while (v.isDefined) { partBy += v.get; v = tryVar() }
+        }
+        val ordKeys = scala.collection.mutable.ListBuffer[SortKey]()
+        if (eatKw("ORDER")) {
+          expectKw("BY")
+          var go = true
+          while (go) {
+            ws()
+            if (peekKw("ROWS") || peekKw("RANGE") || peekCh(')')) go = false
+            else if (eatKw("ASC")) {
+              expectCh('('); ordKeys += SortKey(parseExpression()); expectCh(')')
+            } else if (eatKw("DESC")) {
+              expectCh('('); ordKeys += SortKey(parseExpression(), asc = false)
+              expectCh(')')
+            } else tryVar() match {
+              case Some(v) => ordKeys += SortKey(EVar(v))
+              case None =>
+                if (peekCh('(')) {
+                  expectCh('('); ordKeys += SortKey(parseExpression()); expectCh(')')
+                } else go = false
+            }
+          }
+          if (ordKeys.isEmpty) fail("window ORDER BY requires a condition")
+        }
+        var range = false
+        var frame: Option[(Long, Long)] = None
+        val rows = eatKw("ROWS")
+        if (!rows) range = eatKw("RANGE")
+        if (rows || range) {
+          expectKw("BETWEEN")
+          val lo = parseFrameBound(isStart = true)
+          expectKw("AND")
+          val hi = parseFrameBound(isStart = false)
+          frame = Some((lo, hi))
+        }
+        expectCh(')')
+        if (winRankFns.contains(fn) && ordKeys.isEmpty)
+          fail(s"${fn.toUpperCase} window requires ORDER BY")
+        if (range && ordKeys.size != 1)
+          fail("RANGE frame requires exactly one ORDER BY key")
+        if (fn == "ntile" && arg <= 0) fail("NTILE requires a positive bucket count")
+        Some(WinSpec("", fn, e, partBy.toSeq, ordKeys.toSeq, frame, arg, sep, range))
+    }
+  }
+
+  /** One frame bound: UNBOUNDED [PRECEDING|FOLLOWING] (bare UNBOUNDED takes
+    * its direction from the bound position, as the reference's test corpus
+    * writes it), CURRENT ROW, or `n PRECEDING` / `n FOLLOWING` — encoded in
+    * Spark's rowsBetween convention (MinValue/MaxValue = unbounded). */
+  private def parseFrameBound(isStart: Boolean): Long = {
+    ws()
+    if (eatKw("UNBOUNDED")) {
+      if (eatKw("PRECEDING")) Long.MinValue
+      else if (eatKw("FOLLOWING")) Long.MaxValue
+      else if (isStart) Long.MinValue
+      else Long.MaxValue
+    } else if (eatKw("CURRENT")) { expectKw("ROW"); 0L }
+    else {
+      val n = parseLong()
+      if (eatKw("PRECEDING")) -n
+      else if (eatKw("FOLLOWING")) n
+      else fail("expected PRECEDING or FOLLOWING after frame offset")
+    }
   }
 
   private def isAggCall(e: Expr): Boolean = e match {

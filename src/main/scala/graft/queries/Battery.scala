@@ -1014,6 +1014,32 @@ object Battery {
       Some("SELECT l_returnflag AS rf, count(*) AS n, round(sum(l_quantity), 4) " +
         "AS sumqty FROM lineitem GROUP BY 1")),
 
+    ("q_sparql_window", // window functions through the SPARQL *text* parser
+      // (the reference's window extension syntax, QueryPlanner.swift:699-720;
+      // r13 closes the last text-reachability gap: q_win_* shapes previously
+      // needed the Algebra API): per-customer price rank (ties broken by
+      // order key — total order, so RANK is deterministic) plus a 2-row
+      // moving sum over the exact-decimal path
+      (s: SparkSession, d: String) => {
+        val eng = new graft.GraftEngine(RelToRdf.cached(s, d))
+        val df = eng.query(
+          """PREFIX o: <urn:p:orders:>
+            |SELECT ?ck ?okey
+            |  (RANK() OVER (PARTITION BY ?ck ORDER BY DESC(?tp) ?okey) AS ?rk)
+            |  (SUM(?tp) OVER (PARTITION BY ?ck ORDER BY ?okey
+            |     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS ?mv)
+            |WHERE { ?o o:o_custkey ?ck ; o:o_orderkey ?okey ; o:o_totalprice ?tp }""".stripMargin)
+        df.select(col("ck.lex").cast("long").as("ck"),
+          col("okey.lex").cast("long").as("okey"),
+          col("rk.lex").cast("long").as("rk"),
+          round(col("mv.num"), 4).as("mv"))
+      },
+      Some("SELECT o_custkey AS ck, o_orderkey AS okey, " +
+        "CAST(rank() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk, " +
+        "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 4) AS mv FROM orders")),
+
     // ---- dedup pipeline ----
     ("dd_exact",
       (s: SparkSession, d: String) => graft.pipeline.Dedup.exact(s, d),

@@ -335,6 +335,106 @@ object RefInterp {
     }
   }
 
+  // ---- window functions ---------------------------------------------------
+
+  /** One window application over a solution sequence, mirroring the COMPILED
+    * semantics (Compiler.compileWindow) operation for operation: partition by
+    * the partBy values (an out-of-scope or unbound var is one null group,
+    * like the engine's filtered partition columns), order each partition
+    * under the engine term total order ([[cmpTerms]], unbound first asc),
+    * then per row:
+    *  - rank/dense_rank/row_number over the ordered partition;
+    *  - NTILE with the engine's PEER-GROUP semantics (tiles over distinct
+    *    sort keys: floor((d−1)·n/D)+1 in integer arithmetic);
+    *  - aggregates over the ROWS frame (Spark rowsBetween convention,
+    *    Long.MinValue/MaxValue = unbounded; None = whole partition) or the
+    *    RANGE frame (single numeric key, value-distance bounds);
+    *  - SAMPLE = first non-null input in frame order (the compiled
+    *    `first(ignoreNulls)`), GROUP_CONCAT = frame-order lex concat (always
+    *    bound, empty string for an empty frame); SUM/AVG/COUNT/MIN/MAX reuse
+    *    [[aggValue]], whose numeric-tower fold is the compiled aggregation
+    *    semantics (already pinned by the grouped-aggregate differential). */
+  private def windowPass(spec: WinSpec, rows: Seq[Binding], env: Env,
+      scope: ExprEval.BnodeScope): Seq[Binding] = {
+    rows.groupBy(r => spec.partBy.map(r.get)).values.toSeq.flatMap { part0 =>
+      val keyed = part0.map(r =>
+        (r, spec.ordBy.map(k => evalExpr(k.e, r, env, scope))))
+      val sorted =
+        if (spec.ordBy.isEmpty) keyed
+        else keyed.sortWith { case ((_, ka), (_, kb)) =>
+          spec.ordBy.indices.iterator
+            .map(i => cmpTerms(ka(i), kb(i), spec.ordBy(i).asc))
+            .find(_ != 0).getOrElse(0) < 0
+        }
+      val part = sorted.map(_._1).toIndexedSeq
+      val keys = sorted.map(_._2).toIndexedSeq
+      val n = part.size
+      def samePeer(i: Int, j: Int): Boolean =
+        spec.ordBy.indices.forall(x => cmpTerms(keys(i)(x), keys(j)(x)) == 0)
+      lazy val dense: IndexedSeq[Int] =
+        (0 until n).scanLeft(0)((acc, i) =>
+          if (i == 0) 1 else if (samePeer(i, i - 1)) acc else acc + 1).tail.toIndexedSeq
+      def frameRows(i: Int): IndexedSeq[Binding] =
+        if (spec.range) rangeFrame(spec, part, keys, i)
+        else spec.frame match {
+          case None => part
+          case Some((lo, hi)) =>
+            val a = (BigInt(i) + BigInt(lo)).max(0)
+            val b = (BigInt(i) + BigInt(hi)).min(n - 1)
+            if (a > b) IndexedSeq.empty else (a.toInt to b.toInt).map(part)
+        }
+      def inVals(frame: IndexedSeq[Binding]): IndexedSeq[Term] =
+        frame.flatMap(r => Option(evalExpr(spec.e.get, r, env, scope)))
+      (0 until n).map { i =>
+        val row = part(i)
+        val out: Option[Term] = spec.fn match {
+          case "row_number" => Some(Term.int((i + 1).toLong))
+          case "dense_rank" => Some(Term.int(dense(i).toLong))
+          case "rank" =>
+            var j = i
+            while (j > 0 && samePeer(j, j - 1)) j -= 1
+            Some(Term.int((j + 1).toLong))
+          case "ntile" =>
+            val d = dense(i).toLong
+            val dMax = dense(n - 1).toLong
+            Some(Term.int((d - 1) * spec.arg / dMax + 1))
+          case "sample" =>
+            inVals(frameRows(i)).headOption
+          case "group_concat" =>
+            Some(Term.str(inVals(frameRows(i)).map(_.lex).mkString(spec.sep)))
+          case fn => // count/sum/avg/min/max share the grouped-agg semantics
+            aggValue(AggSpec(spec.out, fn, spec.e, distinct = false, spec.sep),
+              frameRows(i), env, scope)
+        }
+        out.fold(row)(t => row + (spec.out -> t))
+      }
+    }
+  }
+
+  /** RANGE frame membership, mirroring Spark's rangeBetween over the
+    * compiled plan's single numeric order key: rows whose key value lies
+    * within [v_i + lo, v_i + hi] in ORDER-DIRECTION space (descending
+    * negates), computed as doubles like the engine's `num` companion. A
+    * null-key current row frames exactly the null-key rows (Spark's null
+    * peer group); null-key rows never join a non-null frame. */
+  private def rangeFrame(spec: WinSpec, part: IndexedSeq[Binding],
+      keys: IndexedSeq[Seq[Term]], i: Int): IndexedSeq[Binding] = {
+    require(spec.ordBy.size == 1, "RANGE frame requires exactly one ORDER BY key")
+    val asc = spec.ordBy.head.asc
+    def numOf(j: Int): Option[Double] =
+      Option(keys(j).head).flatMap(Term.numericValue)
+        .map(v => if (asc) v else -v)
+    val (lo, hi) = spec.frame.getOrElse((Long.MinValue, Long.MaxValue))
+    numOf(i) match {
+      case None => part.indices.collect { case j if numOf(j).isEmpty => part(j) }
+      case Some(v) =>
+        val a = if (lo == Long.MinValue) Double.NegativeInfinity else v + lo
+        val b = if (hi == Long.MaxValue) Double.PositiveInfinity else v + hi
+        part.indices.collect { case j if numOf(j).exists(x => x >= a && x <= b) =>
+          part(j) }
+    }
+  }
+
   // ---- the evaluator ------------------------------------------------------
 
   def eval(a: Algebra, env: Env): Seq[Binding] = a match {
@@ -430,8 +530,9 @@ object RefInterp {
           else throw new UnsupportedOperationException(s"no SERVICE client for <$ep>")
       }
 
-    case AWindow(_, _) =>
-      throw new UnsupportedOperationException("window functions (not in W3C scope)")
+    case AWindow(c, fns) =>
+      val scope = ExprEval.freshScope()
+      fns.foldLeft(eval(c, env))((rows, spec) => windowPass(spec, rows, env, scope))
 
     case other => // AEnv: compiler-internal, never reaches the interpreter
       throw new UnsupportedOperationException(s"interp: unexpected ${other.productPrefix}")

@@ -1025,4 +1025,35 @@ class EngineSpec extends AnyFunSuite {
       "COUNT(DISTINCT ?s) is exact from set totals even with multi-valued predicates")
     assert(countOf(mvComp, mvDist) == 2L) // d1, d2 (d3 has no tag)
   }
+
+  test("windowed GROUP_CONCAT: forced hot-group gate takes the salted two-phase plan, identical rows") {
+    // whole-partition frame → expressible as aggregate + join-back, which is
+    // what unlocks compileGroup's salted device for the WINDOW shape too
+    // (q_agg_concat's scale plan); ORDER BY ?nm is total within a partition
+    // (nation names unique), so both plans must produce identical strings
+    val alg = AWindow(
+      BGP(Seq(
+        QuadPattern(V("n"), fk("region"), V("r")),
+        QuadPattern(V("n"), p("nation", "n_name"), V("nm")),
+        QuadPattern(V("r"), p("region", "r_name"), V("rn")))),
+      Seq(WinSpec("acc", "group_concat", Some(EVar("nm")), Seq("rn"),
+        Seq(SortKey(EVar("nm"))), frame = None, sep = ",")))
+    def rows(sol: Sol): Seq[String] =
+      Results.materialize(comp, sol).collect().map(_.toString).sorted.toSeq
+    // pin the DEFAULT-cap plan to the single-phase window (test store stats
+    // bound the input far below the cap)
+    val baseSol = comp.compile(alg)
+    assert(!baseSol.df.queryExecution.optimizedPlan.toString.contains("__graft_wsalt"),
+      "below the cap the plain window plan must be used")
+    val base = rows(baseSol)
+    spark.conf.set(Compiler.HotGroupCapKey, "0")
+    try {
+      val forcedSol = comp.compile(alg)
+      val plan = forcedSol.df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_wsalt"),
+        s"forced gate must compile the salted two-phase plan:\n${plan.take(3000)}")
+      assert(rows(forcedSol) == base,
+        "salted two-phase windowed GROUP_CONCAT must equal the single-phase window")
+    } finally spark.conf.unset(Compiler.HotGroupCapKey)
+  }
 }

@@ -160,7 +160,7 @@ class FuzzDiffSpec extends AnyFunSuite {
         return if (chance(0.75)) bgp(Nil)
         else if (chance(0.5)) table(Nil)
         else APath(node(Nil, allowLit = false), path(), node(Nil, allowLit = true))
-      rnd.nextInt(11) match {
+      rnd.nextInt(12) match {
         case 0 => AJoin(alg(depth - 1), alg(depth - 1))
         case 1 => AUnion(alg(depth - 1), alg(depth - 1))
         case 2 =>
@@ -219,6 +219,34 @@ class FuzzDiffSpec extends AnyFunSuite {
             val keys = in.map(v => SortKey(EVar(v), asc = chance(0.7)))
             ASlice(AOrderBy(c, keys), rnd.nextInt(3).toLong,
               (1 + rnd.nextInt(5)).toLong)
+          }
+        case 11 =>
+          // window pass: order by EVERY in-scope var (ties ⇒ identical
+          // bindings, so frame contents, rank ties, first-non-null SAMPLE
+          // and float summation order are all deterministic as multisets) —
+          // NTILE peer-groups, ROWS frame bounds (incl. empty and clamped
+          // frames), and the typed frame aggregates are exactly the
+          // semantics only a differential catches
+          val c = alg(depth - 1)
+          val in = Algebra.inscope(c).toSeq.sorted
+          if (in.isEmpty) c
+          else {
+            val ordKeys = in.map(v => SortKey(EVar(v), asc = chance(0.7)))
+            val partBy = if (chance(0.4)) Seq(pick(in.toIndexedSeq)) else Nil
+            val rankFns = IndexedSeq("rank", "dense_rank", "row_number", "ntile")
+            val aggFns = IndexedSeq("count", "sum", "avg", "min", "max",
+              "sample", "group_concat")
+            val fn = if (chance(0.45)) pick(rankFns) else pick(aggFns)
+            val frame: Option[(Long, Long)] =
+              if (rankFns.contains(fn) || chance(0.35)) None
+              else Some((pick(IndexedSeq(Long.MinValue, -2L, -1L, 0L)),
+                pick(IndexedSeq(Long.MaxValue, 2L, 1L, 0L))))
+            val e =
+              if (rankFns.contains(fn)) None
+              else if (fn == "count" && chance(0.3)) None
+              else Some(EVar(pick(in.toIndexedSeq)))
+            AWindow(c, Seq(WinSpec(freshVar(), fn, e, partBy, ordKeys, frame,
+              arg = 1 + rnd.nextInt(4))))
           }
       }
     }

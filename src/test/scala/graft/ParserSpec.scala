@@ -282,4 +282,53 @@ class ParserSpec extends AnyFunSuite {
     assert(es.contains(EConst(Term.bool(false))), "bare false must be a literal")
     assert(es.collect { case EExists(_, neg) => neg }.sorted == Seq(false, true))
   }
+
+  test("window syntax: RANK/NTILE/frame aggregates parse to AWindow and round-trip through AlgebraText") {
+    import graft.parser.{AlgebraText, SparqlParser}
+    import graft.algebra._
+    // the reference's window extension syntax (QueryPlanner.swift:699-720)
+    val pq = SparqlParser.parse(
+      """SELECT ?ck ?tp
+        |  (RANK() OVER (PARTITION BY ?ck ORDER BY DESC(?tp)) AS ?rk)
+        |  (NTILE(4) OVER (ORDER BY ?tp ?ck) AS ?quartile)
+        |  (SUM(?tp) OVER (PARTITION BY ?ck ORDER BY ?tp
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ?movsum)
+        |  (AVG(?tp) OVER (ORDER BY ?tp ROWS BETWEEN UNBOUNDED AND 1 PRECEDING) AS ?ma)
+        |  (GROUP_CONCAT(?ck; SEPARATOR=",") OVER (ORDER BY ?tp
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED) AS ?trail)
+        |WHERE { ?o <urn:p:orders:o_custkey> ?ck ; <urn:p:orders:o_totalprice> ?tp }""".stripMargin)
+    def windows(a: Algebra): Seq[WinSpec] = a match {
+      case AWindow(c, fns) => windows(c) ++ fns
+      case AProject(c, _) => windows(c)
+      case AExtend(c, _, _) => windows(c)
+      case _ => Seq.empty
+    }
+    val ws = windows(pq.algebra)
+    assert(ws.map(_.fn) == Seq("rank", "ntile", "sum", "avg", "group_concat"))
+    val rk = ws.find(_.fn == "rank").get
+    assert(rk.partBy == Seq("ck") && rk.ordBy == Seq(SortKey(EVar("tp"), asc = false)))
+    val nt = ws.find(_.fn == "ntile").get
+    assert(nt.arg == 4 && nt.ordBy.map(_.e) == Seq(EVar("tp"), EVar("ck")))
+    val mv = ws.find(_.fn == "sum").get
+    assert(mv.frame.contains((-2L, 0L)))
+    val ma = ws.find(_.fn == "avg").get
+    assert(ma.frame.contains((Long.MinValue, -1L)), "bare UNBOUNDED start bound")
+    val tr = ws.find(_.fn == "group_concat").get
+    assert(tr.sep == "," && tr.frame.contains((0L, Long.MaxValue)),
+      "bare UNBOUNDED end bound")
+    // serializer round-trip: text → algebra → text → algebra, same windows
+    val inner = pq.algebra match { case AProject(c, _) => c; case other => other }
+    val text = AlgebraText.selectQuery(inner, Nil)
+    val ws2 = windows(SparqlParser.parse(text).algebra)
+    assert(ws2.map(w => (w.fn, w.partBy, w.ordBy, w.frame, w.arg, w.sep)) ==
+      ws.map(w => (w.fn, w.partBy, w.ordBy, w.frame, w.arg, w.sep)))
+    // a plain aggregate projection must NOT be mistaken for a window
+    val agg = SparqlParser.parse(
+      "SELECT (COUNT(?o) AS ?n) WHERE { ?s <urn:p:q> ?o }")
+    assert(windows(agg.algebra).isEmpty)
+    // rank family requires ORDER BY inside OVER
+    intercept[graft.parser.ParseException] {
+      SparqlParser.parse("SELECT (RANK() OVER (PARTITION BY ?s) AS ?r) WHERE { ?s <urn:p:q> ?o }")
+    }
+  }
 }

@@ -48,15 +48,16 @@ object Dedup {
     * partitions runs rounds of mostly-empty tasks. One edge count (this runs
     * at query time, not compile time) sizes the graph at ~500k edges per
     * partition, capped at the session's parallelism for genuinely large
-    * graphs. */
-  def clustersOf(pairs: DataFrame): DataFrame = {
+    * graphs. `gateEdges` parameterizes the union-find/GraphX switch so the
+    * property suite can force BOTH paths over one input (they must agree). */
+  def clustersOf(pairs: DataFrame, gateEdges: Long = 500000L): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = pairs.sparkSession
     import spark.implicits._
     val p = ScratchCache.persist(
       pairs.select(col("a").cast(LongType), col("b").cast(LongType)))
     val nEdges = p.count()
-    if (nEdges <= 500000L) {
+    if (nEdges <= gateEdges) {
       // SMALL pair graph (the overwhelmingly common case — near-dup graphs
       // are output-sized): one bounded collect + driver union-find replaces
       // a Pregel run whose per-iteration scheduling dwarfs the work. ≤500k

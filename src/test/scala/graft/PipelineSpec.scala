@@ -831,6 +831,80 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  // ---- property tests: the pipeline family's algebraic core ---------------
+  // The dedup/curation ops are oracle-checked on one dataset; these pin the
+  // invariants that need no oracle — split totality/determinism under
+  // repartition, LSH band-count monotonicity, and union-find == GraphX
+  // components with both gate paths forced over the SAME inputs.
+
+  test("property: hash split is total, disjoint, repartition-invariant, and content-keyed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val docRows = (0 until 400).map(i =>
+      (i.toLong, rnd.alphanumeric.take(rnd.nextInt(40) + 1).mkString))
+    val df = docRows.toDF("doc_id", "text")
+    def runOn(d: org.apache.spark.sql.DataFrame) =
+      Curation.hashSplitOf(d).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val base = runOn(df)
+    assert(base.size == 400, "totality: every doc assigned exactly once")
+    assert(base.values.map(_._2).toSet.subsetOf(Set("train", "valid", "test")),
+      "every assignment is one of the three splits")
+    for (parts <- Seq(1, 7, 32))
+      assert(runOn(df.repartition(parts)) == base,
+        s"split must be invariant under repartition($parts)")
+    // content-keyed: the same text lands in the same split under ANY doc_id
+    // (the leakage guarantee — an exact copy can't straddle train/test)
+    val dup = Seq((9001L, docRows(5)._2), (9002L, docRows(5)._2))
+      .toDF("doc_id", "text")
+    val dd = runOn(dup)
+    assert(dd(9001L) == dd(9002L), "same text ⇒ same split regardless of id")
+    assert(dd(9001L) == base(5L), "and the same split as the original doc")
+  }
+
+  test("property: LSH band-count monotonicity — more bands only ADD verified pairs") {
+    // with k fixed, splitting the signature into more (shorter) bands can
+    // only make collisions easier: a pair equal on an 8-row band is equal on
+    // both of its 4-row halves, so every candidate (and, post-verification,
+    // every emitted pair) survives the refinement
+    def pairs(bands: Int): Set[(Long, Long)] =
+      Dedup.minhashLsh(spark, plantedDir, k = 64, bands = bands, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p8 = pairs(8); val p16 = pairs(16); val p32 = pairs(32)
+    assert(p8.subsetOf(p16), s"bands 8→16 lost pairs: ${p8 -- p16}")
+    assert(p16.subsetOf(p32), s"bands 16→32 lost pairs: ${p16 -- p32}")
+    assert(p16.nonEmpty, "vacuous: the planted dir must produce pairs")
+  }
+
+  test("property: driver union-find == GraphX components, both gate paths over the same random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 23L, 47L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60 + rnd.nextInt(60)
+      val edges = Seq.fill(80 + rnd.nextInt(120))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val df = edges.toDF("a", "b")
+      def labels(gate: Long) = Dedup.clustersOf(df, gate).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val uf = labels(Long.MaxValue) // forces the driver union-find
+      val gx = labels(0L)            // forces GraphX connectedComponents
+      assert(uf == gx, s"gate paths disagree at seed=$seed")
+      // brute-force closure: label = min reachable node
+      val adj = (edges ++ edges.map(_.swap))
+        .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+      def reach(v: Long): Set[Long] = {
+        var seen = Set(v); var f = Set(v)
+        while (f.nonEmpty) { val nx = f.flatMap(adj(_)) -- seen; seen ++= nx; f = nx }
+        seen
+      }
+      assert(uf.keySet == adj.keySet, s"vertex set at seed=$seed")
+      adj.keySet.foreach(v =>
+        assert(uf(v) == reach(v).min, s"label($v) at seed=$seed"))
+    }
+  }
+
   test("labelProp: deep run (iters=10) matches brute-force synchronous LPA; checkpoint cadence bounds plan depth") {
     val e0 = GraphRank.edges(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)))

@@ -93,6 +93,40 @@ object Curation {
           floor(col("cum") / budget)).as("spans"))
   }
 
+  /** Sliding-window document chunker with overlap — the long-document
+    * splitting primitive of RAG indexing and fixed-context pretraining
+    * (window `win` tokens, stride `win − overlap`; the final chunk is the
+    * remainder, shorter chunks are kept so coverage is total). Each chunk
+    * carries its token span and an md5 content fingerprint, so a downstream
+    * index or dedup pass never needs to re-derive chunk boundaries.
+    *
+    * Scale shape: one scan — tokenize map-side, explode a per-doc
+    * `sequence(0, n_chunks−1)`, slice the token array per chunk. Output
+    * rows ≈ corpus tokens / stride; no shuffle anywhere (the explode is
+    * pipelined), which is the only acceptable shape for a 100 TB chunker. */
+  def chunkDocs(spark: SparkSession, dir: String,
+      win: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < win, "need 0 <= overlap < win")
+    val stride = win - overlap
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      // 1 + ceil(max(0, n − win) / stride) windows cover n tokens exactly
+      .withColumn("nc",
+        (floor((greatest(col("n") - win, lit(0L)) + (stride - 1)) / stride) + 1)
+          .cast(LongType))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(win.toLong), col("n") - col("chunk_idx") * stride).as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(win))))
+          .as("chunk_hash"))
+  }
+
   /** Domain-mixture reweighting: per-source token mass and the sampling
     * weight that reshapes the corpus to a TARGET mixture (uniform across
     * sources by default — the weight is target_share / natural_share, the

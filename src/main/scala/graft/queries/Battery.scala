@@ -2330,6 +2330,23 @@ object Battery {
         "ELSE CAST(round(md / sqrt(se2) " +
         "* 1000000) AS BIGINT) END) >= 1960000 AS significant FROM zz")),
 
+    ("curate_chunk", // sliding-window document chunker with overlap (RAG /
+      // fixed-context splitting): win=64, stride=48; per chunk the token
+      // span and an md5 content fingerprint — one scan, explode pipelined,
+      // zero shuffles; oracle rebuilds every chunk via generate_series +
+      // list slicing
+      (s: SparkSession, d: String) => graft.pipeline.Curation.chunkDocs(s, d),
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n, " +
+        "CAST((greatest(len(toks) - 64, 0) + 47) // 48 + 1 AS BIGINT) AS nc FROM t), " +
+        "x AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS i FROM c) " +
+        "SELECT doc_id, i AS chunk_idx, i * 48 AS start_tok, " +
+        "least(64, n - i * 48) AS n_tok, " +
+        "md5(array_to_string(toks[CAST(i * 48 + 1 AS BIGINT):" +
+        "CAST(least(i * 48 + 64, n) AS BIGINT)], ' ')) AS chunk_hash " +
+        "FROM x")),
+
     ("curate_repeat_plan", // data-constrained epoch planning
       // (arXiv:2305.16264): per source, integer repeat count
       // min(ceil(budget-share / tokens), 4) and the planned token total —

@@ -84,4 +84,56 @@ class TestkitSpec extends AnyFunSuite {
       (Iri("urn:s1"), name, Term.str("a-very-long-literal-one"), g))))
     assert(store2.quads.count() == 4, "duplicate insert must be a no-op")
   }
+
+  test("RANGE frames: engine and reference interpreter agree (asc/desc, dup values, gaps, non-numeric key)") {
+    // the fuzzer grammar only generates ROWS frames, so the RANGE path gets
+    // its own differential: duplicate values (peers share a frame), a value
+    // gap (empty neighborhood side), and a non-numeric key (Spark's
+    // null-ordering peer group) — engine vs RefInterp on the same quads
+    import graft.algebra._
+    import graft.engine.{Compiler, ExprEval, Results}
+    import graft.testkit.RefInterp
+    val g = Iri("urn:g")
+    val valP = Iri("urn:val")
+    val quads: Seq[(Term, Term, Term, Term)] = Seq(
+      (Iri("urn:s1"), valP, Term.int(1), g),
+      (Iri("urn:s2"), valP, Term.int(2), g),
+      (Iri("urn:s3"), valP, Term.int(2), g),
+      (Iri("urn:s4"), valP, Term.int(5), g),
+      (Iri("urn:s5"), valP, Term.int(7), g),
+      (Iri("urn:s6"), valP, Term.str("x"), g))
+    val schema = StructType(Seq("s", "p", "o", "g").map(n =>
+      StructField(n, TermRow.schema, nullable = true)))
+    val rows = quads.map { case (s, p, o, gg) =>
+      Row(TermRow.toRow(s), TermRow.toRow(p), TermRow.toRow(o), TermRow.toRow(gg)) }
+    val store = StoreEncoder.encode(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
+      IriScheme.default)
+    val comp = new Compiler(store, ExprEval.Ctx(nowEpochUs = 0L))
+    val ds = RefInterp.Dataset.fromQuads(quads, Set(g))
+    val env = RefInterp.Env(ds, ExprEval.Ctx(nowEpochUs = 0L), None)
+    for ((fn, asc, frame) <- Seq(
+        ("sum", true, Some((-1L, 1L))),
+        ("count", true, Some((-1L, 1L))),
+        ("sum", false, Some((-1L, 1L))),
+        ("min", true, Some((-3L, 0L))),
+        ("sum", true, Some((0L, 2L))))) {
+      val alg = AWindow(
+        BGP(Seq(QuadPattern(V("s"), T(valP), V("v")))),
+        Seq(WinSpec("w", fn, Some(EVar("v")), Nil,
+          Seq(SortKey(EVar("v"), asc)), frame = frame, range = true)))
+      val m = Results.materialize(comp, comp.compile(alg))
+      val cols = m.columns
+      val eng = m.collect().toSeq.map { r =>
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(i)) None
+          else Option(TermRow.fromRow(r.getStruct(i))).map(c -> _)
+        }.toMap
+      }
+      val itp = RefInterp.eval(alg, env)
+      assert(graft.testkit.Isomorphism.solutionsEqual(eng, itp),
+        s"RANGE $fn asc=$asc frame=$frame\n  engine: ${eng.mkString(" | ")}\n" +
+          s"  interp: ${itp.mkString(" | ")}")
+    }
+  }
 }

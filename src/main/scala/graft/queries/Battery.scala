@@ -1019,9 +1019,11 @@ object Battery {
       // r13 closes the last text-reachability gap: q_win_* shapes previously
       // needed the Algebra API): per-customer price rank (ties broken by
       // order key — total order, so RANK is deterministic) plus a 2-row
-      // moving sum over the exact-decimal path
+      // moving sum over the exact-decimal path. Runs over the PERSISTED
+      // bucketed store (unlike q_sparql_text's in-memory-store leg): text →
+      // parse → compile → production layout, the deployment shape
       (s: SparkSession, d: String) => {
-        val eng = new graft.GraftEngine(RelToRdf.cached(s, d))
+        val eng = new graft.GraftEngine(compiler(s, d).store)
         val df = eng.query(
           """PREFIX o: <urn:p:orders:>
             |SELECT ?ck ?okey

@@ -30,6 +30,99 @@ object RdfXml {
   val RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
   private val XML_NS = "http://www.w3.org/XML/1998/namespace"
 
+  // ---- serializer -----------------------------------------------------------
+  // Beyond the reference: kasei/kineo registers an RDF/XML *parser* only
+  // (RDF.swift:58-68 has no application/rdf+xml serializer) — this writer
+  // completes the sink side, round-tripped against [[parse]] in RdfIOSpec.
+  // Like TurtleWriter, RDF/XML is a non-bulk human/interop format:
+  // serialization is driver-side; bulk dumps use the distributed N-Quads
+  // writer.
+
+  private def xmlEscape(s: String, attr: Boolean): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case '"' if attr => "&quot;"
+    case c => c.toString
+  }
+
+  private def ncStart(c: Char) = c.isLetter || c == '_'
+  private def ncChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '-' || c == '.'
+
+  /** Split a predicate IRI into (namespace, NCName local part), taking the
+    * longest valid NCName suffix as the local name (maximizes namespace
+    * sharing). RDF/XML fundamentally cannot express a predicate whose IRI
+    * ends in a non-NCName character (e.g. a trailing '/'): those throw — a
+    * limitation of the format itself, not of this writer. */
+  private def splitQName(iri: String): (String, String) = {
+    var i = iri.length - 1
+    while (i >= 0 && ncChar(iri(i))) i -= 1
+    var start = i + 1
+    // local must START with an NCName start char: advance past digits etc.
+    while (start < iri.length && !ncStart(iri(start))) start += 1
+    if (start >= iri.length)
+      throw new IllegalArgumentException(
+        s"predicate IRI <$iri> has no NCName local part — not expressible in RDF/XML")
+    (iri.substring(0, start), iri.substring(start))
+  }
+
+  private val xsdString = "http://www.w3.org/2001/XMLSchema#string"
+  private val langString = RDF_NS + "langString"
+
+  /** Serialize triples to one RDF/XML document: subject-grouped
+    * rdf:Description elements (rdf:about / rdf:nodeID), rdf:resource /
+    * rdf:nodeID object attributes, literal content with rdf:datatype or
+    * xml:lang, namespaces collected once on the root. */
+  def serialize(triples: Seq[(Term, Term, Term)]): String = {
+    // stable namespace table over the predicates, rdf: reserved
+    val nsOf = scala.collection.mutable.LinkedHashMap[String, String](RDF_NS -> "rdf")
+    def pfx(ns: String): String =
+      nsOf.getOrElseUpdate(ns, s"ns${nsOf.size}")
+    val bySubj = triples.groupBy(_._1)
+    val sb = new StringBuilder
+    val body = new StringBuilder
+    for ((subj, ts) <- bySubj.toSeq.sortBy(_._1.toString)) {
+      val about = subj match {
+        case Iri(v) => s"""rdf:about="${xmlEscape(v, attr = true)}""""
+        case BNode(l) => s"""rdf:nodeID="${xmlEscape(l, attr = true)}""""
+        case other => throw new IllegalArgumentException(
+          s"literal subject not expressible in RDF/XML: $other")
+      }
+      body ++= s"  <rdf:Description $about>\n"
+      for ((_, p, o) <- ts) {
+        val pIri = p match {
+          case Iri(v) => v
+          case other => throw new IllegalArgumentException(
+            s"non-IRI predicate: $other")
+        }
+        val (ns, local) = splitQName(pIri)
+        val q = s"${pfx(ns)}:$local"
+        val el = o match {
+          case Iri(v) => s"""<$q rdf:resource="${xmlEscape(v, attr = true)}"/>"""
+          case BNode(l) => s"""<$q rdf:nodeID="${xmlEscape(l, attr = true)}"/>"""
+          case Lit(lexF, dt, lang) =>
+            val content = xmlEscape(lexF, attr = false)
+            if (lang != null && lang.nonEmpty)
+              s"""<$q xml:lang="${xmlEscape(lang, attr = true)}">$content</$q>"""
+            else if (dt == null || dt == xsdString || dt == langString)
+              s"<$q>$content</$q>"
+            else
+              s"""<$q rdf:datatype="${xmlEscape(dt, attr = true)}">$content</$q>"""
+        }
+        body ++= s"    $el\n"
+      }
+      body ++= "  </rdf:Description>\n"
+    }
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    sb ++= "<rdf:RDF"
+    for ((ns, p) <- nsOf)
+      sb ++= s"""\n    xmlns:$p="${xmlEscape(ns, attr = true)}""""
+    sb ++= ">\n"
+    sb ++= body
+    sb ++= "</rdf:RDF>\n"
+    sb.toString
+  }
+
   /** Parse an RDF/XML document to triples. */
   def parse(doc: String, base: String = ""): Seq[(Term, Term, Term)] = {
     val handler = new Handler(base)

@@ -308,4 +308,50 @@ class RdfIOSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fuzz: RDF/XML serializer round-trips against its own parser") {
+    import graft.model.{Term, Lit, Iri, BNode}
+    import graft.sources.RdfXml
+    val rnd = new scala.util.Random(20260816L)
+    // RDF/XML-legal content only: XML 1.0 forbids control chars outright and
+    // normalizes CR — those stay the N-Quads/Turtle formats' job. Everything
+    // XML CAN carry must survive: markup chars, quotes, unicode incl. astral
+    // pairs, the empty string, lang tags, custom datatypes.
+    val strs = IndexedSeq("plain", "with \"quotes\"", "mark<up> & amp",
+      "tab\there", "new\nline", "uni \u00e9 \u4e2d", "emoji \ud83d\ude00",
+      "", "a]]>b", "'single'")
+    def pick[A](xs: IndexedSeq[A]): A = xs(rnd.nextInt(xs.length))
+    // predicate IRIs with valid NCName locals (an RDF/XML requirement)
+    val preds = IndexedSeq("http://f.ex/name", "http://f.ex/v#knows",
+      "urn:x:\u00fcber", "http://f.ex/deep/path.prop",
+      RdfXml.RDF_NS + "type")
+    val iris = IndexedSeq("http://f.ex/a", "http://f.ex/p#x",
+      "http://f.ex/path/deep?q=1", "urn:y:z")
+    def lit(): Term = rnd.nextInt(4) match {
+      case 0 => Term.str(pick(strs))
+      case 1 => Lit(pick(strs), "http://f.ex/customDt", null)
+      case 2 => Term.langStr(pick(strs), if (rnd.nextBoolean()) "en" else "en-us")
+      case 3 => Lit(pick(IndexedSeq("42", "1.5", "2.0E3")), Term.xsdInteger, null)
+    }
+    def node(): Term = rnd.nextInt(3) match {
+      case 0 => Iri(pick(iris))
+      case 1 => BNode("b" + rnd.nextInt(4))
+      case 2 => Iri(pick(iris))
+    }
+    for (round <- 0 until 120) {
+      val ts = Seq.fill(1 + rnd.nextInt(8))(
+        (node(), Iri(pick(preds)), if (rnd.nextBoolean()) lit() else node()))
+      val xml = RdfXml.serialize(ts)
+      val back = RdfXml.parse(xml)
+      assert(testkit.Isomorphism.isomorphic(ts.distinct, back.distinct),
+        s"round $round rdf/xml diverged\n$xml\n in: ${ts.mkString("; ")}\n" +
+          s" out: ${back.mkString("; ")}")
+    }
+    // the format limitation is DECLARED, not silent: a predicate IRI with no
+    // NCName local part must throw
+    intercept[IllegalArgumentException] {
+      RdfXml.serialize(Seq((Iri("http://f.ex/a"), Iri("http://f.ex/p/"),
+        Term.str("x"))))
+    }
+  }
 }

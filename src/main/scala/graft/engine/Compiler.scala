@@ -2373,7 +2373,10 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         case (None, Some(b)) => b
         case _ => throw new IllegalArgumentException("empty NPS")
       }
-    case PPlus(p) => closure(s, p, o, g, includeZero = false)
+    case PPlus(p) => g match {
+      case V(gv) => perNamedGraph(gv, gn => closure(s, p, o, gn, includeZero = false))
+      case _ => closure(s, p, o, g, includeZero = false)
+    }
     case PStar(p) =>
       // a constant endpoint with NO dictionary id is absent from the graph:
       // no edge can reach it, so the ONLY possible solution is the
@@ -2383,12 +2386,23 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         case T(t) => store.idOf(t).isEmpty
         case _ => false
       }
-      if (absent(s) || absent(o)) zeroLength(s, o, g)
-      else closure(s, p, o, g, includeZero = true)
+      def starLeg(gn: Node): Sol =
+        if (absent(s) || absent(o)) zeroLength(s, o, gn)
+        else closure(s, p, o, gn, includeZero = true)
+      g match {
+        case V(gv) => perNamedGraph(gv, starLeg)
+        case _ => starLeg(g)
+      }
     case PZeroOne(p) =>
-      val one = compilePath(s, p, o, g)
-      unionSols(zeroLength(s, o, g), one) match { case u =>
-        Sol(u.df.dropDuplicates(), u.reps, u.certain, Set.empty)
+      def zoLeg(gn: Node): Sol = {
+        val one = compilePath(s, p, o, gn)
+        unionSols(zeroLength(s, o, gn), one) match { case u =>
+          Sol(u.df.dropDuplicates(), u.reps, u.certain, Set.empty)
+        }
+      }
+      g match {
+        case V(gv) => perNamedGraph(gv, zoLeg)
+        case _ => zoLeg(g)
       }
   }
 
@@ -2415,9 +2429,56 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     var q = store.quads
     g match {
       case T(t) => q = q.filter(col("g") === store.idOf(t).getOrElse(-1L))
-      case _ => ()
+      case DefaultGraph =>
+        // r13 fuzzer find: the default graph may be a strict subset of the
+        // store's graphs (FROM-restricted datasets) — zero-length path terms
+        // must come from the DEFAULT graphs only, not the whole store
+        if (store.defaultGraphs.toSet != store.graphIds.toSet)
+          q = q.filter(col("g").isin(store.defaultGraphs: _*))
+      case V(_) =>
+        // unreachable: closures/zero-length under GRAPH ?g dispatch per
+        // named graph (perNamedGraph) before reaching here
+        for (named <- store.namedGraphs)
+          q = q.filter(col("g").isin(named: _*))
     }
     q.select(col("s").as("t")).union(q.select(col("o").as("t"))).dropDuplicates()
+  }
+
+  /** Term of a graph id (driver-side; graphs are few): inline ids decode via
+    * the scheme, dictionary ids via one tiny terms lookup. */
+  private def termOfId(id: Long): Term =
+    if (store.scheme.isInlineTag(TermId.tag(id))) store.scheme.decodeInline(id)
+    else TermRow.fromRow(store.terms.filter(col("id") === id)
+      .select(struct(col("kind"), col("lex"), col("dt"), col("lang"), col("num")))
+      .collect().head.getStruct(0))
+
+  /** GRAPH ?gv dispatch for path closures and zero-length matches (r13
+    * fuzzer find: the closure previously ran over the UNION of all graphs
+    * and never bound ?gv — cross-graph edges could chain, and per-graph
+    * solution multiplicity was lost). SPARQL semantics: evaluate the path
+    * WITHIN each named graph, binding ?gv to that graph's name — graphs are
+    * a driver-known handful, so this unions |named| per-graph plans, each
+    * with the graph var as a constant id column (or an equality filter when
+    * the path's own vars already bind ?gv: GRAPH ?x { ?x p* ?y }). */
+  private def perNamedGraph(gv: String, f: Node => Sol): Sol = {
+    val gids = store.namedGraphs.getOrElse(store.graphIds)
+    if (gids.isEmpty) { // empty store: no named graphs, no solutions
+      val sol = f(DefaultGraph)
+      sol.copy(df = sol.df.filter(lit(false)).withColumn(gv, lit(-1L)),
+        reps = sol.reps + (gv -> IdRep), certain = sol.certain + gv)
+    } else gids.map { gid =>
+      val sol = f(T(termOfId(gid)))
+      sol.reps.get(gv) match {
+        case Some(IdRep) => sol.copy(df = sol.df.filter(col(bt(gv)) === gid))
+        case Some(_) =>
+          // a term-space gv column only arises from the absent-constant
+          // zero-length device — a term with NO id can never name a graph
+          sol.copy(df = sol.df.filter(lit(false)))
+        case None =>
+          sol.copy(df = sol.df.withColumn(gv, lit(gid)),
+            reps = sol.reps + (gv -> IdRep), certain = sol.certain + gv)
+      }
+    }.reduce(unionSols)
   }
 
   /** One-row solution binding `v` to the constant term `t`, even when the

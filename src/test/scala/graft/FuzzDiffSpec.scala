@@ -49,17 +49,34 @@ class FuzzDiffSpec extends AnyFunSuite {
       Lit("-INF", Term.xsdDouble, null), Lit("-0.0", Term.xsdDouble, null),
       Lit("2.5", Term.xsdDecimal, null))
   private val g: Term = Iri("http://f.ex/g")
+  // named graphs beyond the default: GRAPH <iri> / GRAPH ?g dispatch corners
+  // (graph-var binding, named-set restriction, cross-graph duplicates) get
+  // random coverage, not just the fixed W3C graph manifests
+  private val namedGs = IndexedSeq(Iri("http://f.ex/g1"), Iri("http://f.ex/g2"))
 
   private final class Gen(seed: Long) {
     val rnd = new scala.util.Random(seed)
     def pick[A](xs: IndexedSeq[A]): A = xs(rnd.nextInt(xs.length))
     def chance(p: Double): Boolean = rnd.nextDouble() < p
 
-    def triples(): Seq[(Term, Term, Term)] =
-      Seq.fill(15 + rnd.nextInt(26)) { // dense: joins/paths usually match
+    def quads(): Seq[(Term, Term, Term, Term)] = {
+      val qs = Seq.fill(15 + rnd.nextInt(26)) { // dense: joins/paths usually match
         (pick(iris), Iri(pick(preds.toIndexedSeq)),
-          if (chance(0.6)) pick(iris) else pick(lits))
+          if (chance(0.6)) pick(iris) else pick(lits),
+          if (chance(0.7)) g else pick(namedGs))
       }
+      // the default graph must be non-empty (buildStore keys its id on it)
+      if (qs.exists(_._4 == g)) qs
+      else qs.updated(0, qs.head.copy(_4 = g))
+    }
+
+    /** Graph context for a pattern block: mostly default, else a named-graph
+      * constant or a graph VARIABLE (possibly shared with the row scope —
+      * the correlated-dispatch corner). */
+    def graphNode(scope: Seq[String]): Node =
+      if (chance(0.75)) DefaultGraph
+      else if (chance(0.5)) T(pick(namedGs))
+      else V(someVar(scope))
 
     private var vn = 0
     def freshVar(): String = { vn += 1; s"v$vn" }
@@ -73,12 +90,14 @@ class FuzzDiffSpec extends AnyFunSuite {
 
     def bgp(scope: Seq[String]): BGP = {
       var sc = scope
+      val gn = graphNode(scope)
+      sc = (sc ++ Seq(gn).collect { case V(n) => n }).distinct
       BGP(Seq.fill(1 + rnd.nextInt(3)) {
         val s = node(sc, allowLit = false)
         val p: Node = if (chance(0.15)) V(someVar(sc)) else N.iri(pick(preds.toIndexedSeq))
         val o = node(sc, allowLit = true)
         sc = (sc ++ Seq(s, p, o).collect { case V(n) => n }).distinct
-        QuadPattern(s, p, o)
+        QuadPattern(s, p, o, gn)
       })
     }
 
@@ -159,7 +178,8 @@ class FuzzDiffSpec extends AnyFunSuite {
       if (depth == 0)
         return if (chance(0.75)) bgp(Nil)
         else if (chance(0.5)) table(Nil)
-        else APath(node(Nil, allowLit = false), path(), node(Nil, allowLit = true))
+        else APath(node(Nil, allowLit = false), path(),
+          node(Nil, allowLit = true), graphNode(Nil))
       rnd.nextInt(12) match {
         case 0 => AJoin(alg(depth - 1), alg(depth - 1))
         case 1 => AUnion(alg(depth - 1), alg(depth - 1))
@@ -252,13 +272,17 @@ class FuzzDiffSpec extends AnyFunSuite {
     }
   }
 
-  private def buildStore(triples: Seq[(Term, Term, Term)]): RdfStore = {
+  private def buildStore(quads: Seq[(Term, Term, Term, Term)]): RdfStore = {
     val schema = StructType(Seq("s", "p", "o", "g").map(n =>
       StructField(n, TermRow.schema, nullable = true)))
-    val rows = triples.map { case (s, p, o) =>
-      Row(TermRow.toRow(s), TermRow.toRow(p), TermRow.toRow(o), TermRow.toRow(g)) }
+    val rows = quads.map { case (s, p, o, gg) =>
+      Row(TermRow.toRow(s), TermRow.toRow(p), TermRow.toRow(o), TermRow.toRow(gg)) }
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
-    StoreEncoder.encode(df, IriScheme.default)
+    val st = StoreEncoder.encode(df, IriScheme.default)
+    // W3C dataset shape: ONE default graph (g), g1/g2 reachable via GRAPH
+    // only — encode() defaults to all-graphs-default, which would hide the
+    // dispatch semantics the multi-graph grammar exists to test
+    st.copy(defaultGraphs = Seq(st.idOf(g).get))
   }
 
   private def engineRows(comp: Compiler, alg: Algebra): Seq[Map[String, Term]] = {
@@ -278,7 +302,7 @@ class FuzzDiffSpec extends AnyFunSuite {
     val failures = scala.collection.mutable.ListBuffer[String]()
     for (d <- 0 until NDatasets) {
       val gen = new Gen(baseSeed + d * 7919L)
-      val triples = gen.triples()
+      val triples = gen.quads()
       val store = buildStore(triples)
       val comp = new Compiler(store, ctx)
       // the reference's two-STORE device on top of the two-evaluator one:
@@ -289,8 +313,7 @@ class FuzzDiffSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pdir))
       StorePersist.save(store, pdir, buckets = 4)
       val pcomp = new Compiler(StorePersist.open(spark, pdir), ctx)
-      val ds = RefInterp.Dataset.fromQuads(
-        triples.map(t => (t._1, t._2, t._3, g)), Set(g))
+      val ds = RefInterp.Dataset.fromQuads(triples, Set(g))
       for (q <- 0 until QueriesPer) {
         val a0 = gen.alg(Depth + gen.rnd.nextInt(2))
         val a = Rewriter.rewrite(a0)
@@ -339,9 +362,8 @@ class FuzzDiffSpec extends AnyFunSuite {
     val failures = scala.collection.mutable.ListBuffer[String]()
     for (d <- 0 until NDatasets) {
       val gen = new Gen(baseSeed + 104729L + d * 7919L)
-      val triples = gen.triples()
-      val ds = RefInterp.Dataset.fromQuads(
-        triples.map(t => (t._1, t._2, t._3, g)), Set(g))
+      val triples = gen.quads()
+      val ds = RefInterp.Dataset.fromQuads(triples, Set(g))
       val env = RefInterp.Env(ds, ctx, None)
       for (q <- 0 until QueriesPer) {
         val a0 = gen.alg(Depth + gen.rnd.nextInt(2))

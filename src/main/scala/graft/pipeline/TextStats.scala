@@ -92,12 +92,32 @@ object TextStats {
       minTokens: Long = 20, maxTokens: Long = 100000,
       minStopRatio: Double = 0.01, minTypeToken: Double = 0.45,
       maxTop2Frac: Double = 0.15): DataFrame = {
-    val t = tokens(spark, dir).select(col("doc_id"), col("n_tokens"))
-    val q = quality(spark, dir)
-      .select(col("doc_id").as("qd"), col("stop_ratio"), col("type_token"))
-    val r = repetition(spark, dir).select(col("doc_id").as("rd"), col("top2_frac"))
-    t.join(q, col("doc_id") === col("qd"))
-      .join(r, col("doc_id") === col("rd"))
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    // top-2-gram character coverage WITHOUT the explode + per-doc groupBy +
+    // join-back of [[repetition]]: the grams of ONE document fit in the row,
+    // so sort them and fold a run-length max in a single `aggregate` — the
+    // per-gram count × gram length max is identical, but the whole operator
+    // stays a map-side projection over one scan (at 100 TB the old shape's
+    // ~5 corpus scans + 3 doc_id shuffles were the dominant cost).
+    val run = "CASE WHEN g <=> a.prev THEN a.run + 1 ELSE CAST(1 AS BIGINT) END"
+    val c2 = expr(
+      "aggregate(array_sort(transform(sequence(0, size(ws) - 2), " +
+      "i -> concat(element_at(ws, i+1), ' ', element_at(ws, i+2)))), " +
+      "named_struct('prev', CAST(NULL AS STRING), " +
+      "'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), " +
+      s"(a, g) -> named_struct('prev', g, 'run', $run, " +
+      s"'best', greatest(a.best, ($run) * length(g))), a -> a.best)")
+    docs(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
+        split(col("text"), " ").as("ws"))
+      // docs with <2 words have no 2-gram — excluded, as in the join shape
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        round(expr(s"size(filter(ws, w -> w IN ($stopList)))") /
+          size(col("ws")), 4).as("stop_ratio"),
+        round(size(array_distinct(col("ws"))) / size(col("ws")), 4).as("type_token"),
+        round(c2 / col("nc"), 4).as("top2_frac"))
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") < minTokens, "too_short")
           .when(col("n_tokens") > maxTokens, "too_long")

@@ -962,6 +962,30 @@ class EngineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("q_agg_minmax plan pin: star join exchange-free, partial min/max, ONE shuffle") {
+    // r13's only shared-query drift (0.21 → 0.55 s, plan unchanged, 130 ms GC
+    // recorded inside the window). Same structural pin as q_agg_q1 so any
+    // FUTURE movement is either environmental (self-labeled by gc_jit_load)
+    // or a caught plan regression — never timing archaeology again.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("q_agg_minmax")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      val hashEx = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx == 1,
+        s"q_agg_minmax must shuffle exactly once (aggregate boundary); " +
+          s"got $hashEx:\n${plan.take(4000)}")
+      assert(plan.contains("partial_min") && plan.contains("partial_max"),
+        s"map-side partial min/max missing:\n${plan.take(4000)}")
+      val lines = plan.split("\n")
+      val firstAgg = lines.indexWhere(_.contains("HashAggregate"))
+      val exLine = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+      assert(firstAgg >= 0 && exLine > firstAgg,
+        "the single exchange must be the aggregate boundary, not a join shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("characteristic-sets star COUNT: LocalRelation-only plan, exact values, principled refusal") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     def isStatic(sol: Sol): Boolean =

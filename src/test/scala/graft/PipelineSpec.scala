@@ -471,6 +471,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 exchange, plan:\n${plan.take(3000)}")
   }
 
+  test("quality filter: ONE documents scan, zero exchanges, matches join-shape stats") {
+    val df = TextStats.qualityFilter(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n${plan.take(3000)}")
+    assert(!plan.contains("Exchange"),
+      s"quality filter must be map-side only:\n${plan.take(3000)}")
+    // differential vs the oracle-checked multi-scan components: the in-row
+    // sorted-run top-2-gram max must equal repetition()'s explode+groupBy max
+    val got = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val old = TextStats.tokens(spark, sf).select(col("doc_id"), col("n_tokens"))
+      .join(TextStats.quality(spark, sf).select(
+        col("doc_id"), col("stop_ratio"), col("type_token")), "doc_id")
+      .join(TextStats.repetition(spark, sf).select(
+        col("doc_id"), col("top2_frac")), "doc_id")
+      .collect().map { r =>
+        val n = r.getLong(1)
+        val reason =
+          if (n < 20) "too_short" else if (n > 100000) "too_long"
+          else if (r.getDouble(2) < 0.01) "low_stopword"
+          else if (r.getDouble(3) < 0.45) "low_diversity"
+          else if (r.getDouble(4) > 0.15) "repetitive" else "ok"
+        r.getLong(0) -> (n, reason)
+      }.toMap
+    assert(old.nonEmpty && old.forall { case (id, v) => got.get(id).contains(v) },
+      "single-scan quality filter diverges from the join-shape components")
+  }
+
   test("pii redaction: emails/ips/phones replaced with typed placeholders") {
     val r = TextStats.piiRedact(spark, sf).collect()
     assert(r.length == 500)

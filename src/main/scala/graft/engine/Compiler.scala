@@ -1360,7 +1360,13 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         case _ => return None
       }
     }
-    val sets = store.charSets.getOrElse(return None)
+    // PERSISTED stats only (manifest-loaded at open): compile must never
+    // launch a Spark job as a side effect (the job-free-compile invariant),
+    // and the lazy store.charSets would trigger the full characteristic-set
+    // ANALYZE (two shuffles over all quads + driver collect) right here for
+    // in-memory/appended/filtered stores — even when the shortcut then
+    // refuses. ANALYZE is paid once, at StorePersist.save.
+    val sets = store.charSetStats.getOrElse(return None)
     val pset = pids.toSet
     val supers = sets.filter(cs => pset.subsetOf(cs.preds.toSet))
     val nSubj = supers.map(_.subjects).sum
@@ -1948,6 +1954,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     }
     val hotGroupCap = spark.conf.get(Compiler.HotGroupCapKey,
       Compiler.DefaultHotGroupCap.toString).toLong
+    // card = None (no statistics) deliberately counts as above-cap: the
+    // salted plan's extra exchange is bounded overhead, an un-salted hot
+    // group is an unbounded single-reducer collect — defense wins at scale
     val salted = keys.nonEmpty && aggs.exists(_.fn == "group_concat") &&
       twoPhaseSafe && sol.card.forall(_ > hotGroupCap)
     val gks0 = keys.filter(sol.reps.contains).map(v => col(bt(v)))
@@ -2128,8 +2137,12 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       // exists for. A whole-partition frame makes the window expressible as
       // a per-key aggregate joined back to the rows, which unlocks that
       // exact device (phase 1 per (keys, salt), merge per key, join back).
-      // Gated like compileGroup: statistics must bound the input ABOVE the
-      // hot-group cap; all-ASC order keys only (the merge re-sorts by the
+      // Gated like compileGroup: salted when statistics bound the input
+      // above the hot-group cap OR cardinality is UNKNOWN (card = None) —
+      // unknown is deliberately treated as above-cap, because the defensive
+      // plan costs one bounded extra shuffle while an un-salted hot group
+      // is a single-task OOM at scale; all-ASC order keys only (the merge
+      // re-sorts by the
       // key components + lex, which is the asc_nulls_first frame order; a
       // DESC key has no struct-sort equivalent).
       val hotGroupCap = spark.conf.get(Compiler.HotGroupCapKey,

@@ -77,13 +77,25 @@ object AlgebraText {
       throw new UnsupportedOperationException(s"SERVICE pattern: ${other.getClass.getSimpleName}")
   }
 
+  /** SPARQL string-literal escaping for serialized separators: a separator
+    * containing '"', '\' or a control char must re-parse to itself (the
+    * parser's parseString unescapes the same set). */
+  private def sepText(sep: String): String = sep.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c => c.toString
+  }
+
   private def winText(w: WinSpec): String = {
     val call = w.fn match {
       case "rank" | "dense_rank" | "row_number" => s"${w.fn.toUpperCase}()"
       case "ntile" => s"NTILE(${w.arg})"
       case "count" if w.e.isEmpty => "COUNT(*)"
       case "group_concat" =>
-        s"""GROUP_CONCAT(${w.e.map(expr).getOrElse("*")}; SEPARATOR="${w.sep}")"""
+        s"""GROUP_CONCAT(${w.e.map(expr).getOrElse("*")}; SEPARATOR="${sepText(w.sep)}")"""
       case fn => s"${fn.toUpperCase}(${w.e.map(expr).getOrElse("*")})"
     }
     def bound(v: Long, isStart: Boolean): String = v match {
@@ -139,7 +151,7 @@ object AlgebraText {
     a.fn match {
       case "count" if a.e.isEmpty => s"COUNT($d*)"
       case "group_concat" =>
-        s"""GROUP_CONCAT($d${a.e.map(expr).getOrElse("*")}; SEPARATOR="${a.sep}")"""
+        s"""GROUP_CONCAT($d${a.e.map(expr).getOrElse("*")}; SEPARATOR="${sepText(a.sep)}")"""
       case fn => s"${fn.toUpperCase}($d${a.e.map(expr).getOrElse("*")})"
     }
   }

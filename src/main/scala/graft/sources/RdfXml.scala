@@ -38,11 +38,25 @@ object RdfXml {
   // serialization is driver-side; bulk dumps use the distributed N-Quads
   // writer.
 
+  /** XML-escape element/attribute content. In attribute values CR/TAB/LF
+    * must become numeric character references — XML attribute-value
+    * normalization (XML 1.0 §3.3.3) turns raw whitespace into spaces on
+    * re-parse, so a literal escape-less round-trip would be lossy. Control
+    * characters XML 1.0 cannot represent AT ALL (C0 except TAB/LF/CR) throw,
+    * in the same declared-limitation style as non-NCName predicates. */
   private def xmlEscape(s: String, attr: Boolean): String = s.flatMap {
     case '&' => "&amp;"
     case '<' => "&lt;"
     case '>' => "&gt;"
     case '"' if attr => "&quot;"
+    case '\r' if attr => "&#13;"
+    case '\t' if attr => "&#9;"
+    case '\n' if attr => "&#10;"
+    case '\r' => "&#13;" // raw CR in content normalizes to LF on re-parse
+    case c if c < 0x20 && c != '\t' && c != '\n' =>
+      throw new IllegalArgumentException(
+        f"control character U+${c.toInt}%04X is not representable in XML 1.0 " +
+          "— this literal cannot be serialized as RDF/XML")
     case c => c.toString
   }
 

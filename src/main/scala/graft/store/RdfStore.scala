@@ -40,7 +40,13 @@ final case class RdfStore(
     bucketedS: Boolean = false,
     /** Characteristic-set statistics loaded from a persisted manifest
       * (None = not persisted; [[charSets]] computes them on demand). */
-    charSetStats: Option[Seq[CharSetStat]] = None) {
+    charSetStats: Option[Seq[CharSetStat]] = None,
+    /** true when a persisted manifest recorded `"charSets":null` — the
+      * ANALYZE ran at save time and found the store exceeds the set cap, so
+      * the stat is DISABLED: [[charSets]] must not re-run the expensive pass
+      * only to re-discover the over-cap (every re-save of an opened over-cap
+      * store would otherwise pay two shuffles over all quads for nothing). */
+    charSetsDisabled: Boolean = false) {
 
   def spark: SparkSession = quads.sparkSession
 
@@ -55,7 +61,20 @@ final case class RdfStore(
     * store exceeded the set cap (pathological heterogeneity) — the stat is
     * disabled and star counts stay dynamic. */
   @transient lazy val charSets: Option[Seq[CharSetStat]] =
-    charSetStats.map(Some(_)).getOrElse(RdfStore.computeCharSets(quads))
+    if (charSetsDisabled) None
+    else charSetStats.map(Some(_)).getOrElse(RdfStore.computeCharSets(quads))
+
+  /** Explicit ANALYZE: compute characteristic sets NOW and attach them, so
+    * star COUNTs on this (in-memory / appended) store answer statically.
+    * The compiler only consults [[charSetStats]] — never the lazy
+    * [[charSets]] — because query COMPILE must not launch a Spark job as a
+    * side effect; this is the user-facing way to opt an un-persisted store
+    * in (persisted stores get it automatically at StorePersist.save). An
+    * over-cap result marks the stat disabled so re-saves skip the pass. */
+  def analyze(): RdfStore = {
+    val computed = RdfStore.computeCharSets(quads)
+    copy(charSetStats = computed, charSetsDisabled = computed.isEmpty)
+  }
 
   /** Ids of all named graphs (distinct g values). Small by construction. */
   lazy val graphIds: Seq[Long] =

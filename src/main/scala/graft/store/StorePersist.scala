@@ -90,7 +90,10 @@ object StorePersist {
       .map(ns => ns.mkString("[", ",", "]")).getOrElse("null")
     // characteristic sets: computed here (the ANALYZE-once point) and
     // persisted, so open() answers star COUNTs statically with no extra
-    // pass. An over-cap store simply omits the key (stat disabled).
+    // pass. An over-cap (or already-disabled) store writes an EXPLICIT
+    // "charSets":null marker — distinguishable from "never computed" (key
+    // absent, pre-stat stores), so re-opening and re-saving an over-cap
+    // store never re-runs the pass just to re-discover the cap.
     val charSets = store.charSets.map(_.map(cs =>
         s"""{"preds":[${cs.preds.mkString(",")}],"subjects":${cs.subjects},""" +
           s""""occ":[${cs.occ.mkString(",")}]}""")
@@ -109,7 +112,7 @@ object StorePersist {
          |"codecVersion":$CodecVersion,
          |"layout":"ps",
          |"schemaDDL":"$dataCols",
-         |${charSets.map(cs => s""""charSets":$cs,""").getOrElse("")}
+         |"charSets":${charSets.getOrElse("null")},
          |"profiles":$profiles}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "meta.json"), meta)
   }
@@ -158,14 +161,15 @@ object StorePersist {
       spgAllInline = meta.spg,
       namedGraphs = meta.namedGraphs,
       bucketedS = meta.buckets > 0,
-      charSetStats = meta.charSets)
+      charSetStats = meta.charSets,
+      charSetsDisabled = meta.csDisabled)
   }
 
   // minimal hand-rolled JSON decode for the manifest (no extra dependencies)
   private final case class Meta(defaultGraphs: Seq[Long], spg: Boolean,
       namedGraphs: Option[Seq[Long]], profiles: Map[Long, PredProfile],
       buckets: Int = 0, layout: String = "", schemaDDL: String = "",
-      charSets: Option[Seq[CharSetStat]] = None)
+      charSets: Option[Seq[CharSetStat]] = None, csDisabled: Boolean = false)
 
   private def ujsonLite(s: String): Meta = {
     def arr(name: String): Seq[Long] = {
@@ -197,14 +201,18 @@ object StorePersist {
     }.toMap
     val csRe =
       """\{"preds":\[([^\]]*)\],"subjects":(\d+),"occ":\[([^\]]*)\]\}""".r
+    // three states: key absent = never computed (pre-stat store); null =
+    // ANALYZE ran and found over-cap (stat disabled — do not recompute);
+    // array = usable statistics
+    val csDisabled = s.contains("\"charSets\":null")
     val charSets =
-      if (!s.contains("\"charSets\":")) None
+      if (csDisabled || !s.contains("\"charSets\":")) None
       else Some(csRe.findAllMatchIn(s).map { m =>
         def longs(g: String) =
           g.split(',').filter(_.trim.nonEmpty).map(_.trim.toLong).toSeq
         CharSetStat(longs(m.group(1)), m.group(2).toLong, longs(m.group(3)))
       }.toSeq)
     Meta(arr("defaultGraphs"), s.contains("\"spgAllInline\":true"), named, profiles,
-      buckets, layout, schemaDDL, charSets)
+      buckets, layout, schemaDDL, charSets, csDisabled)
   }
 }

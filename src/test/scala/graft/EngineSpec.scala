@@ -994,25 +994,28 @@ class EngineSpec extends AnyFunSuite {
     def countOf(c: Compiler, sol: Sol): Long =
       Results.materialize(c, sol).collect()
         .map(_.getStruct(0).getString(1).toLong).head
-    // comp over the testdata store
+    // the in-memory testdata store, explicitly ANALYZEd: the static shortcut
+    // only consults persisted/ANALYZEd stats (compile never launches the
+    // characteristic-set pass as a side effect)
+    val aComp = new Compiler(store.analyze(), ExprEval.Ctx(nowEpochUs = 0L))
     val star = AGroup(BGP(Seq(
       QuadPattern(V("c"), p("customer", "c_name"), V("nm")),
       QuadPattern(V("c"), p("customer", "c_acctbal"), V("bal")),
       QuadPattern(V("c"), p("customer", "c_mktsegment"), V("seg")))),
       Seq.empty, Seq(AggSpec("n", "count", None)))
-    val sol = comp.compile(star)
+    val sol = aComp.compile(star)
     assert(isStatic(sol), "star COUNT(*) must compile to a LocalRelation-only plan:\n" +
       sol.df.queryExecution.optimizedPlan.toString)
     val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
-    assert(countOf(comp, sol) == nCust)
+    assert(countOf(aComp, sol) == nCust)
     // COUNT(DISTINCT ?s) over a 2-pattern star
     val distinctS = AGroup(BGP(Seq(
       QuadPattern(V("o"), p("orders", "o_orderstatus"), V("st")),
       QuadPattern(V("o"), p("orders", "o_totalprice"), V("tp")))),
       Seq.empty, Seq(AggSpec("n", "count", Some(EVar("o")), distinct = true)))
-    val solD = comp.compile(distinctS)
+    val solD = aComp.compile(distinctS)
     assert(isStatic(solD), "star COUNT(DISTINCT ?s) must be static")
-    assert(countOf(comp, solD) == spark.read.parquet(s"$sf/orders.parquet").count())
+    assert(countOf(aComp, solD) == spark.read.parquet(s"$sf/orders.parquet").count())
     // multi-valued predicate: COUNT(*) must REFUSE the static path (per-set
     // totals can't reproduce Σ_s Π m_i(s)) and still answer correctly;
     // COUNT(DISTINCT ?s) stays static (no single-valuedness requirement)
@@ -1031,9 +1034,12 @@ class EngineSpec extends AnyFunSuite {
     val rows = mvQuads.map { case (s0, pp, o, gg) =>
       Row(TermRow.toRow(s0), TermRow.toRow(pp), TermRow.toRow(o), TermRow.toRow(gg))
     }
+    // in-memory stores must OPT IN to the static shortcut via analyze() —
+    // compile itself never launches the characteristic-set pass (job-free
+    // compile invariant); without analyze() the star would stay dynamic
     val mvStore = StoreEncoder.encode(
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
-      IriScheme.default)
+      IriScheme.default).analyze()
     val mvComp = new Compiler(mvStore, ExprEval.Ctx(nowEpochUs = 0L))
     val mvStar = BGP(Seq(
       QuadPattern(V("x"), N.iri(ex + "name"), V("nm")),
@@ -1048,6 +1054,17 @@ class EngineSpec extends AnyFunSuite {
     assert(isStatic(mvDist),
       "COUNT(DISTINCT ?s) is exact from set totals even with multi-valued predicates")
     assert(countOf(mvComp, mvDist) == 2L) // d1, d2 (d3 has no tag)
+    // un-ANALYZEd in-memory store: compile must refuse the static path (and
+    // thereby launch no characteristic-set job at compile time) yet answer
+    // the same count dynamically
+    val rawStore = StoreEncoder.encode(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
+      IriScheme.default)
+    val rawComp = new Compiler(rawStore, ExprEval.Ctx(nowEpochUs = 0L))
+    val rawDist = rawComp.compile(AGroup(mvStar, Seq.empty,
+      Seq(AggSpec("n", "count", Some(EVar("x")), distinct = true))))
+    assert(!isStatic(rawDist), "no-stats store must stay dynamic at compile")
+    assert(countOf(rawComp, rawDist) == 2L)
   }
 
   test("windowed GROUP_CONCAT: forced hot-group gate takes the salted two-phase plan, identical rows") {

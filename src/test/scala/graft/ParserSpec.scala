@@ -331,4 +331,32 @@ class ParserSpec extends AnyFunSuite {
       SparqlParser.parse("SELECT (RANK() OVER (PARTITION BY ?s) AS ?r) WHERE { ?s <urn:p:q> ?o }")
     }
   }
+
+  test("GROUP_CONCAT separators with quotes/backslashes/controls survive AlgebraText round-trips") {
+    import graft.parser.{AlgebraText, SparqlParser}
+    import graft.algebra._
+    for (sep <- Seq("\"", "\\", "a\"b\\c", "\n", "\t\r", "', '")) {
+      // aggregate form
+      val agg = AGroup(BGP(Seq(QuadPattern(V("s"), T(Iri("urn:p:q")), V("o")))),
+        Seq("s"), Seq(AggSpec("all", "group_concat", Some(EVar("o")), sep = sep)))
+      val aggBack = SparqlParser.parse(AlgebraText.selectQuery(agg, Nil)).algebra
+      def aggSeps(a: Algebra): Seq[String] = a match {
+        case AGroup(_, _, as) => as.map(_.sep)
+        case AProject(c, _) => aggSeps(c); case AExtend(c, _, _) => aggSeps(c)
+        case _ => Seq.empty
+      }
+      assert(aggSeps(aggBack) == Seq(sep), s"agg separator mangled: ${sep.toSeq}")
+      // window form
+      val win = AWindow(BGP(Seq(QuadPattern(V("s"), T(Iri("urn:p:q")), V("o")))),
+        Seq(WinSpec("trail", "group_concat", Some(EVar("o")), partBy = Seq.empty,
+          ordBy = Seq(SortKey(EVar("o"), asc = true)), sep = sep)))
+      def winSeps(a: Algebra): Seq[String] = a match {
+        case AWindow(_, fs) => fs.map(_.sep)
+        case AProject(c, _) => winSeps(c); case AExtend(c, _, _) => winSeps(c)
+        case _ => Seq.empty
+      }
+      val winBack = SparqlParser.parse(AlgebraText.selectQuery(win, Nil)).algebra
+      assert(winSeps(winBack) == Seq(sep), s"window separator mangled: ${sep.toSeq}")
+    }
+  }
 }

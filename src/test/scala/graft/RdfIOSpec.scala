@@ -313,13 +313,14 @@ class RdfIOSpec extends AnyFunSuite {
     import graft.model.{Term, Lit, Iri, BNode}
     import graft.sources.RdfXml
     val rnd = new scala.util.Random(20260816L)
-    // RDF/XML-legal content only: XML 1.0 forbids control chars outright and
-    // normalizes CR — those stay the N-Quads/Turtle formats' job. Everything
-    // XML CAN carry must survive: markup chars, quotes, unicode incl. astral
-    // pairs, the empty string, lang tags, custom datatypes.
+    // XML 1.0 forbids C0 control chars (except TAB/LF/CR) outright — those
+    // throw, asserted below. Everything XML CAN carry must survive: markup
+    // chars, quotes, CR/TAB/LF (numeric char refs defeat attribute-value
+    // and line-end normalization), unicode incl. astral pairs, the empty
+    // string, lang tags, custom datatypes.
     val strs = IndexedSeq("plain", "with \"quotes\"", "mark<up> & amp",
-      "tab\there", "new\nline", "uni \u00e9 \u4e2d", "emoji \ud83d\ude00",
-      "", "a]]>b", "'single'")
+      "tab\there", "new\nline", "cr\rreturn", "uni \u00e9 \u4e2d",
+      "emoji \ud83d\ude00", "", "a]]>b", "'single'")
     def pick[A](xs: IndexedSeq[A]): A = xs(rnd.nextInt(xs.length))
     // predicate IRIs with valid NCName locals (an RDF/XML requirement)
     val preds = IndexedSeq("http://f.ex/name", "http://f.ex/v#knows",
@@ -352,6 +353,12 @@ class RdfIOSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       RdfXml.serialize(Seq((Iri("http://f.ex/a"), Iri("http://f.ex/p/"),
         Term.str("x"))))
+    }
+    // ... and so must an XML-1.0-unrepresentable control character, instead
+    // of serializing a document the parser then rejects
+    intercept[IllegalArgumentException] {
+      RdfXml.serialize(Seq((Iri("http://f.ex/a"), Iri("http://f.ex/name"),
+        Term.str("ctrl \u0001 char"))))
     }
   }
 }

@@ -192,6 +192,28 @@ class StoreSpec extends AnyFunSuite {
     assert(got == 150)
   }
 
+  test("charSets manifest: stats round-trip; over-cap stores persist an explicit disabled marker") {
+    import graft.store.StorePersist
+    // normal save: ANALYZE runs once at save, open() loads usable stats
+    val dir = "/tmp/graft_store_cs_" + System.nanoTime()
+    StorePersist.save(store, dir)
+    val reopened = StorePersist.open(spark, dir)
+    assert(reopened.charSetStats.isDefined && !reopened.charSetsDisabled,
+      "persisted store must carry usable characteristic sets")
+    assert(reopened.charSetStats == store.charSets)
+    // disabled store (over-cap ANALYZE outcome): save writes "charSets":null,
+    // open maps it to disabled — NOT to 'never computed' — so a re-save does
+    // not re-run the pass; charSets stays None without recomputation
+    val dir2 = "/tmp/graft_store_csdis_" + System.nanoTime()
+    StorePersist.save(reopened.copy(charSetStats = None, charSetsDisabled = true), dir2)
+    assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir2, "meta.json")).contains("\"charSets\":null"),
+      "over-cap store must persist the explicit disabled marker")
+    val dis = StorePersist.open(spark, dir2)
+    assert(dis.charSetsDisabled && dis.charSetStats.isEmpty)
+    assert(dis.charSets.isEmpty, "disabled stat must not recompute lazily")
+  }
+
   test("bucketed store: same-subject star join plans with no shuffle exchange") {
     import graft.store.StorePersist
     import graft.algebra._

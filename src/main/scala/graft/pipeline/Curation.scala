@@ -127,6 +127,53 @@ object Curation {
           .as("chunk_hash"))
   }
 
+  /** The chained pretraining shape: chunk → dedup-by-chunk_hash → pack.
+    * [[chunkDocs]] and [[packChunks]] are separately oracle-checked; a real
+    * pipeline runs them composed, with an exact-dedup between (identical
+    * chunk content — boilerplate, repeated headers — survives only once,
+    * first occurrence by (doc_id, chunk_idx) kept). The packer then cuts the
+    * per-source stream of SURVIVING chunks every `budget` tokens.
+    *
+    * Scale shape, end to end: ONE scan of documents (chunking is the same
+    * zero-shuffle pipelined explode as [[chunkDocs]], with `source` carried),
+    * then exactly TWO hash exchanges — chunk_hash for the dedup window,
+    * source for the packing window. Nothing in the chain re-reads the corpus
+    * or collects to the driver; the chain's cost at 100 TB is the two
+    * exchanges over the chunk frame, pinned by a PipelineSpec plan test. */
+  def chunkPack(spark: SparkSession, dir: String,
+      win: Int = 64, overlap: Int = 16, budget: Int = 256): DataFrame = {
+    require(overlap >= 0 && overlap < win, "need 0 <= overlap < win")
+    val stride = win - overlap
+    val chunks = docs(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .withColumn("nc",
+        (floor((greatest(col("n") - win, lit(0L)) + (stride - 1)) / stride) + 1)
+          .cast(LongType))
+      .select(col("doc_id"), col("source"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        least(lit(win.toLong), col("n") - col("chunk_idx") * stride).as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(win))))
+          .as("chunk_hash"))
+    val wd = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val deduped = chunks
+      .withColumn("rk", row_number().over(wd))
+      .filter(col("rk") === 1).drop("rk")
+    val wp = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    deduped
+      .withColumn("cum", coalesce(sum(col("n_tok")).over(wp), lit(0L)))
+      .select(col("doc_id"), col("chunk_idx"), col("source"), col("n_tok"),
+        col("chunk_hash"),
+        floor(col("cum") / budget).as("pack_id"),
+        (col("cum") % budget).as("pack_off"),
+        (floor((col("cum") + col("n_tok") - 1) / budget) >
+          floor(col("cum") / budget)).as("spans"))
+  }
+
   /** Domain-mixture reweighting: per-source token mass and the sampling
     * weight that reshapes the corpus to a TARGET mixture (uniform across
     * sources by default — the weight is target_share / natural_share, the

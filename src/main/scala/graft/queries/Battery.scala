@@ -2349,6 +2349,32 @@ object Battery {
         "CAST(least(i * 48 + 64, n) AS BIGINT)], ' ')) AS chunk_hash " +
         "FROM x")),
 
+    ("curate_chunk_pack", // the CHAINED pretraining shape: chunk →
+      // dedup-by-chunk_hash (first occurrence survives) → pack the surviving
+      // per-source stream every 256 tokens. One documents scan + exactly two
+      // hash exchanges end to end (plan-pinned in PipelineSpec); oracle
+      // composes the chunk/dedup/pack CTEs
+      (s: SparkSession, d: String) => graft.pipeline.Curation.chunkPack(s, d),
+      Some("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n, " +
+        "CAST((greatest(len(toks) - 64, 0) + 47) // 48 + 1 AS BIGINT) AS nc FROM t), " +
+        "x AS (SELECT doc_id, source, toks, n, unnest(range(0, nc)) AS i FROM c), " +
+        "ch AS (SELECT doc_id, source, i AS chunk_idx, " +
+        "least(64, n - i * 48) AS n_tok, " +
+        "md5(array_to_string(toks[CAST(i * 48 + 1 AS BIGINT):" +
+        "CAST(least(i * 48 + 64, n) AS BIGINT)], ' ')) AS chunk_hash FROM x), " +
+        "dd AS (SELECT doc_id, source, chunk_idx, n_tok, chunk_hash FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY chunk_hash " +
+        "ORDER BY doc_id, chunk_idx) AS rk FROM ch) WHERE rk = 1), " +
+        "p AS (SELECT *, CAST(coalesce(sum(n_tok) OVER (PARTITION BY source " +
+        "ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), 0) AS BIGINT) AS cum FROM dd) " +
+        "SELECT doc_id, chunk_idx, source, n_tok, chunk_hash, " +
+        "CAST(floor(cum / 256.0) AS BIGINT) AS pack_id, " +
+        "CAST(cum % 256 AS BIGINT) AS pack_off, " +
+        "floor((cum + n_tok - 1) / 256.0) > floor(cum / 256.0) AS spans FROM p")),
+
     ("curate_repeat_plan", // data-constrained epoch planning
       // (arXiv:2305.16264): per source, integer repeat count
       // min(ceil(budget-share / tokens), 4) and the planned token total —

@@ -849,6 +849,75 @@ class EngineSpec extends AnyFunSuite {
     } finally spark.conf.unset(Compiler.HotGroupCapKey)
   }
 
+  test("property: window family invariant to input partitioning AND the salt gate, both paths forced") {
+    // the salted two-phase device rewrites whole-partition GROUP_CONCAT
+    // windows; RANK/DENSE_RANK/ROW_NUMBER/NTILE/frame aggregates share the
+    // same compiled tree. Over randomized data, randomized input partition
+    // counts, and the hot-group gate forced BOTH ways, every window output
+    // must be bit-identical (?v is unique per group, so the order is total
+    // and even GROUP_CONCAT strings are deterministic).
+    val ex = "http://example.org/w/"
+    def iri(s: String) = Iri(ex + s)
+    val schema = StructType(Seq("s", "p", "o", "g").map(n =>
+      StructField(n, TermRow.schema, nullable = true)))
+    val alg = AWindow(BGP(Seq(
+        QuadPattern(V("s"), N.iri(ex + "grp"), V("grp")),
+        QuadPattern(V("s"), N.iri(ex + "val"), V("v")))),
+      Seq(
+        WinSpec("rk", "rank", None, Seq("grp"), Seq(SortKey(EVar("v"), asc = false))),
+        WinSpec("drk", "dense_rank", None, Seq("grp"), Seq(SortKey(EVar("v"), asc = false))),
+        WinSpec("rn", "row_number", None, Seq("grp"), Seq(SortKey(EVar("v")))),
+        WinSpec("qt", "ntile", None, Seq("grp"), Seq(SortKey(EVar("v"))), arg = 3),
+        WinSpec("ms", "sum", Some(EVar("v")), Seq("grp"), Seq(SortKey(EVar("v"))),
+          frame = Some((-2L, 0L))),
+        WinSpec("trail", "group_concat", Some(EVar("v")), Seq("grp"),
+          Seq(SortKey(EVar("v"))), sep = ",")))
+    for (seed <- Seq(7L, 19L)) {
+      val rnd = new scala.util.Random(seed)
+      val groups = Seq("g0", "g1", "g2")
+      val subjects = rnd.shuffle((0 until 40 + rnd.nextInt(40)).toVector).map { i =>
+        (iri(s"s$i"), groups(rnd.nextInt(groups.length)), i)
+      }
+      val quads = subjects.flatMap { case (s, g, v) =>
+        Seq((s, iri("grp"), Term.str(g)), (s, iri("val"), Term.int(v)))
+      }
+      def run(parts: Int): Seq[String] = {
+        val rows = quads.map { case (s, pp, o) =>
+          Row(TermRow.toRow(s), TermRow.toRow(pp), TermRow.toRow(o),
+            TermRow.toRow(iri("gg")))
+        }
+        val st = StoreEncoder.encode(
+          spark.createDataFrame(spark.sparkContext.parallelize(rows, parts), schema),
+          IriScheme.default)
+        val c = new Compiler(st, ExprEval.Ctx(nowEpochUs = 0L))
+        Results.materialize(c, c.compile(alg)).collect().map(_.toString).sorted.toSeq
+      }
+      val base = run(1)
+      assert(base.nonEmpty)
+      for (parts <- Seq(4, 9))
+        assert(run(parts) == base, s"partitioning $parts changed windows at seed=$seed")
+      spark.conf.set(Compiler.HotGroupCapKey, "0")
+      try {
+        // not vacuous: the forced gate must actually reroute the
+        // whole-partition GROUP_CONCAT through the salted two-phase plan
+        val rows1 = quads.map { case (s, pp, o) =>
+          Row(TermRow.toRow(s), TermRow.toRow(pp), TermRow.toRow(o),
+            TermRow.toRow(iri("gg")))
+        }
+        val st1 = StoreEncoder.encode(
+          spark.createDataFrame(spark.sparkContext.parallelize(rows1, 4), schema),
+          IriScheme.default)
+        val c1 = new Compiler(st1, ExprEval.Ctx(nowEpochUs = 0L))
+        assert(c1.compile(alg).df.queryExecution.optimizedPlan.toString
+            .contains("__graft_wsalt"),
+          "hotGroupCap=0 must fire the salted window plan for this shape")
+        for (parts <- Seq(1, 4, 9))
+          assert(run(parts) == base,
+            s"salted gate changed windows at seed=$seed parts=$parts")
+      } finally spark.conf.unset(Compiler.HotGroupCapKey)
+    }
+  }
+
   test("tagged-row devices take the reliable checkpoint when a checkpoint dir is configured") {
     val ex = "http://example.org/"
     val knows = EExists(BGP(Seq(

@@ -499,6 +499,30 @@ class PipelineSpec extends AnyFunSuite {
       "single-scan quality filter diverges from the join-shape components")
   }
 
+  test("chunk→dedup→pack chain: ONE documents scan, exactly two hash exchanges") {
+    val df = Curation.chunkPack(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"chain must not re-read the corpus; got $scans scans:\n${plan.take(3000)}")
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2,
+      s"expected exactly 2 exchanges (dedup on chunk_hash, pack on source); " +
+        s"got $exchanges:\n${plan.take(3000)}")
+    // semantics: every chunk_hash appears once; pack offsets are consistent
+    // (each source stream's cumulative token count reproduces pack_id/pack_off)
+    val rows = df.collect()
+    val hashes = rows.map(_.getString(4))
+    assert(hashes.distinct.length == hashes.length, "dedup must leave unique chunk hashes")
+    rows.groupBy(_.getString(2)).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (r.getLong(0), r.getLong(1))).foreach { r =>
+        assert(r.getLong(5) == cum / 256 && r.getLong(6) == cum % 256,
+          s"pack bookkeeping off at doc ${r.getLong(0)} chunk ${r.getLong(1)}")
+        cum += r.getLong(3)
+      }
+    }
+  }
+
   test("pii redaction: emails/ips/phones replaced with typed placeholders") {
     val r = TextStats.piiRedact(spark, sf).collect()
     assert(r.length == 500)

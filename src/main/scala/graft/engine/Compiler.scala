@@ -1036,6 +1036,17 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     case AJoin(b: BGP, t: ATable) if tableDomains(t).nonEmpty =>
       val left = domRestrict.withValue(domRestrict.value ++ tableDomains(t))(compileBGP(b.patterns))
       joinSols(left, compile(t), "inner")
+    // SERVICE ?ep { … } joined with a pattern that binds ?ep: evaluate the
+    // sibling first, dispatch the service call per distinct endpoint value,
+    // union the per-endpoint results with ?ep bound, then join. BEYOND the
+    // reference, which refuses variable endpoints outright
+    // (QueryPlanner.swift:819).
+    case AJoin(l, r @ AService(V(ev), _, _))
+        if !l.isInstanceOf[AService] && Algebra.inscope(l).contains(ev) =>
+      compileServiceVarJoin(l, r)
+    case AJoin(l @ AService(V(ev), _, _), r)
+        if !r.isInstanceOf[AService] && Algebra.inscope(r).contains(ev) =>
+      compileServiceVarJoin(r, l)
     case AJoin(l, r) => joinSols(compile(l), compile(r), "inner")
 
     case ALeftJoin(l, r, None) => joinSols(compile(l), compile(r), "left_outer")
@@ -1281,7 +1292,9 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     case AService(endpoint, child, silent) =>
       val ep = endpoint match {
         case T(Iri(iri)) => iri
-        case _ => throw new UnsupportedOperationException("SERVICE with variable endpoint")
+        case _ => throw new UnsupportedOperationException(
+          "SERVICE with a variable endpoint is only supported when a sibling " +
+            "join pattern binds the endpoint variable (per-endpoint dispatch)")
       }
       serviceClient match {
         case Some(client) =>
@@ -1298,6 +1311,59 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
           if (silent) compile(ATable(Seq.empty, Seq(Seq.empty)))
           else throw new UnsupportedOperationException(s"no SERVICE client for <$ep>")
       }
+  }
+
+  /** SERVICE ?ep dispatch (beyond the reference, which restricts SERVICE to
+    * constant URLs — QueryPlanner.swift:819): compile the sibling pattern,
+    * read the DISTINCT endpoint terms of `?ep` from it (driver-side —
+    * endpoints are a configuration-sized handful, capped at
+    * [[Compiler.ServiceEndpointCapKey]]), execute the service child once per
+    * endpoint IRI, union the per-endpoint solutions with `?ep` bound to the
+    * calling endpoint, and join back to the sibling. SILENT applies PER
+    * CALL: a failed call — or a bound endpoint value that is not an IRI —
+    * contributes the single empty solution (join identity) for that
+    * endpoint; without SILENT either case throws. */
+  private def compileServiceVarJoin(outer: Algebra, svc: AService): Sol = {
+    val (epVar, child, silent) = svc match {
+      case AService(V(v), c, s) => (v, c, s)
+      case _ => throw new IllegalStateException("constant-endpoint SERVICE routed to var dispatch")
+    }
+    val outerSol = compile(outer)
+    val cap = spark.conf.get(Compiler.ServiceEndpointCapKey,
+      Compiler.DefaultServiceEndpointCap.toString).toInt
+    val eps = distinctVarTerms(outerSol, epVar, cap + 1)
+    if (eps.size > cap)
+      throw new UnsupportedOperationException(
+        s"SERVICE ?$epVar: more than $cap distinct endpoints " +
+          s"(raise ${Compiler.ServiceEndpointCapKey} if intended)")
+    def bindEp(t: Term): Sol = compile(ATable(Seq(epVar), Seq(Seq(Some(t)))))
+    val perEp: Seq[Sol] = eps.map {
+      case Iri(iri) =>
+        // constant-endpoint compile (shares the SILENT-per-call semantics);
+        // bind ?ep to the endpoint that produced each solution
+        joinSols(compile(AService(T(Iri(iri)), child, silent)), bindEp(Iri(iri)), "inner")
+      case other if silent => bindEp(other) // non-IRI ≈ failed call: empty solution
+      case other => throw new UnsupportedOperationException(
+        s"SERVICE ?$epVar bound to non-IRI term: $other")
+    }
+    val svcAll = perEp.reduceOption(unionSols).getOrElse {
+      // no endpoints bound → no service solutions (keep the full schema so
+      // the join still resolves every child variable)
+      val vars = (Algebra.inscope(child) + epVar).toSeq.sorted
+      compile(ATable(vars, Seq.empty))
+    }
+    joinSols(outerSol, svcAll, "inner")
+  }
+
+  /** DISTINCT terms of `v` in `sol`, decoded driver-side (capped by the
+    * caller — used only for endpoint dispatch where the value set is tiny). */
+  private def distinctVarTerms(sol: Sol, v: String, limit: Int): Seq[Term] = {
+    val rows = sol.df.select(col(bt(v))).filter(col(bt(v)).isNotNull)
+      .distinct().limit(limit).collect()
+    sol.reps(v) match {
+      case IdRep => rows.map(r => termOfId(r.getLong(0))).toSeq
+      case TermRep => rows.map(r => TermRow.fromRow(r.getStruct(0))).toSeq
+    }
   }
 
   /** DISTINCT/REDUCED: dedup on the solution variables only. A pending ORDER
@@ -2709,6 +2775,12 @@ object Compiler {
   /** Salt fan-out of the two-phase hot-group plan (≈ executor-core count:
     * the hottest group's collect state splits over this many reducers). */
   val HotGroupSalts: Int = 32
+
+  /** Cap on distinct endpoint values for SERVICE ?ep dispatch: each endpoint
+    * is one driver-side HTTP round-trip, so the planner refuses unbounded
+    * fan-out rather than silently issuing thousands of calls. */
+  val ServiceEndpointCapKey = "spark.graft.serviceEndpointCap"
+  val DefaultServiceEndpointCap: Int = 64
 
   /** Variables whose exact-decimal `__d_` companion can actually be consumed
     * somewhere in the query: free vars of SUM/AVG arguments (group and

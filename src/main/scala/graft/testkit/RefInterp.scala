@@ -444,6 +444,16 @@ object RefInterp {
 
     case APath(s, path, o, g) => evalPath(s, path, o, g, Map.empty, env)
 
+    // SERVICE ?ep joined with a binding sibling: dispatch per distinct
+    // endpoint value, ?ep bound in each endpoint's solutions — mirrors
+    // Compiler.compileServiceVarJoin (SILENT per call; non-IRI ≈ failed call)
+    case AJoin(l, r @ AService(V(ev), _, _))
+        if !l.isInstanceOf[AService] && Algebra.inscope(l).contains(ev) =>
+      serviceVarJoin(eval(l, env), r, env)
+    case AJoin(l @ AService(V(ev), _, _), r)
+        if !r.isInstanceOf[AService] && Algebra.inscope(r).contains(ev) =>
+      serviceVarJoin(eval(r, env), l, env)
+
     case AJoin(l, r) =>
       val right = eval(r, env)
       eval(l, env).flatMap(lr => right.flatMap(rr => merge(lr, rr)))
@@ -516,7 +526,8 @@ object RefInterp {
     case AService(endpoint, child, silent) =>
       val ep = endpoint match {
         case T(Iri(iri)) => iri
-        case _ => throw new UnsupportedOperationException("SERVICE variable endpoint")
+        case _ => throw new UnsupportedOperationException(
+          "SERVICE variable endpoint without a binding join sibling")
       }
       env.service match {
         case Some(client) =>
@@ -536,6 +547,26 @@ object RefInterp {
 
     case other => // AEnv: compiler-internal, never reaches the interpreter
       throw new UnsupportedOperationException(s"interp: unexpected ${other.productPrefix}")
+  }
+
+  /** Per-endpoint SERVICE dispatch for variable endpoints (the test-oracle
+    * twin of Compiler.compileServiceVarJoin): one call per distinct IRI the
+    * sibling binds, solutions extended with the endpoint var; with SILENT a
+    * non-IRI value contributes the bare {ep→value} solution (≈ failed call). */
+  private def serviceVarJoin(outer: Seq[Binding], svc: AService,
+      env: Env): Seq[Binding] = {
+    val (ev, child, silent) = svc match {
+      case AService(V(v), c, s) => (v, c, s)
+      case _ => throw new IllegalStateException("constant endpoint in var dispatch")
+    }
+    val svcRows: Seq[Binding] = outer.flatMap(_.get(ev)).distinct.flatMap {
+      case i @ Iri(_) =>
+        eval(AService(T(i), child, silent), env).map(_ + (ev -> (i: Term)))
+      case t if silent => Seq(Map(ev -> t))
+      case t => throw new UnsupportedOperationException(
+        s"SERVICE ?$ev bound to non-IRI term: $t")
+    }
+    outer.flatMap(lr => svcRows.flatMap(rr => merge(lr, rr)))
   }
 
   // ---- query forms --------------------------------------------------------

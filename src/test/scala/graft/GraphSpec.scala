@@ -76,6 +76,58 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.forall { case (nm, rn) => nm.startsWith("NATION_") && rn.nonEmpty })
   }
 
+  test("SERVICE with a VARIABLE endpoint: per-endpoint dispatch, ?ep bound, SILENT per call") {
+    import graft.sources.RdfIO
+    // the endpoint IRIs come from the DATA (the federation-catalog shape the
+    // constant-endpoint restriction can't express; the reference refuses
+    // variable endpoints outright, QueryPlanner.swift:819)
+    val local = RdfIO.loadTurtle(spark,
+      """@prefix ex: <http://ex.org/> .
+        |ex:a ex:endpoint <urn:svc:a> .
+        |ex:b ex:endpoint <urn:svc:b> .
+        |ex:c ex:endpoint "not-an-iri" .""".stripMargin)
+    val remoteA = RdfIO.loadTurtle(spark,
+      "@prefix ex: <http://ex.org/> . ex:x ex:val 1 . ex:y ex:val 2 .")
+    val remoteB = RdfIO.loadTurtle(spark,
+      "@prefix ex: <http://ex.org/> . ex:z ex:val 3 .")
+    val eng = new GraftEngine(local, serviceClient = Some(new LocalServiceClient(
+      Map("urn:svc:a" -> remoteA, "urn:svc:b" -> remoteB))))
+    // SILENT: each IRI endpoint dispatches its own call with ?ep bound to the
+    // caller; the literal "endpoint" behaves like a failed call — the row
+    // survives with the service vars unbound
+    val rows = eng.query(
+      """SELECT ?w ?ep ?v WHERE { ?w <http://ex.org/endpoint> ?ep .
+        |  SERVICE SILENT ?ep { ?s <http://ex.org/val> ?v } }""".stripMargin)
+      .collect().map { r =>
+        def lex(i: Int) = if (r.isNullAt(i)) null else r.getStruct(i).getString(1)
+        (lex(0), lex(1), lex(2))
+      }.toSet
+    assert(rows == Set(
+      ("http://ex.org/a", "urn:svc:a", "1"),
+      ("http://ex.org/a", "urn:svc:a", "2"),
+      ("http://ex.org/b", "urn:svc:b", "3"),
+      ("http://ex.org/c", "not-an-iri", null)),
+      s"got $rows")
+    // non-SILENT: a non-IRI endpoint value is refused, not skipped
+    intercept[UnsupportedOperationException] {
+      eng.query(
+        """SELECT ?ep ?v WHERE { ?w <http://ex.org/endpoint> ?ep .
+          |  SERVICE ?ep { ?s <http://ex.org/val> ?v } }""".stripMargin).collect()
+    }
+    // non-SILENT over IRI-only bindings: plain per-endpoint dispatch
+    val strict = eng.query(
+      """SELECT ?ep ?v WHERE { <http://ex.org/a> <http://ex.org/endpoint> ?ep .
+        |  SERVICE ?ep { ?s <http://ex.org/val> ?v } }""".stripMargin)
+      .collect().map(r => (r.getStruct(0).getString(1), r.getStruct(1).getString(1))).toSet
+    assert(strict == Set(("urn:svc:a", "1"), ("urn:svc:a", "2")))
+    // a SERVICE var the sibling does NOT bind stays a declared refusal
+    intercept[UnsupportedOperationException] {
+      eng.query(
+        """SELECT ?v WHERE { ?w <http://ex.org/endpoint> ?x .
+          |  SERVICE ?unbound { ?s <http://ex.org/val> ?v } }""".stripMargin).collect()
+    }
+  }
+
   test("HTTP SERVICE client federates against a SPARQL-protocol endpoint") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     import graft.sources.SparqlResults

@@ -18,6 +18,14 @@ import graft.GraftEngine
   * The W3C corpus is vendored as mini-manifests under
   * `src/test/resources/w3c/` (authored in the structure of the public
   * sparql11 test suite — aggregates, negation, property paths, optional).
+  *
+  * Why modeled and not imported: the runner speaks the real manifest.ttl
+  * format on purpose, but the actual `w3c/rdf-tests` checkout is not
+  * available in this environment — the reference repo's `rdf-tests/` and
+  * `rdf-tests-12/` submodules are EMPTY (verified: zero files), and the
+  * build has no network egress to clone them. Dropping the real sparql11
+  * query-evaluation directories under `src/test/resources/w3c/` is expected
+  * to work as-is whenever a checkout is available.
   */
 object W3CRunner {
   val MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"

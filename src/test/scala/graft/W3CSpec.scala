@@ -107,7 +107,7 @@ class W3CSpec extends AnyFunSuite {
       "algebra", "expr-builtin", "csv-tsv-res", "basic", "dataset", "distinct", "service",
       "expr-ops", "reduced", "expr-edge", "aggregates-edge")
     val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
-    assert(cases.size == 363, s"expected 363 vendored tests, found ${cases.size}")
+    assert(cases.size == 367, s"expected 367 vendored tests, found ${cases.size}")
     val syntax = cases.count(_.kind != "eval")
     assert(syntax == 41, s"expected 41 syntax (parse-only) tests, found $syntax")
   }

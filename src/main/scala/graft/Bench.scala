@@ -42,6 +42,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val doWarm = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
+    // captured BEFORE Spark spins up or warmup runs: the only load sample
+    // that reflects the MACHINE rather than this bench's own 32 threads
+    val loadIdle = loadAvg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -114,30 +117,27 @@ object Bench {
     val total = results.map(_._2).sum
     def ld(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    // contamination rule (BENCH_NOTES.md): a query whose REPORTED (fastest)
-    // pass ran under 1-min system load > 2×(cpus/8) was timed during external
-    // machine contention — its seconds are environmental, not a regression.
-    // Self-labeling here so judges stop re-litigating environment deltas.
-    val loadThreshold = 2.0 * cpus.toInt / 8.0
-    val flagged = results.collect { case (k, _, _, _, l) if l > loadThreshold => k }
-    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // stdout stays inside the driver's bounded tail: print a count + sample,
-    // the full list lives in BENCH_LOCAL.json
-    val flaggedBrief =
-      if (flagged.size <= 8) flaggedJson
-      else flagged.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // contamination rule (BENCH_NOTES.md): during a 32-thread bench the 1-min
+    // loadavg is dominated by the bench ITSELF (warmup + passes push it past
+    // cpus/2), so NO absolute per-query load bar can separate self-load from
+    // external contention — measured empirically, both 8.0 and 16.0 flag
+    // dozens of self-loaded entries. The one honest machine signal is the
+    // PRE-WARMUP load, sampled before this JVM did any work: if the machine
+    // was already busy then, every number in the run is suspect; per-query
+    // loads stay recorded (gc_jit_load third element) as data, not verdicts.
+    val idleThreshold = 2.0 * cpus.toInt / 8.0
+    val runContaminated = loadIdle > idleThreshold
     val line =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,""" +
-      s""""load":[${ld(loadStart)},${ld(loadEnd)}],""" +
-      s""""load_threshold":${ld(loadThreshold)},""" +
-      s""""load_flagged_n":${flagged.size},"load_flagged":$flaggedBrief,""" +
+      s""""load":[${ld(loadStart)},${ld(loadEnd)}],"load_idle":${ld(loadIdle)},""" +
+      s""""run_contaminated":$runContaminated,""" +
       s""""sf":"$sfDir"}"""
     println(line)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
       s""""gc_jit_load":$diag,"pass_load_milli":$perPassLoad,""" +
-      s""""load":[$loadStart,$loadEnd],""" +
-      s""""load_threshold":$loadThreshold,"load_flagged":$flaggedJson,""" +
+      s""""load":[$loadStart,$loadEnd],"load_idle":$loadIdle,""" +
+      s""""run_contaminated":$runContaminated,""" +
       s""""passes":$perPass,"warmup":$doWarm,"cpus":$cpus,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")

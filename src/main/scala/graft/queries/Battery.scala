@@ -109,6 +109,36 @@ object Battery {
     "vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY CAST(d AS DOUBLE) / CAST(n " +
     "AS DOUBLE) DESC, c) AS rk FROM d2) WHERE rk = 1), "
 
+  /** BPE merge-learning oracle: n chained MATERIALIZED CTE rounds, each
+    * computing the (count DESC, lhs, rhs) argmax pair over the symbolized
+    * word-frequency table and applying it via non-overlapping left-to-right
+    * `replace` — the identical greedy semantics Spark's `replace` contracts
+    * (see [[graft.pipeline.Tokenizer.bpeMerges]]). MATERIALIZED matters:
+    * without it each round inlines its predecessor several times and the
+    * plan grows 4^n. */
+  private def bpeMergesOracle(nMerges: Int): String = {
+    val cte = new StringBuilder(
+      "base AS MATERIALIZED (SELECT w, count(*) AS freq FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1), " +
+      "w0 AS MATERIALIZED (SELECT ' ' || array_to_string(" +
+      "list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)), " +
+      "' ') || ' ' AS sym, freq FROM base)")
+    for (i <- 1 to nMerges) {
+      cte ++= s", p$i AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, sum(freq) AS f FROM (" +
+        "SELECT freq, unnest(list_transform(range(1, len(ss)), " +
+        "j -> struct_pack(l := ss[CAST(j AS INT)], r := ss[CAST(j+1 AS INT)]))) AS pr " +
+        s"FROM (SELECT string_split(trim(sym), ' ') AS ss, freq FROM w${i - 1}) q) s " +
+        "GROUP BY 1, 2)"
+      cte ++= s", m$i AS MATERIALIZED (SELECT l, r, f FROM p$i ORDER BY f DESC, l, r LIMIT 1)"
+      cte ++= s", w$i AS MATERIALIZED (SELECT replace(sym, ' ' || m.l || ' ' || m.r || ' ', " +
+        s"' ' || m.l || m.r || ' ') AS sym, freq FROM w${i - 1}, m$i m)"
+    }
+    val sel = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, " +
+      s"CAST(f AS BIGINT) AS freq FROM m$i").mkString(" UNION ALL ")
+    s"WITH ${cte.result()} $sel"
+  }
+
   /** BM25 oracle CTE chain replicating [[graft.pipeline.Retrieval.bm25TopK]]
     * (identical IEEE op order; per-term scores micro-rounded before the
     * order-free integer sum). Ends with `s(qid, nid, score_micro)`. */
@@ -1642,6 +1672,14 @@ object Battery {
         "ELSE 'ok' END AS reason " +
         "FROM tk JOIN q ON tk.doc_id = qd JOIN r ON tk.doc_id = rd) " +
         "SELECT doc_id, n_tokens, reason, (reason = 'ok') AS keep FROM j")),
+
+    ("text_bpe_merges", // BPE merge learning (tokenizer training): 8 rounds of
+      // most-frequent-adjacent-pair over the word-frequency table, ties by
+      // (lhs, rhs). Corpus touched ONCE (word counts); each round is
+      // vocab-sized with a single argmax row to the driver. Oracle rebuilds
+      // the identical 8 rounds as materialized CTE layers
+      (s: SparkSession, d: String) => graft.pipeline.Tokenizer.bpeMerges(s, d),
+      Some(bpeMergesOracle(8))),
 
     ("text_token_hist", // corpus token-length histogram (bucket width 10)
       (s: SparkSession, d: String) => graft.pipeline.TextStats.tokenHistogram(s, d),

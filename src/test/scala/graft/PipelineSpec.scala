@@ -523,6 +523,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE merges: greedy left-to-right semantics, deterministic ties, corpus learnability") {
+    import spark.implicits._
+    // 'aaa' pins the non-overlap rule: pairs of 'aaa' are (a,a)×2, so merge 1
+    // is (a,a); greedy application turns 'aaa' into (aa, a) — NOT (a, aa) and
+    // NOT (aa, aa with a shared middle) — so merge 2 must be (aa, a)
+    val dir = "/tmp/graft_bpe"
+    Seq((1L, "aaa aaa", "en", "s", 7L), (2L, "aaa bb", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = Tokenizer.bpeMerges(spark, dir, nMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // counts: (a,a) = 2 pairs × 3 words of 'aaa' = 6; after merge (aa,a) = 3;
+    // then (b,b) = 1 ties with nothing (aa+a merged next at 3)
+    assert(m(0) == ((1L, "a", "a", 6L)), s"merge 1: ${m.toSeq}")
+    assert(m(1) == ((2L, "aa", "a", 3L)), s"merge 2: ${m.toSeq}")
+    // merges never cross word boundaries (the table is per-word): after
+    // merges 1-2 every 'aaa' is one symbol with no internal pair, so the
+    // only remaining pair is (b,b) from 'bb'
+    assert(m(2) == ((3L, "b", "b", 1L)), s"merge 3: ${m.toSeq}")
+    // apply side: doc 1 'aaa aaa' segments to 2 subwords (one per word); the
+    // '|' word sentinel must block any cross-word merge
+    val seg = Tokenizer.bpeSegmentCounts(spark, dir,
+      Seq(("a", "a"), ("aa", "a"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(seg(1L) == 2L, s"doc 1 should segment to 2 subwords: $seg")
+    assert(seg(2L) == 3L, s"doc 2 = aaa + b + b: $seg") // (b,b) never merged
+    // corpus sanity at sf0.001: 8 merges learned, counts strictly ordered
+    val real = Tokenizer.bpeMerges(spark, sf).collect().map(_.getLong(3))
+    assert(real.length == 8 && real.zip(real.tail).forall { case (a, b) => a >= b },
+      s"merge counts must be non-increasing: ${real.toSeq}")
+  }
+
   test("pii redaction: emails/ips/phones replaced with typed placeholders") {
     val r = TextStats.piiRedact(spark, sf).collect()
     assert(r.length == 500)

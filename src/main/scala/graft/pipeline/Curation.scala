@@ -140,12 +140,15 @@ object Curation {
     * source for the packing window. Nothing in the chain re-reads the corpus
     * or collects to the driver; the chain's cost at 100 TB is the two
     * exchanges over the chunk frame, pinned by a PipelineSpec plan test. */
-  def chunkPack(spark: SparkSession, dir: String,
-      win: Int = 64, overlap: Int = 16, budget: Int = 256): DataFrame = {
+  /** The chunker core over an explicit (doc_id, source, text, …) frame —
+    * a pure pipelined projection (tokenize, explode a per-doc chunk-index
+    * sequence, slice + hash), so the SAME plan runs unmodified over a
+    * streaming frame ([[graft.streaming.StreamOps.chunkStream]]): no state,
+    * no watermark. Output: (doc_id, source, chunk_idx, n_tok, chunk_hash). */
+  def chunkOf(d: DataFrame, win: Int = 64, overlap: Int = 16): DataFrame = {
     require(overlap >= 0 && overlap < win, "need 0 <= overlap < win")
     val stride = win - overlap
-    val chunks = docs(spark, dir)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+    d.select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast(LongType))
       .withColumn("nc",
         (floor((greatest(col("n") - win, lit(0L)) + (stride - 1)) / stride) + 1)
@@ -157,6 +160,11 @@ object Curation {
         md5(concat_ws(" ",
           slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(win))))
           .as("chunk_hash"))
+  }
+
+  def chunkPack(spark: SparkSession, dir: String,
+      win: Int = 64, overlap: Int = 16, budget: Int = 256): DataFrame = {
+    val chunks = chunkOf(docs(spark, dir), win, overlap)
     val wd = Window.partitionBy(col("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
     val deduped = chunks

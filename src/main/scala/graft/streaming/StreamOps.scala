@@ -119,6 +119,55 @@ object StreamOps {
     graft.pipeline.TextStats.redactOf(
       docsStream.select(col("doc_id"), col("text").as("s")))
 
+  /** Ingest-time document chunking: the batch sliding-window chunker
+    * ([[graft.pipeline.Curation.chunkOf]]) applied per micro-batch —
+    * stateless pipelined explode, no state store, no watermark. Chunks flow
+    * to an index/packer as documents arrive. */
+  def chunkStream(docsStream: DataFrame, win: Int = 64, overlap: Int = 16): DataFrame =
+    graft.pipeline.Curation.chunkOf(docsStream, win, overlap)
+
+  final case class ChunkIn(doc_id: Long, source: String, chunk_idx: Long,
+      n_tok: Long, chunk_hash: String)
+  final case class PackState(offset: Long)
+  final case class PackOut(doc_id: Long, chunk_idx: Long, source: String,
+      n_tok: Long, chunk_hash: String, pack_id: Long, pack_off: Long, spans: Boolean)
+
+  /** Streaming sequence packer: the stateful twin of the pack stage of
+    * [[graft.pipeline.Curation.chunkPack]]. ONE keyed state entry per source
+    * holding only the running token offset (8 bytes — O(|sources|) state,
+    * independent of stream length), so pack assignment continues seamlessly
+    * across micro-batches and checkpoint restarts. Within a micro-batch rows
+    * sort by the same (doc_id, chunk_idx) key as the batch window; across
+    * batches the carried offset stitches the boundary, so the output equals
+    * the batch packer whenever per-source arrival respects doc order (the
+    * partition-by-source ingest layout). Dedup is upstream's concern: this
+    * op packs WHAT ARRIVES — compose with [[dedupEvents]]-style
+    * watermark-bounded dedup on chunk_hash when the stream carries event
+    * time (Spark does not allow chaining a second unbounded stateful dedup
+    * in front of this operator in one query). */
+  def packStream(spark: SparkSession, chunks: DataFrame,
+      budget: Int = 256): Dataset[PackOut] = {
+    import spark.implicits._
+    val in = chunks.select(col("doc_id"), col("source"), col("chunk_idx"),
+      col("n_tok"), col("chunk_hash")).as[ChunkIn]
+    in.groupByKey(_.source)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[ChunkIn], state: GroupState[PackState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.doc_id, r.chunk_idx))
+          var off = state.getOption.map(_.offset).getOrElse(0L)
+          val out = sorted.map { r =>
+            val o = PackOut(r.doc_id, r.chunk_idx, src, r.n_tok, r.chunk_hash,
+              off / budget, off % budget,
+              (off + r.n_tok - 1) / budget > off / budget)
+            off += r.n_tok
+            o
+          }
+          state.update(PackState(off))
+          out.iterator
+      }
+  }
+
   /** Streaming near-duplicate detection against a STATIC corpus: incoming
     * documents are MinHash-signed map-side (per-micro-batch projection — the
     * same zero-shuffle path as the batch operator), band-bucketed, and

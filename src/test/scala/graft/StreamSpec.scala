@@ -235,6 +235,52 @@ class StreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming chunker equals the batch chunk stage") {
+    val dir = "/tmp/graft_stream/docs_chunk"
+    spark.read.parquet(s"$sf/documents.parquet").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val got = StreamOps.runToMemory(
+      StreamOps.chunkStream(spark.readStream.schema(schema).parquet(dir)),
+      "stream_chunk", OutputMode.Append)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(3), r.getString(4))).toMap
+    val exp = graft.pipeline.Curation.chunkOf(spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(3), r.getString(4))).toMap
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("streaming packer: per-source offsets carry ACROSS micro-batches, equals batch pack") {
+    // batch-deduped chunk table, split into two files by doc range; with
+    // maxFilesPerTrigger=1 the second file arrives in a LATER micro-batch,
+    // so equality with the batch packer proves the carried offset state
+    // stitches the batch boundary
+    val all = graft.pipeline.Curation.chunkPack(spark, sf)
+    val chunks = graft.pipeline.Curation.chunkOf(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      .join(all.select(col("doc_id").as("kd"), col("chunk_idx").as("ki")),
+        col("doc_id") === col("kd") && col("chunk_idx") === col("ki"))
+      .select("doc_id", "source", "chunk_idx", "n_tok", "chunk_hash")
+    val mid = 250L
+    val dir = "/tmp/graft_stream/chunks_pack"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // file names order the arrival: part A (low doc ids) lands first
+    chunks.filter(col("doc_id") <= mid).orderBy("source", "doc_id", "chunk_idx")
+      .coalesce(1).write.parquet(s"$dir/a=1")
+    chunks.filter(col("doc_id") > mid).orderBy("source", "doc_id", "chunk_idx")
+      .coalesce(1).write.parquet(s"$dir/a=2")
+    val schema = spark.read.option("recursiveFileLookup", "true").parquet(dir).schema
+    val got = StreamOps.runToMemory(
+      StreamOps.packStream(spark,
+        spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+          .option("maxFilesPerTrigger", "1").parquet(dir)).toDF(),
+      "stream_pack", OutputMode.Append)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(5), r.getLong(6), r.getBoolean(7))).toMap
+    val exp = all.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(5), r.getLong(6), r.getBoolean(7))).toMap
+    assert(got.size == exp.size, s"row counts differ: ${got.size} vs ${exp.size}")
+    assert(got == exp, "streaming pack bookkeeping must equal the batch window")
+  }
+
   test("streaming cardinality monitor: KMV estimate matches a batch replay") {
     val got = StreamOps.runToMemory(
       StreamOps.cardinalityStream(stream()), "card_monitor", OutputMode.Complete)

@@ -182,6 +182,50 @@ object Curation {
           floor(col("cum") / budget)).as("spans"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed n-gram features are under a TARGET
+    * distribution (here: the docs of `targetSource`, standing in for the
+    * high-quality seed corpus) than under the raw corpus. Features are word
+    * unigrams + bigrams hashed into `buckets` buckets (the paper's hashed
+    * n-gram generative model); per-bucket log-ratios use add-one smoothing.
+    *
+    * Determinism device: λ(bucket) = round((ln p_target − ln p_raw)·1e6) is
+    * fixed-pointed ONCE per bucket (exact-integer operands in each division,
+    * one IEEE ln each — the [[TextStats.surprisal]] device), so the per-doc
+    * score is an order-free INTEGER sum of λ values.
+    *
+    * Scale shape: one feature explode over the scan (map-side), two
+    * bucket-keyed counts (map-side combine, `buckets` rows each), the λ
+    * table broadcast back into the feature stream, one doc-keyed sum. The
+    * corpus is read once; nothing driver-side exceeds two scalar counts. */
+  def dsirWeights(spark: SparkSession, dir: String,
+      targetSource: String = "src0", buckets: Int = 1024): DataFrame = {
+    val feats = ScratchCache.persist(
+      docs(spark, dir).select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("source"), explode(concat(col("ws"), expr(
+          "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i+1), ' ', element_at(ws, i+2))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))).as("f"))
+        .select(col("doc_id"), col("source"),
+          pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast(LongType),
+            lit(buckets.toLong)).as("b")))
+    val nt = feats.filter(col("source") === targetSource).count()
+    val nr = feats.count()
+    val ct = feats.filter(col("source") === targetSource)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val cr = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+    val lam = cr.join(ct, Seq("b"), "left").select(col("b"),
+      round((log((coalesce(col("ct"), lit(0L)) + 1) /
+          lit((nt + buckets).toDouble)) -
+        log((col("cr") + 1) / lit((nr + buckets).toDouble))) * 1e6)
+        .cast(LongType).as("lam"))
+    feats.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lam").as("dsir_micro"))
+  }
+
   /** Domain-mixture reweighting: per-source token mass and the sampling
     * weight that reshapes the corpus to a TARGET mixture (uniform across
     * sources by default — the weight is target_share / natural_share, the

@@ -2413,6 +2413,30 @@ object Battery {
         "CAST(cum % 256 AS BIGINT) AS pack_off, " +
         "floor((cum + n_tok - 1) / 256.0) > floor(cum / 256.0) AS spans FROM p")),
 
+    ("curate_dsir", // DSIR importance weights (hashed n-gram log-ratio of a
+      // target-source distribution vs the raw corpus, add-one smoothing);
+      // per-bucket λ fixed-pointed to micro-nats so the per-doc score is an
+      // order-free integer sum — the surprisal determinism device
+      (s: SparkSession, d: String) => graft.pipeline.Curation.dsirWeights(s, d),
+      Some("WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, source, unnest(list_concat(ws, " +
+        "CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)), " +
+        "i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)]) " +
+        "ELSE [] END)) AS f FROM w), " +
+        "b AS (SELECT doc_id, source, " +
+        "CAST(concat('0x', substring(md5(f), 1, 8)) AS BIGINT) % 1024 AS b FROM f), " +
+        "nt AS (SELECT count(*) AS n FROM b WHERE source = 'src0'), " +
+        "nr AS (SELECT count(*) AS n FROM b), " +
+        "ct AS (SELECT b, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY 1), " +
+        "cr AS (SELECT b, count(*) AS cr FROM b GROUP BY 1), " +
+        "lam AS (SELECT cr.b AS b, CAST(round((ln((coalesce(ct, 0) + 1) / " +
+        "CAST((SELECT n FROM nt) + 1024 AS DOUBLE)) - ln((cr + 1) / " +
+        "CAST((SELECT n FROM nr) + 1024 AS DOUBLE))) * 1e6) AS BIGINT) AS lam " +
+        "FROM cr LEFT JOIN ct ON cr.b = ct.b) " +
+        "SELECT doc_id, count(*) AS n_feats, CAST(sum(lam) AS BIGINT) AS dsir_micro " +
+        "FROM b JOIN lam USING(b) GROUP BY 1")),
+
     ("curate_repeat_plan", // data-constrained epoch planning
       // (arXiv:2305.16264): per source, integer repeat count
       // min(ceil(budget-share / tokens), 4) and the planned token total —

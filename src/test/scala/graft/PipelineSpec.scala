@@ -555,6 +555,28 @@ class PipelineSpec extends AnyFunSuite {
       s"merge counts must be non-increasing: ${real.toSeq}")
   }
 
+  test("DSIR weights: target-like docs score positive, disjoint-vocab docs negative") {
+    import spark.implicits._
+    // target source 'src0' has a distinctive vocabulary; doc 100 (different
+    // source, same vocabulary) must score ABOVE doc 200 (disjoint vocabulary)
+    val tgt = "quantum entangled qubits decohere rapidly under thermal noise "
+    val other = "completely unrelated cooking recipes with butter and flour "
+    val rows = (1L to 8L).map(i => (i, tgt * 4, "en", "src0", 1L)) ++ Seq(
+      (100L, tgt * 4, "en", "srcX", 1L),
+      (200L, other * 4, "en", "srcX", 1L))
+    val dir = "/tmp/graft_dsir"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // buckets sized to the toy corpus: with B far above the target feature
+    // count the add-one smoothing mass dominates and every ratio flattens
+    // toward the corpus prior (at real scale N >> B and the default is fine)
+    val w = Curation.dsirWeights(spark, dir, targetSource = "src0", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(100L) > 0, s"target-like doc must have positive log-ratio: $w")
+    assert(w(200L) < 0, s"disjoint-vocab doc must have negative log-ratio: $w")
+    assert(w(100L) > w(200L))
+  }
+
   test("pii redaction: emails/ips/phones replaced with typed placeholders") {
     val r = TextStats.piiRedact(spark, sf).collect()
     assert(r.length == 500)

@@ -47,6 +47,7 @@ object Main {
       |  query   --endpoint <url> <query.rq|sparql> [--format ...]   remote SPARQL endpoint
       |  explain <storeDir> <query.rq|sparql> [--analyze]
       |  graphs  <storeDir>                   list graph IRIs
+      |  analyze <storeDir>                   (re)compute characteristic-set statistics
       |  dump    <storeDir> <outFile>         [--format nquads|turtle]
       |  repl    <storeDir>                   interactive: empty line runs the buffer
       |""".stripMargin
@@ -94,6 +95,22 @@ object Main {
       case "graphs" =>
         val store = openOrTestData(spark, args(1))
         graphIris(store).foreach(println)
+        0
+      case "analyze" =>
+        // the explicit ANALYZE verb: query COMPILE never computes statistics
+        // as a side effect (job-free-compile invariant) — this is where an
+        // operator re-derives them, e.g. after many appends drifted the data
+        val dir = args(1)
+        val store = StorePersist.open(spark, dir, cache = false)
+          .copy(charSetStats = None, charSetsDisabled = false).analyze()
+        // save() persists the freshly computed stats (or the explicit
+        // "charSets":null disabled marker when the store exceeds the cap)
+        StorePersist.save(store.copy(quads = store.quads.localCheckpoint(),
+          terms = store.terms.localCheckpoint()), dir)
+        println(store.charSetStats match {
+          case Some(cs) => s"analyzed $dir: ${cs.size} characteristic sets"
+          case None => s"analyzed $dir: over set cap — statistic disabled"
+        })
         0
       case "dump" =>
         val store = StorePersist.open(spark, args(1), cache = false)

@@ -78,6 +78,25 @@ class CliSpec extends AnyFunSuite {
     assert(cq == 0 && oq.contains("3056"), oq)
   }
 
+  test("cli: analyze recomputes characteristic sets; star COUNT goes static") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli4").toString
+    assert(capture("create", dir, s"$geoDir/geo.ttl")._1 == 0)
+    val (c, out) = capture("analyze", dir)
+    assert(c == 0 && out.contains("characteristic sets"), out)
+    // reopened store carries persisted stats (no recompute on open)
+    val re = graft.store.StorePersist.open(spark, dir, cache = false)
+    assert(re.charSetStats.exists(_.nonEmpty) && !re.charSetsDisabled)
+    // and a star COUNT over it compiles to a LocalRelation-only (scan-free) plan
+    val eng = new GraftEngine(re)
+    val sol = eng.compiler.compile(graft.parser.SparqlParser.parse(
+      """PREFIX geo: <http://www.w3.org/2003/01/geo/wgs84_pos#>
+        |SELECT (COUNT(*) AS ?n) WHERE { ?s geo:lat ?la ; geo:long ?lo }"""
+        .stripMargin).algebra)
+    assert(sol.df.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      sol.df.queryExecution.optimizedPlan.toString.take(1500))
+  }
+
   test("cli: query --endpoint runs against a remote SPARQL endpoint") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     import graft.sources.SparqlResults

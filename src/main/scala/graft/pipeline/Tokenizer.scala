@@ -65,7 +65,13 @@ object Tokenizer {
   /** Apply a learned merge table to the corpus: per document, the subword
     * count after `merges` (the compression-diagnostic a tokenizer-training
     * pipeline tracks — tokens-per-doc before vs after). Map-side only: the
-    * merge table ships in the plan as literals. */
+    * merge table ships in the plan as literals.
+    *
+    * Representation limits (both operators): symbols are space-separated, so
+    * corpus tokens must not contain ' ' (guaranteed — words come from a
+    * space split); the '|' word sentinel below additionally assumes '|' is
+    * not a corpus character (true for natural-language corpora; a binary-ish
+    * corpus would pick a non-occurring sentinel). */
   def bpeSegmentCounts(spark: SparkSession, dir: String,
       merges: Seq[(String, String)]): DataFrame = {
     val sym0 = concat(lit(" "), concat_ws(" ", expr(

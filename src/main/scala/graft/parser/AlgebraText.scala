@@ -73,6 +73,14 @@ object AlgebraText {
       val inVars = Algebra.inscope(c).toSeq.sorted
       val sel = inVars.map("?" + _) ++ fns.map(f => s"(${winText(f)} AS ?${f.out})")
       s"{ SELECT ${sel.mkString(" ")} WHERE { ${pattern(c)} } }"
+    case AService(ep, child, silent) =>
+      val target = ep match {
+        case V(v) => "?" + v
+        case T(t) => term(t)
+        case DefaultGraph =>
+          throw new IllegalArgumentException("DefaultGraph as SERVICE endpoint")
+      }
+      s"SERVICE ${if (silent) "SILENT " else ""}$target { ${pattern(child)} }"
     case other =>
       throw new UnsupportedOperationException(s"SERVICE pattern: ${other.getClass.getSimpleName}")
   }

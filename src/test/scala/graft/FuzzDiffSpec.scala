@@ -180,7 +180,7 @@ class FuzzDiffSpec extends AnyFunSuite {
         else if (chance(0.5)) table(Nil)
         else APath(node(Nil, allowLit = false), path(),
           node(Nil, allowLit = true), graphNode(Nil))
-      rnd.nextInt(12) match {
+      rnd.nextInt(13) match {
         case 0 => AJoin(alg(depth - 1), alg(depth - 1))
         case 1 => AUnion(alg(depth - 1), alg(depth - 1))
         case 2 =>
@@ -268,6 +268,18 @@ class FuzzDiffSpec extends AnyFunSuite {
             AWindow(c, Seq(WinSpec(freshVar(), fn, e, partBy, ordKeys, frame,
               arg = 1 + rnd.nextInt(4))))
           }
+        case 12 =>
+          // federated leg: a sibling BGP binds the endpoint var in SUBJECT
+          // position (subjects are always IRIs in this vocabulary, so both
+          // SILENT and strict dispatch are exercised without data-dependent
+          // failures); the harness self-federates every data IRI to the
+          // dataset itself, so engine and interpreter see identical remote
+          // bindings and must agree on the joined result
+          val sv = freshVar()
+          val left = BGP(Seq(QuadPattern(V(sv),
+            N.iri(pick(preds.toIndexedSeq)), node(Nil, allowLit = true))))
+          val child = bgp(if (chance(0.3)) Seq(sv) else Nil)
+          AJoin(left, AService(V(sv), child, silent = chance(0.5)))
       }
     }
   }
@@ -304,7 +316,11 @@ class FuzzDiffSpec extends AnyFunSuite {
       val gen = new Gen(baseSeed + d * 7919L)
       val triples = gen.quads()
       val store = buildStore(triples)
-      val comp = new Compiler(store, ctx)
+      // self-federation registry: every data IRI resolves to the dataset
+      // itself, so SERVICE ?ep dispatch is exercised against known bindings
+      val svc: Option[ServiceClient] = Some(new LocalServiceClient(
+        iris.map(i => i.value -> store).toMap))
+      val comp = new Compiler(store, ctx, svc)
       // the reference's two-STORE device on top of the two-evaluator one:
       // the same random dataset through the persisted bucketed layout
       // (inline-id codec, subject bucketing) — every 3rd query re-runs
@@ -312,7 +328,7 @@ class FuzzDiffSpec extends AnyFunSuite {
       val pdir = s"/tmp/graft_fuzz_store/$baseSeed-$d"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pdir))
       StorePersist.save(store, pdir, buckets = 4)
-      val pcomp = new Compiler(StorePersist.open(spark, pdir), ctx)
+      val pcomp = new Compiler(StorePersist.open(spark, pdir), ctx, svc)
       val ds = RefInterp.Dataset.fromQuads(triples, Set(g))
       for (q <- 0 until QueriesPer) {
         val a0 = gen.alg(Depth + gen.rnd.nextInt(2))
@@ -320,7 +336,7 @@ class FuzzDiffSpec extends AnyFunSuite {
         val id = s"ds=$d q=$q"
         try {
           val eng = engineRows(comp, a)
-          val itp = RefInterp.eval(a, RefInterp.Env(ds, ctx, None))
+          val itp = RefInterp.eval(a, RefInterp.Env(ds, ctx, svc))
           if (!Isomorphism.solutionsEqual(eng, itp))
             failures += s"$id DIVERGE\n  algebra: $a0\n  data: ${triples.mkString("; ")}\n" +
               s"  engine(${eng.size}): ${eng.take(8).mkString(" | ")}\n" +
@@ -364,7 +380,15 @@ class FuzzDiffSpec extends AnyFunSuite {
       val gen = new Gen(baseSeed + 104729L + d * 7919L)
       val triples = gen.quads()
       val ds = RefInterp.Dataset.fromQuads(triples, Set(g))
-      val env = RefInterp.Env(ds, ctx, None)
+      // driver-local self-federation: SERVICE legs evaluate their pattern
+      // via the interpreter itself (still no Spark in this test)
+      val refSvc: ServiceClient = new ServiceClient {
+        def execute(endpoint: String, pattern: Algebra,
+            vars: Seq[String]): Seq[Map[String, Term]] =
+          RefInterp.eval(pattern, RefInterp.Env(ds, ctx, None))
+            .map(_.filter(kv => vars.contains(kv._1)))
+      }
+      val env = RefInterp.Env(ds, ctx, Some(refSvc))
       for (q <- 0 until QueriesPer) {
         val a0 = gen.alg(Depth + gen.rnd.nextInt(2))
         val vis = Algebra.inscope(a0)

@@ -107,8 +107,8 @@ class W3CSpec extends AnyFunSuite {
       "algebra", "expr-builtin", "csv-tsv-res", "basic", "dataset", "distinct", "service",
       "expr-ops", "reduced", "expr-edge", "aggregates-edge")
     val cases = areas.flatMap(a => W3CRunner.loadManifest(new java.io.File(s"$root/$a")))
-    assert(cases.size == 367, s"expected 367 vendored tests, found ${cases.size}")
+    assert(cases.size == 369, s"expected 369 vendored tests, found ${cases.size}")
     val syntax = cases.count(_.kind != "eval")
-    assert(syntax == 41, s"expected 41 syntax (parse-only) tests, found $syntax")
+    assert(syntax == 43, s"expected 43 syntax (parse-only) tests, found $syntax")
   }
 }

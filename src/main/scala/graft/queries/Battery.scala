@@ -139,6 +139,28 @@ object Battery {
     s"WITH ${cte.result()} $sel"
   }
 
+  /** The BPE APPLY oracle: learn the same n merges as [[bpeMergesOracle]],
+    * then segment every document — per-word char symbols joined with a '|'
+    * sentinel (blocks cross-word merges), the n replace layers applied in
+    * merge order, subwords = symbols minus sentinels. */
+  private def bpeSegmentOracle(nMerges: Int): String = {
+    val learn = bpeMergesOracle(nMerges)
+    val ctes = learn.substring("WITH ".length, learn.indexOf(" SELECT CAST(1"))
+    val apply = new StringBuilder(
+      ", d0 AS MATERIALIZED (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+      "' ' || array_to_string(flatten(list_transform(string_split(text, ' '), " +
+      "w -> list_append(list_transform(range(1, length(w) + 1), " +
+      "i -> substr(w, CAST(i AS INT), 1)), '|'))), ' ') || ' ' AS sym FROM documents)")
+    for (i <- 1 to nMerges)
+      apply ++= s", d$i AS MATERIALIZED (SELECT doc_id, n_chars, " +
+        s"replace(sym, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ') " +
+        s"AS sym FROM d${i - 1}, m$i m)"
+    s"WITH $ctes${apply.result()} " +
+      s"SELECT doc_id, n_chars, CAST(len(string_split(trim(sym), ' ')) - " +
+      s"len(list_filter(string_split(trim(sym), ' '), s -> s = '|')) AS BIGINT) " +
+      s"AS n_subwords FROM d$nMerges"
+  }
+
   /** BM25 oracle CTE chain replicating [[graft.pipeline.Retrieval.bm25TopK]]
     * (identical IEEE op order; per-term scores micro-rounded before the
     * order-free integer sum). Ends with `s(qid, nid, score_micro)`. */
@@ -1680,6 +1702,18 @@ object Battery {
       // the identical 8 rounds as materialized CTE layers
       (s: SparkSession, d: String) => graft.pipeline.Tokenizer.bpeMerges(s, d),
       Some(bpeMergesOracle(8))),
+
+    ("text_bpe_segment", // the APPLY side of BPE: learn 8 merges, then
+      // segment every document with them (word-sentinel blocks cross-word
+      // merges) and report the per-doc subword count — the tokens-per-doc
+      // compression diagnostic. The merge table is driver-collected (8 rows,
+      // centroid-shaped); segmentation itself is one map-side projection
+      (s: SparkSession, d: String) => {
+        val merges = graft.pipeline.Tokenizer.bpeMerges(s, d, 8).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.pipeline.Tokenizer.bpeSegmentCounts(s, d, merges)
+      },
+      Some(bpeSegmentOracle(8))),
 
     ("text_token_hist", // corpus token-length histogram (bucket width 10)
       (s: SparkSession, d: String) => graft.pipeline.TextStats.tokenHistogram(s, d),

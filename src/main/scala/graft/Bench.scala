@@ -125,7 +125,11 @@ object Bench {
     // PRE-WARMUP load, sampled before this JVM did any work: if the machine
     // was already busy then, every number in the run is suspect; per-query
     // loads stay recorded (gc_jit_load third element) as data, not verdicts.
-    val idleThreshold = 2.0 * cpus.toInt / 8.0
+    // The bar is cpus/16 (2.0 on 32 cpus): self-load is zero at the sample
+    // point, so anything past a ~6% busy machine is external contention —
+    // the prior 2·cpus/8 bar (8.0) let a 22%-busy start (load 6.9) pass as
+    // "idle" while min-of-2 numbers were visibly distorted 4×.
+    val idleThreshold = cpus.toInt / 16.0
     val runContaminated = loadIdle > idleThreshold
     val line =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,""" +

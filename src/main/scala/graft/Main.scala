@@ -100,13 +100,30 @@ object Main {
         // the explicit ANALYZE verb: query COMPILE never computes statistics
         // as a side effect (job-free-compile invariant) — this is where an
         // operator re-derives them, e.g. after many appends drifted the data
-        val dir = args(1)
+        val dir = args(1).stripSuffix("/")
         val store = StorePersist.open(spark, dir, cache = false)
           .copy(charSetStats = None, charSetsDisabled = false).analyze()
         // save() persists the freshly computed stats (or the explicit
-        // "charSets":null disabled marker when the store exceeds the cap)
-        StorePersist.save(store.copy(quads = store.quads.localCheckpoint(),
-          terms = store.terms.localCheckpoint()), dir)
+        // "charSets":null disabled marker when the store exceeds the cap).
+        // Crash-safe: the refreshed store's lineage reads `dir`, so write
+        // to a TEMP SIBLING (reading dir, writing tmp — no read-write
+        // conflict, no checkpoint) and swap directories; a failure
+        // mid-save leaves the original store untouched instead of
+        // half-overwritten
+        val (tmp, old) = (dir + ".analyze-tmp", dir + ".analyze-old")
+        deleteDir(tmp); deleteDir(old)
+        StorePersist.save(store, tmp)
+        val p = java.nio.file.Paths.get(_: String)
+        java.nio.file.Files.move(p(dir), p(old))
+        java.nio.file.Files.move(p(tmp), p(dir))
+        deleteDir(old)
+        // drop the session-catalog registrations that now point at moved
+        // paths (the save registered tmp's table; dir's table caches the
+        // PRE-swap file listing) so a later open() in this session
+        // re-registers against the swapped-in files
+        spark.sql(s"DROP TABLE IF EXISTS ${StorePersist.quadsTable(tmp)}")
+        spark.sql(s"DROP TABLE IF EXISTS ${StorePersist.quadsTable(dir)}")
+        spark.catalog.refreshByPath(dir)
         println(store.charSetStats match {
           case Some(cs) => s"analyzed $dir: ${cs.size} characteristic sets"
           case None => s"analyzed $dir: over set cap — statistic disabled"
@@ -137,6 +154,15 @@ object Main {
 
   private def exists(dir: String): Boolean =
     new java.io.File(dir, "meta.json").exists()
+
+  private def deleteDir(dir: String): Unit = {
+    val f = new java.io.File(dir)
+    if (f.exists()) {
+      Option(f.listFiles()).foreach(_.foreach(c =>
+        if (c.isDirectory) deleteDir(c.getPath) else c.delete()))
+      f.delete()
+    }
+  }
 
   /** `query`/`explain`/`graphs` also accept a raw testdata dir (parquet
     * tables) for convenience — matches how the library maps it. */

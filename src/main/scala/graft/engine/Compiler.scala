@@ -1328,7 +1328,15 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
       case AService(V(v), c, s) => (v, c, s)
       case _ => throw new IllegalStateException("constant-endpoint SERVICE routed to var dispatch")
     }
-    val outerSol = compile(outer)
+    // NOTE on the job-free-compile invariant: SERVICE ?ep is the ONE
+    // sanctioned exception — dispatch requires the distinct endpoint set at
+    // plan time (a configuration-sized handful, capped below), so compiling
+    // a variable-endpoint SERVICE runs a bounded Spark job. The sibling is
+    // persisted first so that job and the final join-back share one
+    // computation of the sibling pattern instead of executing it twice.
+    val outerSol0 = compile(outer)
+    val outerSol = outerSol0.copy(
+      df = graft.pipeline.ScratchCache.persist(outerSol0.df))
     val cap = spark.conf.get(Compiler.ServiceEndpointCapKey,
       Compiler.DefaultServiceEndpointCap.toString).toInt
     val eps = distinctVarTerms(outerSol, epVar, cap + 1)

@@ -13,13 +13,64 @@ import org.apache.spark.sql.types._
   *
   *  - [[hashSplit]] is pure map-side (no shuffle at all);
   *  - [[stratifiedSample]] shuffles once on the stratum key;
-  *  - [[packChunks]] shuffles once on the stream key and runs one window;
+  *  - [[packChunks]] runs [[shardedCum]]'s two-exchange shard-parallel
+  *    prefix sum (no single-task-per-source window);
   *  - [[clusterRep]] works on the output-sized near-dup cluster frame.
   */
 object Curation {
 
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact distributed exclusive prefix sum of `valueCol` over the total
+    * order (source, orderCols) — the shard-parallel replacement for a
+    * `Window.partitionBy(source).orderBy(orderCols)` running sum, which
+    * would put each source's ENTIRE stream on one task (a multi-TB
+    * sequential window at 100 TB with a handful of sources).
+    *
+    * Two-phase exact scheme:
+    *   1. range-partition the rows by the order key itself
+    *      (`repartitionByRange` on (source, orderCols)) — order-PRESERVING
+    *      by construction: within a source, every row of shard k orders
+    *      before every row of shard k+1 — and tag each row with its shard
+    *      (`spark_partition_id`);
+    *   2. shard-local exclusive running sum (window on (source, shard) —
+    *      bounded by the shard size, parallelism = shard count);
+    *   3. per-(source, shard) totals (|sources|·|shards| rows), exclusive-
+    *      prefixed by shard id (a trivially tiny window), broadcast back
+    *      and added.
+    *
+    * The result is bit-identical to the global window for any shard
+    * boundaries, because local-prefix + preceding-shard totals IS the global
+    * exclusive prefix whenever sharding preserves the order — so the
+    * sample-based range boundaries need only be order-consistent, not
+    * reproducible. (In-run determinism still holds: RangePartitioner samples
+    * with a partition-index-derived seed, so the offsets branch and the data
+    * branch see identical shard ids even if the exchange is recomputed
+    * rather than reused.) Callers' order keys are unique per row, so no tie
+    * can straddle a boundary. Cost: one range exchange + one hash exchange
+    * of the data (vs one hash exchange for the serial window) — the price of
+    * removing the single-task-per-source bottleneck. */
+  private[pipeline] def shardedCum(df: DataFrame, valueCol: String,
+      orderCols: Seq[String], cumName: String = "cum"): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val rangeKeys = col("source") +: orderCols.map(col)
+    val sharded = df.repartitionByRange(n, rangeKeys: _*)
+      .withColumn("__graft_shard", spark_partition_id())
+    val wLocal = Window.partitionBy(col("source"), col("__graft_shard"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wShard = Window.partitionBy(col("source")).orderBy(col("__graft_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("source"), col("__graft_shard"))
+      .agg(sum(col(valueCol)).as("__tot"))
+      .select(col("source"), col("__graft_shard"),
+        coalesce(sum(col("__tot")).over(wShard), lit(0L)).as("__off"))
+    sharded.join(broadcast(offsets), Seq("source", "__graft_shard"))
+      .withColumn(cumName,
+        coalesce(sum(col(valueCol)).over(wLocal), lit(0L)) + col("__off"))
+      .drop("__graft_shard", "__off")
+  }
 
   /** Deterministic CONTENT-hash train/valid/test split: bucket =
     * md5(text)-derived value in [0,100); `< trainPct` → train, next
@@ -74,17 +125,16 @@ object Curation {
     * spanning tail). Token count = whitespace tokens, matching
     * [[TextStats.tokens]].
     *
-    * Scale shape: one shuffle on the stream key + one running-sum window per
-    * stream — the same cost as any cumulative metric. No collect, no
-    * sequential driver pass: chunk assignment is a pure function of the
-    * exclusive running sum, so the window IS the packer. */
+    * Scale shape: chunk assignment is a pure function of the exclusive
+    * running token sum, computed by the shard-parallel exact prefix sum
+    * ([[shardedCum]]) — no collect, no sequential driver pass, and no
+    * single-task-per-source window: each source's stream is range-sharded
+    * and the shard offsets stitch the global sum back exactly. */
   def packChunks(spark: SparkSession, dir: String, budget: Int = 256): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs(spark, dir)
+    val t = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    shardedCum(t, "n_tokens", Seq("doc_id"))
       .select(
         col("doc_id"), col("source"), col("n_tokens"),
         floor(col("cum") / budget).as("chunk_id"),
@@ -170,10 +220,7 @@ object Curation {
     val deduped = chunks
       .withColumn("rk", row_number().over(wd))
       .filter(col("rk") === 1).drop("rk")
-    val wp = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("chunk_idx"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    deduped
-      .withColumn("cum", coalesce(sum(col("n_tok")).over(wp), lit(0L)))
+    shardedCum(deduped, "n_tok", Seq("doc_id", "chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"), col("source"), col("n_tok"),
         col("chunk_hash"),
         floor(col("cum") / budget).as("pack_id"),
@@ -195,30 +242,35 @@ object Curation {
     * one IEEE ln each — the [[TextStats.surprisal]] device), so the per-doc
     * score is an order-free INTEGER sum of λ values.
     *
-    * Scale shape: one feature explode over the scan (map-side), two
-    * bucket-keyed counts (map-side combine, `buckets` rows each), the λ
-    * table broadcast back into the feature stream, one doc-keyed sum. The
-    * corpus is read once; nothing driver-side exceeds two scalar counts. */
+    * Scale shape: ONE action over the corpus — the map-side feature explode
+    * feeds a single bucket-keyed aggregate carrying both the raw and the
+    * target count (conditional count; map-side combine, `buckets` rows
+    * collected), from which nt/nr are local sums; the λ table is built from
+    * those `buckets` rows (same Spark round/log expression as before, so
+    * values are bit-identical) and broadcast back into a RECOMPUTED feature
+    * explode for the doc-keyed sum. The corpus is scanned exactly twice and
+    * the exploded (~2×-token-count) frame is never cached — recomputing a
+    * map-side projection is cheaper than materializing it at 100 TB. */
   def dsirWeights(spark: SparkSession, dir: String,
       targetSource: String = "src0", buckets: Int = 1024): DataFrame = {
-    val feats = ScratchCache.persist(
-      docs(spark, dir).select(col("doc_id"), col("source"),
-          split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), col("source"), explode(concat(col("ws"), expr(
-          "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
-          "i -> concat(element_at(ws, i+1), ' ', element_at(ws, i+2))) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END"))).as("f"))
-        .select(col("doc_id"), col("source"),
-          pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast(LongType),
-            lit(buckets.toLong)).as("b")))
-    val nt = feats.filter(col("source") === targetSource).count()
-    val nr = feats.count()
-    val ct = feats.filter(col("source") === targetSource)
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val cr = feats.groupBy("b").agg(count(lit(1)).as("cr"))
-    val lam = cr.join(ct, Seq("b"), "left").select(col("b"),
-      round((log((coalesce(col("ct"), lit(0L)) + 1) /
-          lit((nt + buckets).toDouble)) -
+    import spark.implicits._
+    val feats = docs(spark, dir).select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"), explode(concat(col("ws"), expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
+        "i -> concat(element_at(ws, i+1), ' ', element_at(ws, i+2))) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END"))).as("f"))
+      .select(col("doc_id"), col("source"),
+        pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast(LongType),
+          lit(buckets.toLong)).as("b"))
+    val bucketCounts = feats.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        count(when(col("source") === targetSource, lit(1))).as("ct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nr = bucketCounts.map(_._2).sum
+    val nt = bucketCounts.map(_._3).sum
+    val lam = bucketCounts.toSeq.toDF("b", "cr", "ct").select(col("b"),
+      round((log((col("ct") + 1) / lit((nt + buckets).toDouble)) -
         log((col("cr") + 1) / lit((nr + buckets).toDouble))) * 1e6)
         .cast(LongType).as("lam"))
     feats.join(broadcast(lam), Seq("b"))
@@ -337,8 +389,9 @@ object Curation {
     * crosses the quota — prefix rule: a doc is taken iff its cumulative END
     * stays within quota. No RNG; the kept set is stable under re-sharding.
     *
-    * Scale shape: one shuffle on the source key plus one per-source window
-    * (the same shape as [[packChunks]]); the quota divisor is ONE tiny
+    * Scale shape: the cumulative token count is [[shardedCum]]'s
+    * shard-parallel exact prefix sum over the (md5, doc_id) hash order — no
+    * single-task-per-source window; the quota divisor is ONE tiny
     * distinct-count aggregate broadcast back. */
   def tokenBudgetSample(spark: SparkSession, dir: String,
       budget: Long = 8000): DataFrame = {
@@ -346,9 +399,7 @@ object Curation {
       size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
       md5(col("text")).as("__h"))
     val k = t.agg(count_distinct(col("source")).as("k"))
-    val w = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    t.withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    shardedCum(t, "n_tokens", Seq("__h", "doc_id"))
       .join(broadcast(k))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         ((col("cum") + col("n_tokens")) <= expr(s"${budget}L div k")).as("taken"))

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Tokenizer-training primitives. [[bpeMerges]] is the merge-learning step of
@@ -10,57 +10,125 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape — how industrial distributed BPE trainers work, and why this
   * is safe at 100 TB: the corpus is touched ONCE (the word-count groupBy,
-  * map-side combined, shuffling |vocab| rows); every merge round after that
-  * operates on the |vocab|-sized symbol table — explode adjacent pairs,
-  * hash-groupBy, and a single argmax row to the driver (the same
-  * centroid-sized closure-shipping shape as k-means). Driver traffic is ONE
-  * row per merge; the corpus is never re-read.
+  * map-side combined, shuffling |vocab| rows), and the |vocab|-sized
+  * word-frequency table — a few million rows for any real corpus, because
+  * vocabulary grows ~O(corpus^0.5) (Heaps' law) — is collected to the driver
+  * ONCE; every merge round after that is a local loop over that table
+  * (Sennrich's own trainer operates on exactly this dict), so 32k merges
+  * cost zero further Spark jobs. Driver traffic is one |vocab| collect
+  * total, not one job per merge.
   *
   * Determinism: pair counts are exact integer sums; the merged pair is the
   * (count DESC, left ASC, right ASC) argmax, so ties break identically in
-  * any engine. Merge application uses non-overlapping left-to-right string
-  * replacement over space-separated symbols — BPE's greedy semantics, and
-  * the scan order `replace` contracts in both Spark and the DuckDB oracle
-  * (pinned on an "aaa" corpus in PipelineSpec).
+  * any engine. Merge application is greedy left-to-right NON-OVERLAPPING on
+  * the symbol sequence — standard (Sennrich) BPE semantics: in a run
+  * `a a a a` the first merge produces `aa aa`, not `aa a a`. The DuckDB
+  * oracle reproduces this with a space-doubling `replace` (a single-space
+  * pattern under-merges runs because adjacent matches share a boundary
+  * space; doubling gives every match its own boundary — pinned on even- and
+  * odd-run corpora in PipelineSpec).
   */
 object Tokenizer {
 
+  /** Code-point symbolization (matches `substring(w, i, 1)` in Spark and
+    * `substr` in DuckDB, both code-point-indexed — `String.split("")` would
+    * break surrogate pairs into lone UTF-16 units). */
+  private def codePoints(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** UTF-8 byte order — the string order BOTH engines sort by (Spark's
+    * UTF8String comparison and DuckDB's default collation are binary UTF-8),
+    * which differs from Java's UTF-16 `compareTo` for non-BMP code points. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Greedy left-to-right non-overlapping application of one merge to a
+    * symbol sequence — the Sennrich apply step. */
+  private def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
   /** Learn `nMerges` BPE merges from the corpus' whitespace words.
-    * Output: (rank, lhs, rhs, freq) — the merge table, rank ascending. */
+    * Output: (rank, lhs, rhs, freq) — the merge table, rank ascending.
+    * One Spark job (the word-frequency collect); the merge loop is local. */
   def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
     import spark.implicits._
-    val words = TextStats.docs(spark, dir)
+    // the ONLY corpus pass: word counts, map-side combined
+    val vocab: Array[(Array[String], Long)] = TextStats.docs(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    // " c1 c2 … cn " — leading/trailing spaces make every adjacent pair
-    // (incl. at word edges) match the same ' l r ' pattern
-    var syms = ScratchCache.persist(words.select(
-      concat(lit(" "), concat_ws(" ",
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
-        lit(" ")).as("sym"),
-      col("freq")))
+      .collect()
+      .map(r => (codePoints(r.getString(0)), r.getLong(1)))
+    val words = vocab.map(_._1)
+    val freqs = vocab.map(_._2)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     for (rank <- 1 to nMerges) {
-      val top = syms
-        .select(col("freq"), split(trim(col("sym")), " ").as("ss"))
-        .select(col("freq"), explode(expr(
-          "CASE WHEN size(ss) >= 2 THEN transform(sequence(0, size(ss) - 2), " +
-          "i -> struct(element_at(ss, i+1) AS l, element_at(ss, i+2) AS r)) " +
-          "ELSE array() END")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("freq").as("f"))
-        .orderBy(col("f").desc, col("l"), col("r"))
-        .limit(1).collect() // the argmax row — the ONLY driver traffic per round
-      if (top.nonEmpty) {
-        val (l, r, f) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+      // count every adjacent pair occurrence (overlapping positions count,
+      // as in Sennrich's get_stats: [a,a,a] contributes (a,a) twice)
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < words.length) {
+        val ss = words(wi); val f = freqs(wi); var i = 0
+        while (i + 1 < ss.length) {
+          val k = (ss(i), ss(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.nonEmpty) {
+        // (count DESC, l ASC, r ASC) argmax under UTF-8 byte order
+        val ((l, r), f) = counts.reduceLeft { (a, b) =>
+          val cmp = java.lang.Long.compare(b._2, a._2)
+          val better =
+            if (cmp != 0) cmp < 0
+            else if (a._1._1 != b._1._1) utf8Lt(a._1._1, b._1._1)
+            else utf8Lt(a._1._2, b._1._2)
+          if (better) a else b
+        }
         merges += ((rank.toLong, l, r, f))
-        syms = ScratchCache.persist(syms.select(
-          replace(col("sym"), lit(s" $l $r "), lit(s" $l$r ")).as("sym"),
-          col("freq")))
+        wi = 0
+        while (wi < words.length) {
+          if (words(wi).length >= 2) words(wi) = applyMerge(words(wi), l, r)
+          wi += 1
+        }
       }
     }
     merges.toSeq.toDF("rank", "lhs", "rhs", "freq")
   }
+
+  /** One greedy merge layer as a Column: double every boundary space so
+    * adjacent matches stop sharing one (" a a a a " single-space-replaces to
+    * " aa a a "; doubled, every pair matches → " aa aa "), replace, collapse
+    * back. Exactly mirrored in the DuckDB oracle CTEs. */
+  private[pipeline] def mergeLayer(c: Column, l: String, r: String): Column =
+    replace(
+      replace(replace(c, lit(" "), lit("  ")), lit(s" $l  $r "), lit(s" $l$r ")),
+      lit("  "), lit(" "))
 
   /** Apply a learned merge table to the corpus: per document, the subword
     * count after `merges` (the compression-diagnostic a tokenizer-training
@@ -73,16 +141,20 @@ object Tokenizer {
     * not a corpus character (true for natural-language corpora; a binary-ish
     * corpus would pick a non-occurring sentinel). */
   def bpeSegmentCounts(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame =
+    bpeSegmentCountsOf(TextStats.docs(spark, dir), merges)
+
+  /** [[bpeSegmentCounts]] over an explicit (doc_id, text, …) frame. */
+  def bpeSegmentCountsOf(d: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     val sym0 = concat(lit(" "), concat_ws(" ", expr(
       "flatten(transform(split(text, ' '), w -> " +
       "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)), array('|'))))")),
       lit(" ")).as("sym")
     val merged = merges.foldLeft(col("sym")) { case (c, (l, r)) =>
-      replace(c, lit(s" $l $r "), lit(s" $l$r "))
+      mergeLayer(c, l, r)
     }
-    TextStats.docs(spark, dir)
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"), sym0)
+    d.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"), sym0)
       .select(col("doc_id"), col("n_chars"), merged.as("m"))
       // subwords = symbols minus the per-word '|' sentinels
       .select(col("doc_id"), col("n_chars"),

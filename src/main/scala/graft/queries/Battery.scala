@@ -111,9 +111,13 @@ object Battery {
 
   /** BPE merge-learning oracle: n chained MATERIALIZED CTE rounds, each
     * computing the (count DESC, lhs, rhs) argmax pair over the symbolized
-    * word-frequency table and applying it via non-overlapping left-to-right
-    * `replace` — the identical greedy semantics Spark's `replace` contracts
-    * (see [[graft.pipeline.Tokenizer.bpeMerges]]). MATERIALIZED matters:
+    * word-frequency table and applying it greedily left-to-right. A plain
+    * single-space `replace(' l r ', ' lr ')` UNDER-merges runs (adjacent
+    * matches share a boundary space: ' a a a a ' → ' aa a a '), so each
+    * round doubles the boundary spaces first, replaces ' l  r ' → ' lr ',
+    * and collapses — giving every match its own boundary, i.e. standard
+    * (Sennrich) non-overlapping greedy semantics, identical to
+    * [[graft.pipeline.Tokenizer]]'s mergeLayer. MATERIALIZED matters:
     * without it each round inlines its predecessor several times and the
     * plan grows 4^n. */
   private def bpeMergesOracle(nMerges: Int): String = {
@@ -130,8 +134,9 @@ object Battery {
         s"FROM (SELECT string_split(trim(sym), ' ') AS ss, freq FROM w${i - 1}) q) s " +
         "GROUP BY 1, 2)"
       cte ++= s", m$i AS MATERIALIZED (SELECT l, r, f FROM p$i ORDER BY f DESC, l, r LIMIT 1)"
-      cte ++= s", w$i AS MATERIALIZED (SELECT replace(sym, ' ' || m.l || ' ' || m.r || ' ', " +
-        s"' ' || m.l || m.r || ' ') AS sym, freq FROM w${i - 1}, m$i m)"
+      cte ++= s", w$i AS MATERIALIZED (SELECT replace(replace(replace(sym, ' ', '  '), " +
+        s"' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '), '  ', ' ') " +
+        s"AS sym, freq FROM w${i - 1}, m$i m)"
     }
     val sel = (1 to nMerges).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, " +
@@ -153,7 +158,8 @@ object Battery {
       "i -> substr(w, CAST(i AS INT), 1)), '|'))), ' ') || ' ' AS sym FROM documents)")
     for (i <- 1 to nMerges)
       apply ++= s", d$i AS MATERIALIZED (SELECT doc_id, n_chars, " +
-        s"replace(sym, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ') " +
+        s"replace(replace(replace(sym, ' ', '  '), " +
+        s"' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '), '  ', ' ') " +
         s"AS sym FROM d${i - 1}, m$i m)"
     s"WITH $ctes${apply.result()} " +
       s"SELECT doc_id, n_chars, CAST(len(string_split(trim(sym), ' ')) - " +
@@ -1697,9 +1703,10 @@ object Battery {
 
     ("text_bpe_merges", // BPE merge learning (tokenizer training): 8 rounds of
       // most-frequent-adjacent-pair over the word-frequency table, ties by
-      // (lhs, rhs). Corpus touched ONCE (word counts); each round is
-      // vocab-sized with a single argmax row to the driver. Oracle rebuilds
-      // the identical 8 rounds as materialized CTE layers
+      // (lhs, rhs), greedy (Sennrich) merge application. Corpus touched ONCE
+      // (word counts); the |vocab| table is collected once and the merge
+      // loop runs locally — 32k merges cost zero further Spark jobs. Oracle
+      // rebuilds the identical 8 rounds as materialized CTE layers
       (s: SparkSession, d: String) => graft.pipeline.Tokenizer.bpeMerges(s, d),
       Some(bpeMergesOracle(8))),
 

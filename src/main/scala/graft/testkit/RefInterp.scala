@@ -561,7 +561,14 @@ object RefInterp {
     }
     val svcRows: Seq[Binding] = outer.flatMap(_.get(ev)).distinct.flatMap {
       case i @ Iri(_) =>
-        eval(AService(T(i), child, silent), env).map(_ + (ev -> (i: Term)))
+        // the dispatched endpoint is a JOIN CONSTRAINT, not an overwrite: if
+        // the service child itself binds the endpoint var (it is in the
+        // child's scope), a remote row survives only when its own binding
+        // equals the endpoint that produced it — mirroring the engine, which
+        // inner-joins the per-endpoint solutions on ?ep
+        eval(AService(T(i), child, silent), env).flatMap(b =>
+          if (b.get(ev).forall(_ == (i: Term))) Some(b + (ev -> (i: Term)))
+          else None)
       case t if silent => Seq(Map(ev -> t))
       case t => throw new UnsupportedOperationException(
         s"SERVICE ?$ev bound to non-IRI term: $t")

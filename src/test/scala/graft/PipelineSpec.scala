@@ -499,18 +499,31 @@ class PipelineSpec extends AnyFunSuite {
       "single-scan quality filter diverges from the join-shape components")
   }
 
-  test("chunk→dedup→pack chain: ONE documents scan, exactly two hash exchanges") {
+  test("chunk→dedup→pack chain: shard-parallel prefix sum, no per-source serial window") {
     val df = Curation.chunkPack(spark, sf)
+    // collect FIRST so AQE finalizes the plan (stage reuse is decided at run
+    // time); then pin the executed shape
+    val rows = df.collect()
     val plan = df.queryExecution.executedPlan.toString
+    // the pack window must be SHARDED — partitioned by (source, shard), never
+    // by source alone (a per-source window = one multi-TB task per source at
+    // 100 TB); the range exchange is what makes the sharding order-preserving
+    val packWindows = plan.split("\n").filter(l =>
+      l.contains("windowspecdefinition(source") && l.contains("sum(n_tok"))
+    assert(packWindows.nonEmpty && packWindows.forall(_.contains("__graft_shard")),
+      s"pack running sum must window on (source, __graft_shard):\n${plan.take(3000)}")
+    assert(plan.contains("Exchange rangepartitioning(source"),
+      s"shard assignment must be an order-preserving range exchange:\n${plan.take(3000)}")
+    // the corpus is READ once: the offsets branch reuses the range-exchange
+    // stage (AQE stage reuse), so the second parquet scan never executes
     val scans = plan.split("\n").count(_.contains("Scan parquet"))
-    assert(scans == 1, s"chain must not re-read the corpus; got $scans scans:\n${plan.take(3000)}")
-    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges == 2,
-      s"expected exactly 2 exchanges (dedup on chunk_hash, pack on source); " +
-        s"got $exchanges:\n${plan.take(3000)}")
+    val reused = plan.split("\n").count(l =>
+      l.contains("ReusedExchange") || l.contains("ShuffleQueryStage") && l.contains("isLocal"))
+    assert(scans == 1 || plan.contains("ReusedExchange"),
+      s"offsets branch must reuse the range exchange, not re-scan; " +
+        s"got $scans scans, $reused reuse markers:\n${plan.take(3000)}")
     // semantics: every chunk_hash appears once; pack offsets are consistent
     // (each source stream's cumulative token count reproduces pack_id/pack_off)
-    val rows = df.collect()
     val hashes = rows.map(_.getString(4))
     assert(hashes.distinct.length == hashes.length, "dedup must leave unique chunk hashes")
     rows.groupBy(_.getString(2)).foreach { case (_, rs) =>
@@ -549,10 +562,32 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(seg(1L) == 2L, s"doc 1 should segment to 2 subwords: $seg")
     assert(seg(2L) == 3L, s"doc 2 = aaa + b + b: $seg") // (b,b) never merged
+    // EVEN runs pin true greedy (Sennrich) semantics: 'aaaa' merges to
+    // (aa)(aa) — a single-space replace would under-merge the shared-boundary
+    // run to (aa)(a)(a) and learn merge 2 = (a,a) again instead of (aa,aa)
+    val dir2 = "/tmp/graft_bpe_even"
+    Seq((1L, "aaaa aaaa", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val m2 = Tokenizer.bpeMerges(spark, dir2, nMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m2(0) == ((1L, "a", "a", 6L)), s"even-run merge 1: ${m2.toSeq}")
+    assert(m2(1) == ((2L, "aa", "aa", 2L)), s"even-run merge 2: ${m2.toSeq}")
+    val seg2 = Tokenizer.bpeSegmentCounts(spark, dir2,
+      Seq(("a", "a"), ("aa", "aa"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(seg2(1L) == 2L, s"'aaaa aaaa' must segment to one subword per word: $seg2")
     // corpus sanity at sf0.001: 8 merges learned, counts strictly ordered
     val real = Tokenizer.bpeMerges(spark, sf).collect().map(_.getLong(3))
     assert(real.length == 8 && real.zip(real.tail).forall { case (a, b) => a >= b },
       s"merge counts must be non-increasing: ${real.toSeq}")
+    // realistic merge count: the loop is local after one |vocab| collect, so
+    // hundreds of merges are driver-cheap (32k-scale trainability)
+    // (the sf0.001 vocabulary exhausts its pairs before 256 — the loop must
+    // drain gracefully and stay prefix-consistent with the 8-merge run)
+    val big = Tokenizer.bpeMerges(spark, sf, nMerges = 256).collect()
+    assert(big.length >= 64 && big.take(8).map(_.getLong(3)).toSeq ==
+      real.toSeq, "first 8 of 256 merges must equal the 8-merge run")
   }
 
   test("DSIR weights: target-like docs score positive, disjoint-vocab docs negative") {

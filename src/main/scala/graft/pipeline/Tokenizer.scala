@@ -75,10 +75,15 @@ object Tokenizer {
   /** Learn `nMerges` BPE merges from the corpus' whitespace words.
     * Output: (rank, lhs, rhs, freq) — the merge table, rank ascending.
     * One Spark job (the word-frequency collect); the merge loop is local. */
-  def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+  def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
+    bpeMergesOf(TextStats.docs(spark, dir), nMerges)
+
+  /** [[bpeMerges]] over an explicit (text, …) frame — e.g. a train split. */
+  def bpeMergesOf(d: DataFrame, nMerges: Int = 8): DataFrame = {
+    val spark = d.sparkSession
     import spark.implicits._
     // the ONLY corpus pass: word counts, map-side combined
-    val vocab: Array[(Array[String], Long)] = TextStats.docs(spark, dir)
+    val vocab: Array[(Array[String], Long)] = d
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .collect()
@@ -144,9 +149,11 @@ object Tokenizer {
       merges: Seq[(String, String)]): DataFrame =
     bpeSegmentCountsOf(TextStats.docs(spark, dir), merges)
 
-  /** [[bpeSegmentCounts]] over an explicit (doc_id, text, …) frame. */
-  def bpeSegmentCountsOf(d: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
+  /** [[bpeSegmentCounts]] over an explicit (doc_id, text, …) frame. `carry`
+    * columns (computed off the input row, e.g. a split label) ride along
+    * map-side so callers never need a join-back. */
+  def bpeSegmentCountsOf(d: DataFrame, merges: Seq[(String, String)],
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
     val sym0 = concat(lit(" "), concat_ws(" ", expr(
       "flatten(transform(split(text, ' '), w -> " +
       "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)), array('|'))))")),
@@ -154,12 +161,14 @@ object Tokenizer {
     val merged = merges.foldLeft(col("sym")) { case (c, (l, r)) =>
       mergeLayer(c, l, r)
     }
-    d.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"), sym0)
-      .select(col("doc_id"), col("n_chars"), merged.as("m"))
+    val carryNames = carry.map { case (n, _) => col(n) }
+    d.select(col("doc_id") +: carry.map { case (n, c) => c.as(n) } :+
+        length(col("text")).cast("long").as("n_chars") :+ sym0: _*)
+      .select(col("doc_id") +: carryNames :+ col("n_chars") :+ merged.as("m"): _*)
       // subwords = symbols minus the per-word '|' sentinels
-      .select(col("doc_id"), col("n_chars"),
+      .select(col("doc_id") +: carryNames :+ col("n_chars") :+
         (size(split(trim(col("m")), " ")) -
           size(filter(split(trim(col("m")), " "), s => s === "|"))).cast("long")
-          .as("n_subwords"))
+          .as("n_subwords"): _*)
   }
 }

@@ -120,10 +120,11 @@ object Battery {
     * [[graft.pipeline.Tokenizer]]'s mergeLayer. MATERIALIZED matters:
     * without it each round inlines its predecessor several times and the
     * plan grows 4^n. */
-  private def bpeMergesOracle(nMerges: Int): String = {
+  private def bpeMergesOracle(nMerges: Int,
+      learnFrom: String = "documents"): String = {
     val cte = new StringBuilder(
       "base AS MATERIALIZED (SELECT w, count(*) AS freq FROM " +
-      "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1), " +
+      s"(SELECT unnest(string_split(text, ' ')) AS w FROM $learnFrom) GROUP BY 1), " +
       "w0 AS MATERIALIZED (SELECT ' ' || array_to_string(" +
       "list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)), " +
       "' ') || ' ' AS sym, freq FROM base)")
@@ -163,6 +164,34 @@ object Battery {
         s"AS sym FROM d${i - 1}, m$i m)"
     s"WITH $ctes${apply.result()} " +
       s"SELECT doc_id, n_chars, CAST(len(string_split(trim(sym), ' ')) - " +
+      s"len(list_filter(string_split(trim(sym), ' '), s -> s = '|')) AS BIGINT) " +
+      s"AS n_subwords FROM d$nMerges"
+  }
+
+  /** The chained tokenizer-training oracle a pretraining pipeline runs:
+    * learn the merges on the TRAIN split ONLY (the md5-bucket rule of
+    * curate_split — leakage-proof), then segment EVERY document with them,
+    * labeling each doc's split. Same CTE layers as [[bpeMergesOracle]] /
+    * [[bpeSegmentOracle]], with the learn base filtered to train docs. */
+  private def bpeTrainApplyOracle(nMerges: Int): String = {
+    val bucket = "CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) % 100"
+    val learn = bpeMergesOracle(nMerges,
+      learnFrom = s"(SELECT * FROM documents WHERE $bucket < 90)")
+    val ctes = learn.substring("WITH ".length, learn.indexOf(" SELECT CAST(1"))
+    val apply = new StringBuilder(
+      ", d0 AS MATERIALIZED (SELECT doc_id, " +
+      s"CASE WHEN $bucket < 90 THEN 'train' WHEN $bucket < 95 THEN 'valid' " +
+      "ELSE 'test' END AS split, CAST(length(text) AS BIGINT) AS n_chars, " +
+      "' ' || array_to_string(flatten(list_transform(string_split(text, ' '), " +
+      "w -> list_append(list_transform(range(1, length(w) + 1), " +
+      "i -> substr(w, CAST(i AS INT), 1)), '|'))), ' ') || ' ' AS sym FROM documents)")
+    for (i <- 1 to nMerges)
+      apply ++= s", d$i AS MATERIALIZED (SELECT doc_id, split, n_chars, " +
+        s"replace(replace(replace(sym, ' ', '  '), " +
+        s"' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '), '  ', ' ') " +
+        s"AS sym FROM d${i - 1}, m$i m)"
+    s"WITH $ctes${apply.result()} " +
+      s"SELECT doc_id, split, n_chars, CAST(len(string_split(trim(sym), ' ')) - " +
       s"len(list_filter(string_split(trim(sym), ' '), s -> s = '|')) AS BIGINT) " +
       s"AS n_subwords FROM d$nMerges"
   }
@@ -1721,6 +1750,25 @@ object Battery {
         graft.pipeline.Tokenizer.bpeSegmentCounts(s, d, merges)
       },
       Some(bpeSegmentOracle(8))),
+
+    ("text_bpe_train_apply", // the chained tokenizer-curation shape a real
+      // pretraining run needs: learn the merge table on the TRAIN split ONLY
+      // (curate_split's md5-bucket rule — the tokenizer never sees held-out
+      // text) and segment the WHOLE corpus with it, labeling each doc's
+      // split. Learn = one filtered word-count job + local merge loop; apply
+      // = ONE map-side scan with the merges and split rule as literals
+      (s: SparkSession, d: String) => {
+        val docs = graft.pipeline.TextStats.docs(s, d)
+        val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+          .cast("long") % 100
+        val merges = graft.pipeline.Tokenizer
+          .bpeMergesOf(docs.filter(bucket < 90), 8)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.pipeline.Tokenizer.bpeSegmentCountsOf(docs, merges,
+          carry = Seq("split" -> when(bucket < 90, "train")
+            .when(bucket < 95, "valid").otherwise("test")))
+      },
+      Some(bpeTrainApplyOracle(8))),
 
     ("text_token_hist", // corpus token-length histogram (bucket width 10)
       (s: SparkSession, d: String) => graft.pipeline.TextStats.tokenHistogram(s, d),

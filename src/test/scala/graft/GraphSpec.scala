@@ -128,6 +128,49 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("SERVICE ?ep dispatch boundary: direct-join siblings dispatch, nested shapes are declared refusals") {
+    import graft.sources.RdfIO
+    val local = RdfIO.loadTurtle(spark,
+      """@prefix ex: <http://ex.org/> .
+        |ex:a ex:endpoint <urn:svc:a> .""".stripMargin)
+    val remoteA = RdfIO.loadTurtle(spark,
+      "@prefix ex: <http://ex.org/> . ex:x ex:val 1 . ex:y ex:val 2 .")
+    val eng = new GraftEngine(local, serviceClient = Some(new LocalServiceClient(
+      Map("urn:svc:a" -> remoteA))))
+    // POSITIVE: the binder may sit under the REQUIRED side of an OPTIONAL as
+    // long as that group is the service's DIRECT join sibling — in-scope
+    // vars of a LeftJoin include the required side's, so dispatch applies
+    val opt = eng.query(
+      """SELECT ?w ?ep ?v WHERE {
+        |  { ?w <http://ex.org/endpoint> ?ep
+        |    OPTIONAL { ?w <http://ex.org/absent> ?z } }
+        |  SERVICE ?ep { ?s <http://ex.org/val> ?v } }""".stripMargin)
+      .collect().map(r => (r.getStruct(1).getString(1), r.getStruct(2).getString(1))).toSet
+    assert(opt == Set(("urn:svc:a", "1"), ("urn:svc:a", "2")), s"got $opt")
+    // NEGATIVE (declared boundary): SERVICE ?ep NESTED INSIDE an OPTIONAL —
+    // the binder is outside the LeftJoin's right operand, so no AJoin sibling
+    // exists and the compile refuses with the documented message
+    val e1 = intercept[UnsupportedOperationException] {
+      eng.query(
+        """SELECT ?v WHERE { ?w <http://ex.org/endpoint> ?ep
+          |  OPTIONAL { SERVICE ?ep { ?s <http://ex.org/val> ?v } } }""".stripMargin)
+        .collect()
+    }
+    assert(e1.getMessage.contains("sibling join pattern binds"), e1.getMessage)
+    // NEGATIVE (declared boundary): the binder one JOIN LEVEL UP — the
+    // service's direct sibling does not bind ?ep, and dispatch does not look
+    // through nested group boundaries
+    val e2 = intercept[UnsupportedOperationException] {
+      eng.query(
+        """SELECT ?v WHERE {
+          |  { ?s2 <http://ex.org/other> ?y .
+          |    SERVICE ?ep { ?s <http://ex.org/val> ?v } }
+          |  ?w <http://ex.org/endpoint> ?ep }""".stripMargin)
+        .collect()
+    }
+    assert(e2.getMessage.contains("sibling join pattern binds"), e2.getMessage)
+  }
+
   test("HTTP SERVICE client federates against a SPARQL-protocol endpoint") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     import graft.sources.SparqlResults

@@ -612,6 +612,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(w(100L) > w(200L))
   }
 
+  test("DSIR plan: single action, ≤2 corpus scans, no cached exploded frame") {
+    // calling dsirWeights runs exactly ONE job (the fused bucket-count
+    // collect: raw + target counts in one aggregate); the returned frame's
+    // plan re-derives the map-side feature explode instead of reading a
+    // persisted copy — at 100 TB recomputing a projection beats
+    // materializing a ~2×-token-count frame
+    val df = Curation.dsirWeights(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1,
+      s"join-back side must be one fresh corpus scan; got $scans:\n${plan.take(2000)}")
+    assert(!plan.contains("InMemoryRelation") && !plan.contains("InMemoryTableScan"),
+      s"exploded feature frame must not be cached:\n${plan.take(2000)}")
+  }
+
   test("pii redaction: emails/ips/phones replaced with typed placeholders") {
     val r = TextStats.piiRedact(spark, sf).collect()
     assert(r.length == 500)

@@ -247,35 +247,63 @@ object Curation {
     * target count (conditional count; map-side combine, `buckets` rows
     * collected), from which nt/nr are local sums; the λ table is built from
     * those `buckets` rows (same Spark round/log expression as before, so
-    * values are bit-identical) and broadcast back into a RECOMPUTED feature
-    * explode for the doc-keyed sum. The corpus is scanned exactly twice and
-    * the exploded (~2×-token-count) frame is never cached — recomputing a
-    * map-side projection is cheaper than materializing it at 100 TB. */
+    * values are bit-identical) and shipped back as a bucket-indexed ARRAY
+    * LITERAL into a second, PURELY MAP-SIDE pass: per document the feature
+    * buckets are computed in-row and the score is an in-row integer fold
+    * over element_at(λ, b+1) — no join, no explode shuffle, no doc-keyed
+    * exchange anywhere in the scoring pass (the r14 shape re-exploded the
+    * corpus into a broadcast join + groupBy, paying one corpus-sized
+    * exchange and evaluating the md5 bucket hash twice per feature under
+    * the join-key null filter). The corpus is scanned exactly twice and the
+    * exploded (~2×-token-count) frame is never cached. */
   def dsirWeights(spark: SparkSession, dir: String,
       targetSource: String = "src0", buckets: Int = 1024): DataFrame = {
     import spark.implicits._
-    val feats = docs(spark, dir).select(col("doc_id"), col("source"),
+    // per-doc feature-bucket array, computed entirely map-side (unigrams ++
+    // bigrams, md5-bucketed) — shared by both passes
+    val bs = expr(
+      "transform(concat(ws, CASE WHEN size(ws) >= 2 THEN " +
+      "transform(sequence(0, size(ws) - 2), " +
+      "i -> concat(element_at(ws, i+1), ' ', element_at(ws, i+2))) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END), " +
+      s"f -> pmod(CAST(conv(substring(md5(f), 1, 8), 16, 10) AS BIGINT), " +
+      s"${buckets}L))").as("bs")
+    // pass 1 explodes the RAW feature strings and hashes after the Generate
+    // (exploding the hashed array would re-evaluate the md5 transform lambda
+    // once per OUTPUT row — the Generate pitfall, O(features²) per doc)
+    val bucketCounts = docs(spark, dir).select(col("source"),
         split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("source"), explode(concat(col("ws"), expr(
+      .select(col("source"), explode(concat(col("ws"), expr(
         "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
         "i -> concat(element_at(ws, i+1), ' ', element_at(ws, i+2))) " +
         "ELSE CAST(array() AS ARRAY<STRING>) END"))).as("f"))
-      .select(col("doc_id"), col("source"),
+      .select(col("source"),
         pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast(LongType),
           lit(buckets.toLong)).as("b"))
-    val bucketCounts = feats.groupBy("b").agg(
+      .groupBy("b").agg(
         count(lit(1)).as("cr"),
         count(when(col("source") === targetSource, lit(1))).as("ct"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val nr = bucketCounts.map(_._2).sum
     val nt = bucketCounts.map(_._3).sum
-    val lam = bucketCounts.toSeq.toDF("b", "cr", "ct").select(col("b"),
+    // λ values from the SAME Spark round/log expression as the join shape —
+    // bit-identical doubles — materialized into a bucket-indexed array
+    val lamRows = bucketCounts.toSeq.toDF("b", "cr", "ct").select(col("b"),
       round((log((col("ct") + 1) / lit((nt + buckets).toDouble)) -
         log((col("cr") + 1) / lit((nr + buckets).toDouble))) * 1e6)
         .cast(LongType).as("lam"))
-    feats.join(broadcast(lam), Seq("b"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum("lam").as("dsir_micro"))
+      .collect()
+    val lamArr = new Array[Long](buckets)
+    lamRows.foreach(r => lamArr(r.getLong(0).toInt) = r.getLong(1))
+    val lamLit = array(lamArr.toSeq.map(lit(_)): _*)
+    val withBs = docs(spark, dir).select(col("doc_id"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), bs)
+    withBs.select(col("doc_id"),
+      size(col("bs")).cast(LongType).as("n_feats"),
+      aggregate(transform(col("bs"),
+          b => element_at(lamLit, (b + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x).as("dsir_micro"))
   }
 
   /** Domain-mixture reweighting: per-source token mass and the sampling

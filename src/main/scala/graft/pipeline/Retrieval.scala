@@ -25,21 +25,31 @@ object Retrieval {
   private val K1 = 1.2
   private val B = 0.75
 
-  /** Per-(doc, tok) term frequencies of the documents table. */
-  private def tf(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-
-  /** Corpus-side index frames: (tfs persisted, dfs, lens, totalLen, N). */
+  /** Corpus-side posting index, ONE persisted frame carrying everything a
+    * scoring pass needs per posting: (doc_id, tok, len, tf, df). Built with
+    * exactly two corpus exchanges — the (doc, tok)-keyed tf aggregate (len
+    * rides along as a functionally-dependent group key, so the old per-score
+    * doc-keyed `lens` join never exists) and one tok-keyed window for df (no
+    * dfs join-back, no second pass over the exploded stream). Each BM25
+    * scoring pass is then a broadcast-query probe of this cache + one small
+    * (qid, nid) aggregate — ZERO corpus-side shuffles per pass, which is
+    * what makes the twice-scoring PRF shape affordable (the r14 shape
+    * re-aggregated df and re-scanned lens inside every scoring call).
+    * Returns (postings, totalLen, N). */
   private def index(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, Long, Long) = {
+      : (DataFrame, Long, Long) = {
     val d = TextStats.docs(spark, dir)
     val lens = d.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("len"))
     val agg = lens.agg(sum("len").as("tot"), count(lit(1)).as("n")).first()
-    val tfs = ScratchCache.persist(tf(d))
-    val dfs = tfs.groupBy("tok").agg(count(lit(1)).as("df"))
-    (tfs, dfs, lens, agg.getLong(0), agg.getLong(1))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+    val postings = ScratchCache.persist(
+      d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("long").as("len"),
+          explode(col("ws")).as("tok"))
+        .groupBy("doc_id", "tok", "len").agg(count(lit(1)).as("tf"))
+        .withColumn("df", count(lit(1)).over(wTok)))
+    (postings, agg.getLong(0), agg.getLong(1))
   }
 
   /** BM25 scoring of a (qid, tok) query-term frame against the index:
@@ -47,17 +57,17 @@ object Retrieval {
     * idf = ln((N - df + 0.5) / (df + 0.5) + 1)
     * norm = (1 - b) + b * (len * N) / totalLen      [exact-integer inputs]
     * term = idf * tf * (k1 + 1) / (tf + k1 * norm)  -> round to micro-units
-    * Output (qid, nid, score_micro). */
-  private def bm25Score(qterms: DataFrame, tfs: DataFrame, dfs: DataFrame,
-      lens: DataFrame, tot: Long, n: Long): DataFrame = {
+    * The query side is tiny by construction (a handful of query docs'
+    * distinct tokens) and broadcast explicitly — the posting side is never
+    * shuffled. Output (qid, nid, score_micro). */
+  private def bm25Score(qterms: DataFrame, postings: DataFrame,
+      tot: Long, n: Long): DataFrame = {
     val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val norm = lit(1.0 - B) + lit(B) * (col("len") * lit(n.toDouble)) / lit(tot.toDouble)
     val term = idf * col("tf") * lit(K1 + 1.0) / (col("tf") + lit(K1) * norm)
-    qterms
-      .join(tfs.withColumnRenamed("doc_id", "nid"), "tok")
+    broadcast(qterms)
+      .join(postings.withColumnRenamed("doc_id", "nid"), "tok")
       .filter(col("nid") =!= col("qid"))
-      .join(dfs, "tok")
-      .join(lens.withColumnRenamed("doc_id", "nid"), "nid")
       .select(col("qid"), col("nid"), round(term * 1e6).cast("long").as("micro"))
       .groupBy("qid", "nid").agg(sum("micro").as("score_micro"))
   }
@@ -74,10 +84,10 @@ object Retrieval {
     * (qid, nid, score_micro, rk). */
   def bm25TopK(spark: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 5): DataFrame = {
-    val (tfs, dfs, lens, tot, n) = index(spark, dir)
-    val qterms = tfs.filter(col("doc_id") < nQueries)
+    val (postings, tot, n) = index(spark, dir)
+    val qterms = postings.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("qid"), col("tok"))
-    topK(bm25Score(qterms, tfs, dfs, lens, tot, n), k)
+    topK(bm25Score(qterms, postings, tot, n), k)
   }
 
   /** Pseudo-relevance-feedback query expansion (RM3/Rocchio-lite, fully
@@ -92,21 +102,23 @@ object Retrieval {
     * same cost family as bm25TopK, no new corpus-sized structure. */
   def bm25Prf(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
       fbDocs: Int = 3, fbTerms: Int = 5): DataFrame = {
-    val (tfs, dfs, lens, tot, n) = index(spark, dir)
-    val q0 = tfs.filter(col("doc_id") < nQueries)
+    val (postings, tot, n) = index(spark, dir)
+    val q0 = postings.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("qid"), col("tok"))
       .transform(ScratchCache.persist)
-    val fb = topK(bm25Score(q0, tfs, dfs, lens, tot, n), fbDocs)
+    val fb = topK(bm25Score(q0, postings, tot, n), fbDocs)
       .select(col("qid"), col("nid"))
     val exW = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("wt").desc, col("tok"))
-    val ex = fb.join(tfs.withColumnRenamed("doc_id", "nid"), "nid")
+    // feedback docs are |q|·fbDocs rows — broadcast them into the posting
+    // cache probe, same discipline as the scoring passes
+    val ex = broadcast(fb).join(postings.withColumnRenamed("doc_id", "nid"), "nid")
       .join(q0, Seq("qid", "tok"), "left_anti")
       .groupBy("qid", "tok").agg(sum("tf").as("wt"))
       .withColumn("rk", row_number().over(exW)).filter(col("rk") <= fbTerms)
       .select(col("qid"), col("tok"))
     val q2 = q0.union(ex).distinct()
-    topK(bm25Score(q2, tfs, dfs, lens, tot, n), k)
+    topK(bm25Score(q2, postings, tot, n), k)
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking

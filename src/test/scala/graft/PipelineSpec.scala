@@ -612,19 +612,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(w(100L) > w(200L))
   }
 
-  test("DSIR plan: single action, ≤2 corpus scans, no cached exploded frame") {
-    // calling dsirWeights runs exactly ONE job (the fused bucket-count
-    // collect: raw + target counts in one aggregate); the returned frame's
-    // plan re-derives the map-side feature explode instead of reading a
-    // persisted copy — at 100 TB recomputing a projection beats
-    // materializing a ~2×-token-count frame
+  test("DSIR plan: map-side scoring pass — one scan, zero exchanges, no join") {
+    // calling dsirWeights runs exactly ONE corpus-aggregating job (the fused
+    // bucket-count collect: raw + target counts in one aggregate); the
+    // returned SCORING frame is a pure map-side projection — the λ table
+    // rides as a bucket-indexed array literal and the per-doc score is an
+    // in-row integer fold, so the pass has no join, no explode shuffle, no
+    // doc-keyed exchange, and nothing cached (r15: the r14 shape re-exploded
+    // into a broadcast join + groupBy, one corpus-sized exchange)
     val df = Curation.dsirWeights(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     val scans = plan.split("\n").count(_.contains("Scan parquet"))
     assert(scans == 1,
-      s"join-back side must be one fresh corpus scan; got $scans:\n${plan.take(2000)}")
+      s"scoring side must be one fresh corpus scan; got $scans:\n${plan.take(2000)}")
     assert(!plan.contains("InMemoryRelation") && !plan.contains("InMemoryTableScan"),
       s"exploded feature frame must not be cached:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange"),
+      s"scoring pass must be shuffle-free:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"),
+      s"scoring pass must be join-free:\n${plan.take(2000)}")
   }
 
   test("pii redaction: emails/ips/phones replaced with typed placeholders") {

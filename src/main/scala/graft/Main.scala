@@ -123,6 +123,8 @@ object Main {
         // re-registers against the swapped-in files
         spark.sql(s"DROP TABLE IF EXISTS ${StorePersist.quadsTable(tmp)}")
         spark.sql(s"DROP TABLE IF EXISTS ${StorePersist.quadsTable(dir)}")
+        spark.sql(s"DROP TABLE IF EXISTS ${StorePersist.termsTable(tmp)}")
+        spark.sql(s"DROP TABLE IF EXISTS ${StorePersist.termsTable(dir)}")
         spark.catalog.refreshByPath(dir)
         println(store.charSetStats match {
           case Some(cs) => s"analyzed $dir: ${cs.size} characteristic sets"

@@ -41,6 +41,9 @@ object StorePersist {
     s"graft_quads_${san}_$sha"
   }
 
+  /** Catalog table name for the id-bucketed terms dictionary of `dir`. */
+  def termsTable(dir: String): String = quadsTable(dir) + "_terms"
+
   /** Data columns in written order; `p` is the partition column and therefore
     * lands last in the on-disk schema. */
   private val PartitionCol = "p"
@@ -51,8 +54,10 @@ object StorePersist {
     * otherwise be silently reused with wrong ids. [[savedCodecVersion]]
     * lets callers detect and rebuild stale caches.
     * v3: manifest carries characteristic-set statistics (r13) — older
-    * caches lack them and would silently lose the static star-COUNT path. */
-  val CodecVersion = 3
+    * caches lack them and would silently lose the static star-COUNT path.
+    * v4: terms dictionary is id-bucketed + id-sorted (r15) — late-
+    * materialization joins stop exchanging and sorting the dictionary side. */
+  val CodecVersion = 4
 
   /** The codec version a saved store was written with (0 = pre-versioning). */
   def savedCodecVersion(dir: String): Int = {
@@ -77,9 +82,18 @@ object StorePersist {
       .write.partitionBy(PartitionCol).bucketBy(buckets, "s").sortBy("s", "o")
       .option("path", s"$dir/quads")
       .mode(SaveMode.Overwrite).saveAsTable(tbl)
+    // id-bucketed dictionary: every late-materialization join probes the
+    // dictionary on id, so persisting HashPartitioning(id, n) (+ per-bucket
+    // id order, one file per bucket) removes the Exchange AND the Sort of
+    // the dictionary side from every decode join in every reopening session
+    // — the dictionary is the LARGE side of those joins at scale
+    val ttbl = termsTable(dir)
+    spark.sql(s"DROP TABLE IF EXISTS $ttbl")
     store.terms
-      .repartition(col("id")).sortWithinPartitions("id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/terms")
+      .repartition(buckets, col("id"))
+      .write.bucketBy(buckets, "id").sortBy("id")
+      .option("path", s"$dir/terms")
+      .mode(SaveMode.Overwrite).saveAsTable(ttbl)
     val profiles = store.predProfiles.map { case (p, pr) =>
       s"""{"p":$p,"allInline":${pr.allInline},"allNumeric":${pr.allNumeric},""" +
         s""""count":${pr.count},"oTags":[${pr.oTags.mkString(",")}],""" +
@@ -109,6 +123,7 @@ object StorePersist {
          |"spgAllInline":${store.spgAllInline},
          |"namedGraphs":$named,
          |"buckets":$buckets,
+         |"termsBuckets":$buckets,
          |"codecVersion":$CodecVersion,
          |"layout":"ps",
          |"schemaDDL":"$dataCols",
@@ -127,6 +142,13 @@ object StorePersist {
     // bucketed layouts re-register the bucket spec in this session's catalog
     // (the files carry it implicitly; the DDL tells Spark to trust it), so a
     // fresh session reopens with pruned scans + shuffle-free subject joins
+    // Spark reports the per-bucket sortBy order of a bucketed scan only under
+    // this (dynamic) conf — and only when every selected bucket is a single
+    // file, which save() guarantees by pre-repartitioning on the bucket hash.
+    // Without it every bucket-aligned SortMergeJoin re-sorts both sides
+    // (store-wide Sorts under each star join and each dictionary decode).
+    if (meta.buckets > 0 || meta.termsBuckets > 0)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val quads0 = if (meta.buckets > 0) {
       val tbl = quadsTable(dir)
       if (!spark.catalog.tableExists(tbl)) {
@@ -151,7 +173,27 @@ object StorePersist {
     val quads =
       if (cache) quads0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else quads0
-    val terms0 = spark.read.parquet(s"$dir/terms")
+    // v4 stores: reopen the id-bucketed dictionary through the catalog so
+    // decode joins see HashPartitioning(id, n) + per-bucket id order and
+    // plan with no Exchange/Sort under the dictionary side. Pre-v4 stores
+    // (termsBuckets 0/absent) fall back to the plain parquet read.
+    val terms0 = if (meta.termsBuckets > 0) {
+      val ttbl = termsTable(dir)
+      if (!spark.catalog.tableExists(ttbl))
+        spark.sql(
+          s"""CREATE TABLE $ttbl (id BIGINT, kind INT, lex STRING, dt STRING,
+             |lang STRING, num DOUBLE) USING parquet
+             |CLUSTERED BY (id) SORTED BY (id) INTO ${meta.termsBuckets} BUCKETS
+             |LOCATION '$dir/terms'""".stripMargin)
+      spark.table(ttbl)
+    } else spark.read.parquet(s"$dir/terms")
+    // The cached dictionary keeps the bucket HashPartitioning(id, n)
+    // (InMemoryRelation forwards partitioning), so decode joins never
+    // exchange the dictionary side; the per-bucket sort order is dropped by
+    // the cache, but re-sorting the dictionary in memory measured cheaper
+    // than re-decoding the parquet per query (which keeps the order but
+    // re-pays the scan). Uncached opens (cluster scale) get both: the
+    // direct bucketed scan reports partitioning AND order.
     val terms =
       if (cache) terms0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else terms0
@@ -169,7 +211,8 @@ object StorePersist {
   private final case class Meta(defaultGraphs: Seq[Long], spg: Boolean,
       namedGraphs: Option[Seq[Long]], profiles: Map[Long, PredProfile],
       buckets: Int = 0, layout: String = "", schemaDDL: String = "",
-      charSets: Option[Seq[CharSetStat]] = None, csDisabled: Boolean = false)
+      charSets: Option[Seq[CharSetStat]] = None, csDisabled: Boolean = false,
+      termsBuckets: Int = 0)
 
   private def ujsonLite(s: String): Meta = {
     def arr(name: String): Seq[Long] = {
@@ -180,6 +223,8 @@ object StorePersist {
     val named =
       if (s.contains("\"namedGraphs\":null")) None else Some(arr("namedGraphs"))
     val buckets = "\"buckets\":(\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(0)
+    val termsBuckets = "\"termsBuckets\":(\\d+)".r.findFirstMatchIn(s)
       .map(_.group(1).toInt).getOrElse(0)
     val layout = "\"layout\":\"([^\"]*)\"".r.findFirstMatchIn(s)
       .map(_.group(1)).getOrElse("")
@@ -213,6 +258,6 @@ object StorePersist {
         CharSetStat(longs(m.group(1)), m.group(2).toLong, longs(m.group(3)))
       }.toSeq)
     Meta(arr("defaultGraphs"), s.contains("\"spgAllInline\":true"), named, profiles,
-      buckets, layout, schemaDDL, charSets, csDisabled)
+      buckets, layout, schemaDDL, charSets, csDisabled, termsBuckets)
   }
 }

@@ -457,8 +457,13 @@ object Dedup {
 
   /** Shared candidate-pair statistics of the blocked n-gram family:
     * (a, b, inter, sa, sb) for every within-block doc pair. */
-  private def ngramPairStats(d: DataFrame, n: Int,
+  private def ngramPairStats(d0: DataFrame, n: Int,
       maxBlockDocs: Int): DataFrame = {
+    // the per-doc gram hashing below is the operator's dominant CPU and is
+    // otherwise bound to the input's split count (one task on a one-split
+    // local corpus) — spread it across the session's cores; the gate turns
+    // the spread off for inputs big enough to scan wide on their own
+    val d = Par.spread(d0)
     // ONE row per document, computed ENTIRELY map-side: the doc's distinct
     // gram set as an array (array_distinct over the gram transform — no
     // explode, no dedup shuffle, no collect). Pair intersections are then a
@@ -483,24 +488,30 @@ object Dedup {
       .join(broadcast(oversized), Seq("source", "lenb"), "left_anti")
     // NO materialization barrier here: the self-join's two sides each
     // recompute the map-side gram arrays (cheap, |docs|-proportional, and
-    // pipelined straight into the join's sort) — caching the array rows
-    // measured slower than recomputing them
-    val blocked = gramArrs.join(okMemb, Seq("doc_id"))
+    // pipelined straight into the join's shuffle) — caching the array rows
+    // measured slower than recomputing them. The membership side is hinted
+    // SHUFFLE_HASH (build side = the narrow membership rows): left alone the
+    // planner broadcast the ARRAY side, which serialized the whole gram
+    // computation into one single-threaded broadcast build; a broadcast of
+    // the membership side instead would be corpus-sized at 100 TB (2 rows
+    // per doc). The shuffled-hash shape is scale-safe on both sides.
+    val blocked = gramArrs.join(okMemb.hint("shuffle_hash"), Seq("doc_id"))
     // Doc-level block self-join: ~(block size)² pair rows per block (bounded
-    // by maxBlockDocs), each carrying the two gram arrays. A pair sharing
-    // BOTH staggered buckets yields two identical rows — the final groupBy
-    // max dedups them. The intersection itself never shuffles: it is a
-    // per-row array_intersect evaluated where the join row is produced.
+    // by maxBlockDocs), each carrying the two gram arrays. The staggered
+    // double-bucketing can put a pair in BOTH its blocks; the pb (primary
+    // bucket) guard emits each pair EXACTLY once — in its shared primary
+    // block when the primaries match, else in the shared staggered block —
+    // so the expensive per-pair intersection runs once per pair and the old
+    // (a, b)-keyed dedup exchange disappears outright. The intersection
+    // itself never shuffles: it is evaluated where the join row is produced.
     val inter = blocked.alias("x").join(blocked.alias("y"),
         col("x.source") === col("y.source") && col("x.lenb") === col("y.lenb") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          (col("x.lenb") < 1000000 || col("x.pb") =!= col("y.pb")))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         graft.functions.SortedIntersectSize(col("x.hs"), col("y.hs")).as("inter"),
         size(col("x.hs")).cast(LongType).as("sa"),
         size(col("y.hs")).cast(LongType).as("sb"))
-      .groupBy("a", "b")
-      .agg(max(col("inter")).as("inter"), max(col("sa")).as("sa"),
-        max(col("sb")).as("sb"))
     inter
   }
 
@@ -511,6 +522,7 @@ object Dedup {
     * bucket: two buckets per doc, so 2·|docs| rows regardless of text size. */
   private def blockMembership(d: DataFrame): DataFrame =
     d.select(col("doc_id"), col("source"),
+        (col("n_chars") / 64).cast(IntegerType).as("pb"),
         explode(array((col("n_chars") / 64).cast(IntegerType),
           ((col("n_chars") + 32) / 64).cast(IntegerType) + 1000000)).as("lenb"))
       .distinct()

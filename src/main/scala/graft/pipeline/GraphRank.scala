@@ -41,14 +41,19 @@ object GraphRank {
   /** Integer fixed-point PageRank; output (node, pr) with pr in micro-units
     * (initial rank 1,000,000 per node, damping 0.85). */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
     val es = ScratchCache.persist(edges(spark, dir))
+    // nodes and the degree-attached edge list persist PRE-PARTITIONED on
+    // their per-iteration join keys (node / src): each round's two joins
+    // then line up against the dst-keyed contribution aggregate with no
+    // exchange beyond that one groupBy — one shuffle per iteration
     val nodes = ScratchCache.persist(
       es.select(col("src").as("node"))
-        .union(es.select(col("dst").as("node"))).distinct())
+        .union(es.select(col("dst").as("node"))).distinct()
+        .repartition(n, col("node")))
     val deg = es.groupBy("src").agg(count(lit(1)).as("d"))
-    // rank ⋈ degree is src-keyed both sides; attach it once so each
-    // iteration's join is a single equi-join on src
-    val ed = ScratchCache.persist(es.join(deg, "src"))
+    val ed = ScratchCache.persist(
+      es.join(deg, "src").repartition(n, col("src")))
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 0 until iters) {
       val sums = ed.join(ranks, col("src") === col("node"))
@@ -82,16 +87,25 @@ object GraphRank {
     * round boundary. */
   def labelProp(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val e0 = edges(spark, dir)
+    val n = spark.sessionState.conf.numShufflePartitions
+    // persist the symmetrized edge list ALREADY partitioned on the per-round
+    // join key (dst): the cached partitioning is reused by every round's
+    // join, so no round re-shuffles the edge side
     val ed = ScratchCache.persist(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .repartition(n, col("dst")))
     ed.count()
     var labels = ed.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
     for (i <- 1 to iters) {
+      // one exchange per round: the (count desc, label asc) argmax runs as
+      // Spark's deterministic MODE aggregate (ties -> lowest value — exactly
+      // the min_by((-cnt, lab)) total order) directly under groupBy(src),
+      // with map-side partial maps; the old two-groupBy shape paid a second
+      // (src, lab)-keyed exchange for the same counts
       labels = ed.join(labels, col("node") === col("dst"))
-        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("src"))
-        .agg(min_by(col("lab"), struct((-col("cnt")).as("nc"), col("lab"))).as("lab"))
+        .agg(expr("mode(lab, true)").as("lab"))
         .withColumnRenamed("src", "node")
       if (i % 4 == 0 && i < iters) labels = labels.localCheckpoint()
     }

@@ -203,8 +203,15 @@ object RelToRdf {
       .join(d, all("odict") === d("t"))
       .select(col("s"), col("p"), col("__did").as("o"), col("g"), col("onum"),
         col("odec"))
+    // partition by s (star joins reuse the cached hash partitioning) but
+    // sort within partitions by (p, s): the in-memory columnar cache keeps
+    // per-batch min/max stats, so a bound-predicate scan's p-filter skips
+    // every batch outside that predicate's contiguous run — the cached
+    // analogue of the persisted store's p-directory pruning. (The cache
+    // drops within-partition ORDER at planning time, so nothing downstream
+    // could rely on the old (s, p) sort anyway.)
     val quads = inlined.unionByName(dicted)
-      .repartition(col("s")).sortWithinPartitions("s", "p")
+      .repartition(col("s")).sortWithinPartitions("p", "s")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val graphs = testSpecs.filter(s => new java.io.File(s"$dir/${s.name}.parquet").exists())

@@ -471,12 +471,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 exchange, plan:\n${plan.take(3000)}")
   }
 
-  test("quality filter: ONE documents scan, zero exchanges, matches join-shape stats") {
+  test("quality filter: ONE documents scan, zero keyed exchanges, matches join-shape stats") {
     val df = TextStats.qualityFilter(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     val scans = plan.split("\n").count(_.contains("Scan parquet"))
     assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n${plan.take(3000)}")
-    assert(!plan.contains("Exchange"),
+    // the 100 TB shape claim: no KEYED (hash/range) exchange anywhere — the
+    // only permissible exchange is Par.spread's small-input round-robin,
+    // which disappears by its own size gate at scale
+    assert(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("Exchange rangepartitioning"),
       s"quality filter must be map-side only:\n${plan.take(3000)}")
     // differential vs the oracle-checked multi-scan components: the in-row
     // sorted-run top-2-gram max must equal repetition()'s explode+groupBy max
@@ -627,7 +631,10 @@ class PipelineSpec extends AnyFunSuite {
       s"scoring side must be one fresh corpus scan; got $scans:\n${plan.take(2000)}")
     assert(!plan.contains("InMemoryRelation") && !plan.contains("InMemoryTableScan"),
       s"exploded feature frame must not be cached:\n${plan.take(2000)}")
-    assert(!plan.contains("Exchange"),
+    // no KEYED exchange and no join — Par.spread's small-input round-robin
+    // (gated away at scale) is the only exchange allowed in the scoring pass
+    assert(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("Exchange rangepartitioning"),
       s"scoring pass must be shuffle-free:\n${plan.take(2000)}")
     assert(!plan.contains("Join"),
       s"scoring pass must be join-free:\n${plan.take(2000)}")

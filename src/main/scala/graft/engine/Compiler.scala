@@ -1511,9 +1511,12 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
 
   /** Remove hidden helper vars (EXISTS flags) from a Sol entirely. */
   private def stripVars(sol: Sol, vs: Seq[String]): Sol =
-    vs.foldLeft(sol)((acc, v) => acc.copy(df = acc.df.drop(v),
+    vs.foldLeft(sol)((acc, v) => acc.copy(
+      df = acc.df.drop(v, "__n_" + v, "__d_" + v, "__t_" + v),
       reps = acc.reps - v, certain = acc.certain - v, inl = acc.inl - v,
-      numAll = acc.numAll - v, fam = acc.fam - v, multOne = acc.multOne - v))
+      numAll = acc.numAll - v, fam = acc.fam - v, multOne = acc.multOne - v,
+      nums = acc.nums - v, decs = acc.decs - v, consts = acc.consts - v,
+      bucketS = acc.bucketS - v))
 
   /** Compile an EXISTS pattern with SUBSTITUTION semantics (SPARQL 1.1
     * §18.6). The semi/anti join correlates the outer solution with the
@@ -2370,8 +2373,18 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
             lit(null).cast(DoubleType).as("num")))
         case other => throw new IllegalArgumentException(s"window fn: $other")
       }
-      sol = Sol(sol.df.withColumn(spec.out, outCol), sol.reps + (spec.out -> TermRep),
-        sol.certain, sol.nums)
+      // Preserve the store type-profile knowledge (inl/numAll/fam/decs/card)
+      // across the window: a withColumn changes no existing var, so every
+      // fast path stays live. Losing it here forced the NEXT window's order
+      // keys and the final projection onto the generic view path — a
+      // dictionary decode JOIN between two same-partition-key windows, which
+      // re-keys the frame and makes the second window pay a fresh Exchange
+      // (the q_sparql_window "second window exchange"). bucketS is dropped —
+      // the window's own exchange replaced the bucketed layout — and
+      // sortCols reset as before (a window is order-destroying).
+      sol = sol.copy(df = sol.df.withColumn(spec.out, outCol),
+        reps = sol.reps + (spec.out -> TermRep),
+        sortCols = Nil, bucketS = Set.empty)
       }
     }
     sol
@@ -2422,7 +2435,11 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         base.join(aggDf, cond, "left")
           .drop(partVars.indices.map(i => s"__wk_$i"): _*)
       }
-    Sol(joined, sol.reps + (spec.out -> TermRep), sol.certain, sol.nums)
+    // keep the type-profile sets (inl/numAll/fam/decs) — the join adds a
+    // column and changes no existing var, so downstream decode fast paths
+    // stay live (same rationale as the non-salted branch in compileWindow)
+    sol.copy(df = joined, reps = sol.reps + (spec.out -> TermRep),
+      sortCols = Nil, bucketS = Set.empty)
   }
 
   // ---- property paths -------------------------------------------------------
@@ -2438,10 +2455,12 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
     case PInv(p) => compilePath(o, p, s, g)
     case PSeq(a, b) =>
       val mid = V("__pathmid_" + freshId())
-      joinSols(compilePath(s, a, mid, g), compilePath(mid, b, o, g), "inner") match {
-        case sol => Sol(sol.df.drop(mid.name), sol.reps - mid.name,
-          sol.certain - mid.name, sol.nums - mid.name)
-      }
+      // stripVars (not a bare Sol(...)) so the endpoints' type-profile
+      // knowledge (inl/numAll/fam) survives the sequence step — losing it
+      // forced dictionary decode joins at the result edge of q_path_seq
+      stripVars(
+        joinSols(compilePath(s, a, mid, g), compilePath(mid, b, o, g), "inner"),
+        Seq(mid.name))
     case PAlt(a, b) => unionSols(compilePath(s, a, o, g), compilePath(s, b, o, g))
     case PNeg(fwd, rev) =>
       def npsScan(subj: Node, obj: Node, iris: Seq[String]): Sol = {
@@ -2449,7 +2468,7 @@ final class Compiler(val store: RdfStore, val ctx: ExprEval.Ctx,
         val base = compilePattern(QuadPattern(subj, V("__p_" + freshId()), obj, g))
         val pVar = base.reps.keys.find(_.startsWith("__p_")).get
         val f = if (ids.isEmpty) base.df else base.df.filter(!col(bt(pVar)).isin(ids: _*))
-        Sol(f.drop(pVar), base.reps - pVar, base.certain - pVar, base.nums - pVar)
+        stripVars(base.copy(df = f), Seq(pVar))
       }
       val fwdSol: Option[Sol] =
         if (fwd.nonEmpty || rev.isEmpty) Some(npsScan(s, o, fwd)) else None

@@ -55,8 +55,18 @@ object Curation {
       orderCols: Seq[String], cumName: String = "cum"): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val rangeKeys = col("source") +: orderCols.map(col)
-    val sharded = df.repartitionByRange(n, rangeKeys: _*)
-      .withColumn("__graft_shard", spark_partition_id())
+    // scratch-persist the sharded frame: the offsets branch and the data
+    // branch project DIFFERENT columns, so Spark plans two separate scans
+    // and two separate range exchanges (each with its own boundary-sampling
+    // job) instead of one ReusedExchange — verified in the r15 curate_pack
+    // plan (two `rangepartitioning(source, …)` exchanges over two parquet
+    // scans). One cached pass replaces scan+range-shuffle ×2; recomputing is
+    // strictly more expensive than the cache at every scale (guide §5), and
+    // the persisted shard ids are computed once, not merely
+    // deterministically twice.
+    val sharded = ScratchCache.persist(
+      df.repartitionByRange(n, rangeKeys: _*)
+        .withColumn("__graft_shard", spark_partition_id()))
     val wLocal = Window.partitionBy(col("source"), col("__graft_shard"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -484,8 +484,22 @@ object Dedup {
     // bounded by corpus/maxBlockDocs (the keep-list grows with #sources ×
     // #length-buckets, unbounded).
     val oversized = ngramOversizedBlocks(d, maxBlockDocs).select("source", "lenb")
+    // pb_ok: did this doc's PRIMARY block survive the oversized cap? The
+    // emit-once guard below suppresses the staggered-block copy of a pair
+    // whenever the two primaries match — which silently LOST the pair when
+    // that shared primary block had been dropped by the cap while the shared
+    // staggered block survived (two docs in one oversized 64-char length
+    // band, close enough to also share the +32 staggered bucket). Carrying
+    // the flag re-arms the staggered emit exactly in that regime; one extra
+    // broadcast left join on the narrow membership frame, build side bounded
+    // by corpus/maxBlockDocs like the anti join's.
+    val ovPrim = oversized.filter(col("lenb") < 1000000)
+      .withColumnRenamed("lenb", "pb").withColumn("__pb_dropped", lit(true))
     val okMemb = blockMembership(d)
       .join(broadcast(oversized), Seq("source", "lenb"), "left_anti")
+      .join(broadcast(ovPrim), Seq("source", "pb"), "left")
+      .withColumn("pb_ok", col("__pb_dropped").isNull)
+      .drop("__pb_dropped")
     // NO materialization barrier here: the self-join's two sides each
     // recompute the map-side gram arrays (cheap, |docs|-proportional, and
     // pipelined straight into the join's shuffle) — caching the array rows
@@ -504,10 +518,14 @@ object Dedup {
     // so the expensive per-pair intersection runs once per pair and the old
     // (a, b)-keyed dedup exchange disappears outright. The intersection
     // itself never shuffles: it is evaluated where the join row is produced.
+    // emit-once: primary block when primaries match AND that block survived
+    // the cap (x.pb === y.pb on a shared block implies same source, so
+    // x.pb_ok === y.pb_ok — checking x suffices); else the staggered block
     val inter = blocked.alias("x").join(blocked.alias("y"),
         col("x.source") === col("y.source") && col("x.lenb") === col("y.lenb") &&
           col("x.doc_id") < col("y.doc_id") &&
-          (col("x.lenb") < 1000000 || col("x.pb") =!= col("y.pb")))
+          (col("x.lenb") < 1000000 || col("x.pb") =!= col("y.pb") ||
+            !col("x.pb_ok")))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         graft.functions.SortedIntersectSize(col("x.hs"), col("y.hs")).as("inter"),
         size(col("x.hs")).cast(LongType).as("sa"),

@@ -77,8 +77,10 @@ object GraphRank {
     * asynchronous-LPA nemesis).
     *
     * Scale shape: per round one dst-keyed equi-join (labels ⋈ symmetrized
-    * edge list) and two groupBys — (node, label) counts with map-side
-    * combine, then a per-node min_by argmax (also map-side combinable).
+    * edge list) and ONE groupBy(src) running Spark 4's deterministic
+    * `mode(lab, true)` (ties → lowest label — exactly the
+    * min_by((-cnt, lab)) total order) with map-side partial maps; one keyed
+    * exchange per round.
     * Edges symmetrized + DISTINCT once up front (each neighbor votes once).
     * `iters` is a PARAMETER: each round stacks join+2×groupBy onto the
     * lineage, so every 4th round `localCheckpoint`s the label frame (the
@@ -201,11 +203,19 @@ object GraphRank {
         .union(e.select(col("b").as("node"), col("a").as("nbr"))))
     val deg = ScratchCache.persist(
       ed.groupBy("node").agg(count(lit(1)).as("deg")))
-    // wedge enumeration through non-hub centers only
-    val centers = ed.select(col("nbr").as("w"), col("node"))
-      .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
-      .where(col("dw") <= maxDeg)
-      .select(col("w"), col("node"))
+    // wedge enumeration through non-hub centers only. Scratch-persisted:
+    // the self-join below consumes this frame on BOTH sides, and unpersisted
+    // each side replans the whole hub-cap join from ed/deg (the r15 plan
+    // carries two copies of the centers subtree, each with its own w
+    // exchange). The deg join leaves the frame hash-partitioned on w and the
+    // cache forwards that partitioning, so the self-join runs co-partitioned
+    // with no further exchange — the only corpus-sized shuffle left is the
+    // unavoidable (a, b) pair aggregate.
+    val centers = ScratchCache.persist(
+      ed.select(col("nbr").as("w"), col("node"))
+        .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
+        .where(col("dw") <= maxDeg)
+        .select(col("w"), col("node")))
     val common = centers.select(col("w"), col("node").as("x"))
       .join(centers.select(col("w"), col("node").as("y")), "w")
       .where(col("x") < col("y"))

@@ -23,12 +23,21 @@ import org.apache.spark.sql.DataFrame
   * absence of hash/range exchanges, which this never introduces.
   */
 object Par {
+  /** Absolute ceiling on what the spread exchange may move: past a few GB
+    * the input scans wide enough on its own, and the size-vs-split
+    * arithmetic alone would let a multi-hundred-GB relation through at high
+    * parallelism (e.g. 128 MB splits x 4000 cores / 2 = 256 GB) — the gate's
+    * "only ever shuffles a few MB" premise must hold by construction, not by
+    * luck. */
+  private val SpreadMaxBytes = BigInt(4L << 30)
+
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val split = spark.sessionState.conf.filesMaxPartitionBytes
     val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (par > 1 && sz < BigInt(split) * (par / 2).max(1)) df.repartition(par)
+    if (par > 1 && sz < SpreadMaxBytes &&
+      sz < BigInt(split) * (par / 2).max(1)) df.repartition(par)
     else df
   }
 }

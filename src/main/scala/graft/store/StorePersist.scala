@@ -118,6 +118,12 @@ object StorePersist {
       .filter(_.name != PartitionCol)
       .map(f => s"${f.name} ${f.dataType.sql}")
       .mkString(", ")
+    // same discipline for the dictionary: capture its actual schema so a
+    // future TermRow change cannot be reopened through a stale hardcoded
+    // column list (silent nulls / cast errors despite a matching codecVersion)
+    val termCols = store.terms.schema.fields
+      .map(f => s"${f.name} ${f.dataType.sql}")
+      .mkString(", ")
     val meta =
       s"""{"defaultGraphs":${store.defaultGraphs.mkString("[", ",", "]")},
          |"spgAllInline":${store.spgAllInline},
@@ -127,6 +133,7 @@ object StorePersist {
          |"codecVersion":$CodecVersion,
          |"layout":"ps",
          |"schemaDDL":"$dataCols",
+         |"termsSchemaDDL":"$termCols",
          |"charSets":${charSets.getOrElse("null")},
          |"profiles":$profiles}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "meta.json"), meta)
@@ -179,10 +186,14 @@ object StorePersist {
     // (termsBuckets 0/absent) fall back to the plain parquet read.
     val terms0 = if (meta.termsBuckets > 0) {
       val ttbl = termsTable(dir)
+      // v4 stores wrote termsSchemaDDL next to the quads schemaDDL; the
+      // hardcoded list only serves manifests from the brief window before
+      // the field existed (same codec version, missing key)
+      val termCols = if (meta.termsSchemaDDL.nonEmpty) meta.termsSchemaDDL
+        else "id BIGINT, kind INT, lex STRING, dt STRING, lang STRING, num DOUBLE"
       if (!spark.catalog.tableExists(ttbl))
         spark.sql(
-          s"""CREATE TABLE $ttbl (id BIGINT, kind INT, lex STRING, dt STRING,
-             |lang STRING, num DOUBLE) USING parquet
+          s"""CREATE TABLE $ttbl ($termCols) USING parquet
              |CLUSTERED BY (id) SORTED BY (id) INTO ${meta.termsBuckets} BUCKETS
              |LOCATION '$dir/terms'""".stripMargin)
       spark.table(ttbl)
@@ -212,7 +223,7 @@ object StorePersist {
       namedGraphs: Option[Seq[Long]], profiles: Map[Long, PredProfile],
       buckets: Int = 0, layout: String = "", schemaDDL: String = "",
       charSets: Option[Seq[CharSetStat]] = None, csDisabled: Boolean = false,
-      termsBuckets: Int = 0)
+      termsBuckets: Int = 0, termsSchemaDDL: String = "")
 
   private def ujsonLite(s: String): Meta = {
     def arr(name: String): Seq[Long] = {
@@ -229,6 +240,8 @@ object StorePersist {
     val layout = "\"layout\":\"([^\"]*)\"".r.findFirstMatchIn(s)
       .map(_.group(1)).getOrElse("")
     val schemaDDL = "\"schemaDDL\":\"([^\"]*)\"".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+    val termsSchemaDDL = "\"termsSchemaDDL\":\"([^\"]*)\"".r.findFirstMatchIn(s)
       .map(_.group(1)).getOrElse("")
     val profRe =
       ("""\{"p":(-?\d+),"allInline":(true|false),"allNumeric":(true|false),""" +
@@ -258,6 +271,7 @@ object StorePersist {
         CharSetStat(longs(m.group(1)), m.group(2).toLong, longs(m.group(3)))
       }.toSeq)
     Meta(arr("defaultGraphs"), s.contains("\"spgAllInline\":true"), named, profiles,
-      buckets, layout, schemaDDL, charSets, csDisabled, termsBuckets)
+      buckets, layout, schemaDDL, charSets, csDisabled, termsBuckets,
+      termsSchemaDDL)
   }
 }

@@ -849,7 +849,7 @@ class EngineSpec extends AnyFunSuite {
     } finally spark.conf.unset(Compiler.HotGroupCapKey)
   }
 
-  test("property: window family invariant to input partitioning AND the salt gate, both paths forced") {
+  test("property: window family invariant to input partitioning AND the salt gate, both paths forced", Slow) {
     // the salted two-phase device rewrites whole-partition GROUP_CONCAT
     // windows; RANK/DENSE_RANK/ROW_NUMBER/NTILE/frame aggregates share the
     // same compiled tree. Over randomized data, randomized input partition

@@ -308,7 +308,7 @@ class FuzzDiffSpec extends AnyFunSuite {
     }
   }
 
-  test("engine and reference interpreter agree on random algebra/dataset pairs") {
+  test("engine and reference interpreter agree on random algebra/dataset pairs", Slow) {
     var checked = 0
     var nonEmpty = 0
     val failures = scala.collection.mutable.ListBuffer[String]()

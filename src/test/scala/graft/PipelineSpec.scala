@@ -117,6 +117,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(uncapped.size == 66 + 1, uncapped.size.toString)
   }
 
+  test("ngram jaccard: pair survives via staggered block when its primary block is oversized") {
+    import spark.implicits._
+    // three docs share primary length bucket 0..63 (block size 3 > cap 2 →
+    // primary block dropped); two of them also share the staggered bucket
+    // (n_chars in [32, 63] → floor((n+32)/64) = 1), which has only 2 members
+    // and survives. The emit-once guard must emit the pair from the
+    // staggered block — the r15 pb guard silently lost it (x.pb === y.pb
+    // suppressed the staggered row while the primary row never existed).
+    val t1 = "shared near duplicate content block one"
+    val t2 = "shared near duplicate content block two"
+    val t3 = "tiny text"
+    val d = Seq(
+      (1L, t1, "en", "hot", 40L),
+      (2L, t2, "en", "hot", 44L),
+      (3L, t3, "en", "hot", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // primary block (hot, 0) holds all 3 docs → oversized at cap 2
+    val over = Dedup.ngramOversizedBlocks(d, maxBlockDocs = 2).collect()
+    assert(over.map(r => r.getAs[Int]("lenb")).toSet == Set(0), over.mkString(","))
+    val rows = Dedup.ngramJaccardOf(d, threshold = 0.4, maxBlockDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // recovered from the staggered block, and emitted exactly once
+    assert(rows.toSeq == Seq((1L, 2L)), rows.mkString(","))
+    // with the cap lifted the same single pair comes from the primary block
+    val unc = Dedup.ngramJaccardOf(d, threshold = 0.4, maxBlockDocs = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(unc.toSeq == Seq((1L, 2L)), unc.mkString(","))
+  }
+
   test("lsh similarity recalls most of brute-force top-5") {
     val brute = Similarity.bruteTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -518,14 +547,31 @@ class PipelineSpec extends AnyFunSuite {
       s"pack running sum must window on (source, __graft_shard):\n${plan.take(3000)}")
     assert(plan.contains("Exchange rangepartitioning(source"),
       s"shard assignment must be an order-preserving range exchange:\n${plan.take(3000)}")
-    // the corpus is READ once: the offsets branch reuses the range-exchange
-    // stage (AQE stage reuse), so the second parquet scan never executes
-    val scans = plan.split("\n").count(_.contains("Scan parquet"))
-    val reused = plan.split("\n").count(l =>
-      l.contains("ReusedExchange") || l.contains("ShuffleQueryStage") && l.contains("isLocal"))
-    assert(scans == 1 || plan.contains("ReusedExchange"),
-      s"offsets branch must reuse the range exchange, not re-scan; " +
-        s"got $scans scans, $reused reuse markers:\n${plan.take(3000)}")
+    // the corpus is READ once: the sharded frame is scratch-persisted, so
+    // BOTH the offsets branch and the data branch read ONE cached relation
+    // and the (boundary-sampling) range exchange runs only inside the cache
+    // build — the r15 shape planned the branches as two scans + two range
+    // exchanges. Walk the executed TREE (cache scans are leaves there, so
+    // the cache-build subtree is naturally excluded — its text rendering
+    // repeats per scan and cannot be string-counted):
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val outer = walk(df.queryExecution.executedPlan)
+    val outerRange = outer.collect { case e: ShuffleExchangeExec
+      if e.outputPartitioning.toString.contains("range") => e }
+    assert(outerRange.isEmpty,
+      s"data/offsets branches must read the cached sharded frame, not re-run " +
+        s"the range exchange; found $outerRange:\n${plan.take(3000)}")
+    val cacheScans = outer.collect { case c: InMemoryTableScanExec => c }
+    assert(cacheScans.nonEmpty,
+      s"sharded frame must be read through the scratch cache:\n${plan.take(3000)}")
     // semantics: every chunk_hash appears once; pack offsets are consistent
     // (each source stream's cumulative token count reproduces pack_id/pack_off)
     val hashes = rows.map(_.getString(4))
@@ -762,6 +808,24 @@ class PipelineSpec extends AnyFunSuite {
     // max possible rrf = membership in both lists; assert it occurs somewhere
     assert(r.exists(_._2._2 > 1000000L / 61L + 1000L),
       "no candidate fused from both lists — pools misaligned")
+  }
+
+  test("bm25 df size gate: join-back path equals the window path exactly") {
+    // the index build computes df with a tok window locally and a
+    // skew-splittable groupBy+join above the size gate — the two paths must
+    // be value-identical on every output (df = posting rows per tok either
+    // way, so scores and ranks cannot differ)
+    def run(mode: String): Seq[(Long, Long, Long, Long)] = {
+      sys.props.put("graft.bm25.df", mode)
+      try Retrieval.bm25Prf(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      finally sys.props.remove("graft.bm25.df")
+    }
+    val win = run("window")
+    val join = run("join")
+    assert(win.nonEmpty && win == join,
+      s"df paths diverge: window=${win.take(3)} join=${join.take(3)}")
   }
 
   test("salted join equals the plain join on a skewed key distribution") {

@@ -57,7 +57,7 @@ class W3CSpec extends AnyFunSuite {
   test("w3c: aggregates-edge manifest (SUM error poisoning, DISTINCT, default separator, COUNT(*) vs COUNT(?v), GROUP BY expression keys)") { runArea("aggregates-edge") }
   test("w3c: expr-edge manifest (builtin edge cases: STRBEFORE/AFTER lang rules, langMatches ranges, ROUND ties, IN, sameTerm, COALESCE, CONCAT lang, TZ, argument-compat errors)") { runArea("expr-edge") }
 
-  test("algebra→SPARQL-text round-trip preserves results on the whole corpus") {
+  test("algebra→SPARQL-text round-trip preserves results on the whole corpus", Slow) {
     // the HTTP SERVICE client ships patterns as AlgebraText-serialized SPARQL:
     // for every vendored SELECT test, re-serializing the parsed algebra and
     // re-running it must produce the same solution multiset

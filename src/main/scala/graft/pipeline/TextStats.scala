@@ -266,9 +266,12 @@ object TextStats {
     *
     * Scale shape: bigrams are built MAP-SIDE from the token array (no
     * self-join on position); then one bigram-keyed count (map-side combine),
-    * one vocab-sized count, and three joins back to the bigram stream —
-    * each keyed on gram/token hashes, the same exchange count at any corpus
-    * size. */
+    * one vocab-sized count, and ONE join back to the bigram stream: the two
+    * unigram joins run on the VOCAB-sized bigram-count table first (the
+    * model table), so the corpus-sized stream is exchanged once on (w1, w2)
+    * instead of three times — the r15 shape joined the stream on (w1,w2),
+    * then w1, then w2. Values per row are identical (same c12/cw1/cw2
+    * attached either way). */
   def surprisalBigram(spark: SparkSession, dir: String): DataFrame = {
     val base = ScratchCache.persist(
       docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("ws")))
@@ -282,9 +285,9 @@ object TextStats {
         "ELSE array() END")).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    bi.join(bc, Seq("w1", "w2"))
       .join(uni.withColumnsRenamed(Map("tok" -> "w1", "c1" -> "cw1")), Seq("w1"))
       .join(uni.withColumnsRenamed(Map("tok" -> "w2", "c1" -> "cw2")), Seq("w2"))
+    bi.join(bc, Seq("w1", "w2"))
       .select(col("doc_id"),
         round(-log(lit(0.9) * col("c12") / col("cw1") +
           lit(0.1) * col("cw2") / lit(n.toDouble)) * 1e6).cast("long").as("micro"))
